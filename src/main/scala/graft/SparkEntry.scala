@@ -1,13 +1,416 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextOps
+import graft.ml.{ModelLoader, SentimentModel, SentimentScorer}
+
+/** Driver contract — flagship entry, per-operator query inventory, and
+  * the DuckDB oracle SQL for each SQL-expressible query.
+  * Blueprint: SURVEY.md §2 (operator inventory) and §7 (build plan).
+  *
+  * Conventions for oracle parity (driver hashes values after sorting
+  * columns by name):
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - double-summing avoided: sums go through DECIMAL (exact, order-
+  *    independent) and only then to DOUBLE;
+  *  - timestamps compared as epoch BIGINT;
+  *  - token arrays compared as space-joined strings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- table readers -------------------------------------------------
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long (session-level legacy flag is
+    * set in Verify/Bench; schema-level fallback here) and convert to a
+    * microsecond TimestampType column — same truncation DuckDB applies
+    * casting TIMESTAMP_NS → TIMESTAMP. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // integer div, not double: ns values overflow double's 2^53 mantissa
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Model artifacts (reference's frozen PipelineModel, read-only). */
+  val ModelDir: String =
+    sys.env.getOrElse("GRAFT_MODEL_DIR", "/root/reference/pre_trained_model")
+
+  // model + broadcast scorer cached per JVM (Verify/Bench are one-shot)
+  @volatile private var cachedScorer: SentimentScorer = _
+  def scorer(s: SparkSession): SentimentScorer = {
+    if (cachedScorer == null) synchronized {
+      if (cachedScorer == null)
+        cachedScorer = SentimentModel.scorer(s, ModelLoader.load(s, ModelDir))
+    }
+    cachedScorer
+  }
+
+  // ---- shared expressions -------------------------------------------
+  private val cleanTokens: Column = TextOps.cleanTokens(col("text"))
+
+  /** DuckDB spelling of clean+tokenize over `text`. */
+  private val sqlToks =
+    """list_filter(string_split_regex(regexp_replace(lower(trim(text)), '[^A-Za-z\n ]|(http\S+)|(www.\S+)', '', 'g'), '\s+'), t -> len(t) > 0)"""
+
+  private def sqlQuote(w: String): String = "'" + w.replace("'", "''") + "'"
+  private lazy val sqlStopList: String =
+    TextOps.englishStopWords.map(_.toLowerCase).distinct.sorted
+      .map(sqlQuote).mkString("[", ", ", "]")
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001):
+    * scan documents → clean/tokenize → stop words → native 5-stage
+    * sentiment scoring → aggregate sentiment mix per language. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = t(spark, "/root/testdata/sf0.001", "documents")
+    scorer(spark).scoreText(docs, "text")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("prediction")).as("n_negative"),
+        avg(size(col("cleaned_data"))).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- query inventory ----------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // == reference operator surface (SURVEY.md §2a/2b/2g) ==
+
+    // P1: binary→string cast projection (Kafka `CAST(value AS STRING)`)
+    "p1_cast_project" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        decode(encode(col("text"), "UTF-8"), "UTF-8").as("message"))),
+
+    // P2/F2: JSON field decode (from_json / get_json_object)
+    "p2_json_decode" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
+
+    // P3: null-dropping filter (dropna)
+    "p3_null_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("click")).as("et"))
+        .na.drop()),
+
+    // P4/F3-F6: clean + tokenize chain (pure built-ins, codegen'd)
+    "p4_clean_tokenize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", cleanTokens).as("toks"))),
+
+    // P5: final narrow projection
+    "p5_final_project" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))),
+
+    // P6: comma scrub (producer-side)
+    "p6_comma_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextOps.scrubCommas(col("text")).as("scrubbed"))),
+
+    // F7: JSON encode (producer envelope)
+    "f7_json_encode" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        to_json(struct(col("lang").as("message"))).as("payload"))),
+
+    // M1: stop-word removal (181-word English list, case-insensitive)
+    "m1_stopwords" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", TextOps.removeStopWords(cleanTokens)).as("words"))),
+
+    // M2: term-frequency as an un-pivoted (doc_id, term, tf) table
+    "m2_tf" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(cleanTokens).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))),
+
+    // M2–M5: native 5-stage sentiment scoring (oracle: golden corpus
+    // in ScalaTest; driver records rows-only here)
+    "m5_sentiment" -> ((s, dir) => {
+      val sc = scorer(s)
+      sc.scoreText(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("prediction"))
+    }),
+
+    // == relational core over the TPC-H-ish tables ==
+
+    // hash aggregate with exact decimal sums (TPC-H Q1 flavor)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc"),
+          count(lit(1)).as("n"))),
+
+    // broadcast dim join chain (supplier ⋈ nation ⋈ region)
+    "q2_dim_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = broadcast(t(s, dir, "nation"))
+      val reg = broadcast(t(s, dir, "region"))
+      sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("r_name"))
+    }),
+
+    // 3-way join + group + deterministic top-N (TPC-H Q3 flavor)
+    "q3_join_topn" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // grouped aggregate over the event stream table
+    "q4_events_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
+    // event-time tumbling window (batch twin of the streaming agg)
+    "q5_time_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          unix_timestamp(col("window.start")).as("bucket"),
+          col("event_type"), col("n"))),
+
+    // top-k per group via ranking window function
+    "q6_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+    }),
+
+    // anti join (customers with no order above a total)
+    "q7_anti_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // semi join (suppliers in regions that have customers w/ balance>0)
+    "q8_semi_join" -> ((s, dir) => {
+      val richCust = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey"))
+      t(s, dir, "supplier")
+        .join(richCust, col("s_nationkey") === col("c_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // set op: distinct union of nations seen on either side
+    "q9_union_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()),
+
+    // global sort + limit (deterministic tiebreak)
+    "q10_sort_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // == LLM-data-pipeline operators (SURVEY.md §7.6) ==
+
+    // exact dedup via hash groupBy (keeper = min doc_id)
+    "d1_exact_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))),
+
+    // token statistics (token counting)
+    "t1_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          length(concat_ws("", col("toks"))).as("n_alpha_chars"))),
+
+    // quality scoring: ratios from exact integer counts (IEEE-exact)
+    "t2_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), cleanTokens.as("toks"))
+        .select(
+          col("doc_id"),
+          (length(regexp_replace(col("text"), "[^A-Za-z]", "")) /
+            nullif(length(col("text")), lit(0))).as("alpha_ratio"),
+          (size(TextOps.removeStopWords(col("toks"))).cast("double") /
+            nullif(size(col("toks")), lit(0))).as("content_ratio"),
+          (length(concat_ws("", col("toks"))).cast("double") /
+            nullif(size(col("toks")), lit(0))).as("avg_token_len"))),
+
+    // language ID: marker-word scoring with deterministic argmax
+    "t3_lang_id" -> ((s, dir) => {
+      val toks = cleanTokens
+      def score(words: Seq[String]): Column =
+        size(filter(toks, w => w.isInCollection(words)))
+      val sEn = score(LangMarkers.en); val sDe = score(LangMarkers.de)
+      val sEs = score(LangMarkers.es); val sFr = score(LangMarkers.fr)
+      val g = greatest(sEn, sDe, sEs, sFr)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(g === 0, "und")
+          .when(sEn === g, "en").when(sDe === g, "de")
+          .when(sEs === g, "es").otherwise("fr").as("pred_lang"))
+    }),
+
+    // document fingerprinting: full-content hash + min-shingle hash
+    "t4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", col("toks"))).as("fp"),
+          when(size(col("toks")) >= 3,
+            array_min(transform(
+              sequence(lit(0), size(col("toks")) - 3),
+              i => md5(concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))))
+            .as("min_shingle_fp")))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "p1_cast_project" ->
+      "SELECT doc_id, decode(encode(text)) AS message FROM documents",
+    "p2_json_decode" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+    "p3_null_filter" ->
+      "SELECT event_id, nullif(event_type, 'click') AS et FROM events WHERE nullif(event_type, 'click') IS NOT NULL",
+    "p4_clean_tokenize" ->
+      s"SELECT doc_id, array_to_string($sqlToks, ' ') AS toks FROM documents",
+    "p5_final_project" ->
+      "SELECT doc_id, lang FROM documents",
+    "p6_comma_scrub" ->
+      "SELECT doc_id, regexp_replace(text, ',', '', 'g') AS scrubbed FROM documents",
+    "f7_json_encode" ->
+      "SELECT doc_id, to_json(struct_pack(message := lang))::VARCHAR AS payload FROM documents",
+    "m1_stopwords" ->
+      s"SELECT doc_id, array_to_string(list_filter($sqlToks, w -> NOT list_contains($sqlStopList, w)), ' ') AS words FROM documents",
+    "m2_tf" ->
+      s"SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest($sqlToks) AS term FROM documents) GROUP BY doc_id, term",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_dim_join" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q3_join_topn" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_events_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q5_time_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q6_topk_per_group" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+    "q8_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 5000)""".stripMargin,
+    "q9_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q10_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "d1_exact_dedup" ->
+      "SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "t1_token_stats" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
+         |  len(array_to_string(toks, '')) AS n_alpha_chars
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin,
+    "t2_quality" ->
+      s"""SELECT doc_id,
+         |  len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(len(text), 0) AS alpha_ratio,
+         |  CAST(len(list_filter(toks, w -> NOT list_contains($sqlStopList, w))) AS DOUBLE) / nullif(len(toks), 0) AS content_ratio,
+         |  CAST(len(array_to_string(toks, '')) AS DOUBLE) / nullif(len(toks), 0) AS avg_token_len
+         |FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents)""".stripMargin,
+    "t3_lang_id" -> {
+      def sc(ws: Seq[String]) =
+        s"len(list_filter(toks, w -> list_contains(${ws.map(sqlQuote).mkString("[", ", ", "]")}, w)))"
+      val (en, de, es, fr) = (sc(LangMarkers.en), sc(LangMarkers.de), sc(LangMarkers.es), sc(LangMarkers.fr))
+      s"""SELECT doc_id,
+         |  CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
+         |       WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
+         |       WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
+         |       WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin
+    },
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+         |  CASE WHEN len(toks) >= 3 THEN
+         |    list_min(list_transform(range(1, len(toks) - 1),
+         |      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+         |  ELSE NULL END AS min_shingle_fp
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin
+  )
+}
+
+/** Marker-word profiles for the language-ID heuristic. */
+private object LangMarkers {
+  val en = Seq("the", "and", "is", "of", "to", "in", "that", "it")
+  val de = Seq("der", "die", "und", "ist", "das", "nicht", "ein", "zu")
+  val es = Seq("el", "los", "es", "y", "que", "de", "una", "por")
+  val fr = Seq("le", "les", "est", "et", "dans", "une", "pour", "sur")
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-normalization operator chain re-expressed as pure built-in
+  * `Column` expressions (fully whole-stage-codegen'd; zero UDFs).
+  *
+  * Semantics pinned to the reference pipeline's cleaning UDF
+  * (`consumer_local.py:46-48`):
+  * `re.sub(r"[^A-Za-z\n ]|(http\S+)|(www.\S+)", "", s.lower().strip()).split()`
+  *  - lowercase, trim
+  *  - delete every char outside `[A-Za-z\n ]`, and whole `http…`/`www…`
+  *    runs (dot in `www.\S+` is an unescaped any-char, kept as-is)
+  *  - whitespace tokenization dropping empty tokens (Python `.split()`)
+  *
+  * Stop-word removal mirrors the reference model's StopWordsRemover
+  * stage (181-word English list, case-insensitive;
+  * `pre_trained_model/stages/0_StopWordsRemover_…/metadata/part-00000:1`).
+  */
+object TextOps {
+
+  /** The reference's cleaning regex, Java-regex spelling. Applied after
+    * lower() so `A-Z` never matches (kept for as-written parity). */
+  val CleanRegex: String = "[^A-Za-z\\n ]|(http\\S+)|(www.\\S+)"
+
+  /** lower + trim + regex-delete. String -> String. */
+  def clean(c: Column): Column =
+    regexp_replace(lower(trim(c)), CleanRegex, "")
+
+  /** Whitespace tokenization with empty tokens dropped (Python
+    * `.split()` semantics — Spark's `split` keeps boundary empties). */
+  def tokenize(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > lit(0))
+
+  /** Full clean+tokenize chain: String -> Array[String]. */
+  def cleanTokens(c: Column): Column = tokenize(clean(c))
+
+  /** The 181-word English stop list used by the reference model's
+    * StopWordsRemover stage (Spark ML default English list; the
+    * reference metadata inlines the identical words). */
+  lazy val englishStopWords: Array[String] =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english")
+
+  private lazy val stopWordsLower: Set[String] =
+    englishStopWords.map(_.toLowerCase(java.util.Locale.UK)).toSet
+
+  /** Case-insensitive stop-word filter over an Array[String] column.
+    * Built-ins only: the stop set folds into the plan as an
+    * `array_contains(lit(...))` — no shuffle, no UDF. */
+  def removeStopWords(tokens: Column): Column = {
+    val stopArr = array(stopWordsLower.toSeq.sorted.map(lit): _*)
+    filter(tokens, t => !array_contains(stopArr, lower(t)))
+  }
+
+  /** Comma scrub (producer.py:40 `text.replace(',', '')`). */
+  def scrubCommas(c: Column): Column = regexp_replace(c, ",", "")
+
+  /** Whether the stop set contains a (lowercased) word — driver-side. */
+  def isStopWord(w: String): Boolean =
+    stopWordsLower.contains(w.toLowerCase(java.util.Locale.UK))
+}

@@ -1,0 +1,256 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+
+import graft.functions.TextOps
+
+/** Engine-native representation of the reference's frozen 5-stage
+  * sentiment `PipelineModel`
+  * (`/root/reference/pre_trained_model/`, SURVEY.md §2h):
+  *
+  *   M1 StopWordsRemover  (181-word English list, case-insensitive)
+  *   M2 CountVectorizerModel (262,144-term vocab → sparse TF)
+  *   M3 IDFModel          (stored idf vector; minDocFreq floor baked in)
+  *   M4 StringIndexerModel (label dictionary only at inference)
+  *   M5 LogisticRegressionModel (binomial; margin>0 → 1.0)
+  *
+  * Held as plain Scala arrays/maps and broadcast once; scoring is a
+  * single in-JVM pass per row with float-op ordering identical to
+  * Spark ML's sparse path (ascending vocab index), so predictions
+  * reproduce `PipelineModel.transform` bit-for-bit.
+  *
+  * @param vocab     term → vocab index (CountVectorizer vocabulary order)
+  * @param idf       dense idf weights, length numFeatures
+  * @param coef      dense LR coefficients, length numFeatures
+  * @param intercept LR intercept
+  * @param threshold LR decision threshold on P(class=1)
+  * @param labels    StringIndexer labels (index i → original label)
+  * @param stopWords StopWordsRemover word list
+  */
+final case class SentimentModel(
+    vocab: java.util.HashMap[String, Int],
+    idf: Array[Double],
+    coef: Array[Double],
+    intercept: Double,
+    threshold: Double,
+    labels: Array[String],
+    stopWords: Array[String]) extends Serializable {
+
+  def numFeatures: Int = idf.length
+
+  /** Raw margin w·(tf⊙idf) + b over a stop-word-filtered token list.
+    * Reproduces CountVectorizer→IDF→LR exactly: TF counts folded per
+    * vocab index, features iterated in ascending index order. */
+  def margin(words: Iterable[String]): Double = {
+    // tf counts by vocab index (CountVectorizerModel semantics:
+    // unknown terms dropped, minTF=1 keeps all, counts not binarized)
+    val counts = new java.util.TreeMap[Int, Int]()
+    val it = words.iterator
+    while (it.hasNext) {
+      val idx = vocab.getOrDefault(it.next(), -1)
+      if (idx >= 0) counts.merge(idx, 1, Integer.sum)
+    }
+    var acc = 0.0
+    val e = counts.entrySet().iterator()
+    while (e.hasNext) {
+      val kv = e.next()
+      val i = kv.getKey
+      // features(i) = tf * idf (M3), then dot with coef (M5) —
+      // same association as ml.feature.IDFModel + BLAS.dot
+      acc += (kv.getValue.toDouble * idf(i)) * coef(i)
+    }
+    acc + intercept
+  }
+
+  /** LR prediction: P(1) = σ(margin) > threshold. For threshold 0.5
+    * this is margin > 0 (σ strictly monotone; tie → class 0). */
+  def predict(words: Iterable[String]): Double = {
+    val t = math.log(threshold / (1.0 - threshold))
+    if (margin(words) > t) 1.0 else 0.0
+  }
+
+  def probabilityOf(words: Iterable[String]): Double =
+    1.0 / (1.0 + math.exp(-margin(words)))
+
+  /** Decode a prediction index to the original training label
+    * (StringIndexer dictionary; 0.0→"4" positive, 1.0→"0" negative). */
+  def decodeLabel(prediction: Double): String = labels(prediction.toInt)
+}
+
+object SentimentModel {
+
+  /** Column-level scorer over a tokens column (stop words NOT yet
+    * removed — M1 runs inside). Adds `prediction: double`. */
+  def scorer(spark: SparkSession, model: SentimentModel): SentimentScorer =
+    new SentimentScorer(spark.sparkContext.broadcast(model))
+}
+
+/** Broadcast-backed scoring functions, exposed as Columns.
+  * The UDFs are in-JVM Scala (no Python boundary); the surrounding
+  * clean/tokenize/stop-word chain stays in whole-stage codegen. */
+final class SentimentScorer(bc: Broadcast[SentimentModel]) extends Serializable {
+
+  private val predictUdf = udf { words: Seq[String] =>
+    if (words == null) null else java.lang.Double.valueOf(bc.value.predict(words))
+  }
+  private val marginUdf = udf { words: Seq[String] =>
+    if (words == null) null else java.lang.Double.valueOf(bc.value.margin(words))
+  }
+
+  /** M1 stop-word filter as a pure built-in expression. */
+  def removeStopWords(tokens: Column): Column = {
+    val stopArr = array(bc.value.stopWords.map(w => lit(w.toLowerCase)).toSeq: _*)
+    filter(tokens, t => !array_contains(stopArr, lower(t)))
+  }
+
+  /** tokens (pre-stop-word-removal) → prediction. */
+  def predictFromTokens(tokens: Column): Column =
+    predictUdf(removeStopWords(tokens))
+
+  /** stop-word-filtered words → prediction (M2–M5 only). */
+  def predictFromWords(words: Column): Column = predictUdf(words)
+
+  def marginFromWords(words: Column): Column = marginUdf(words)
+
+  /** Full reference chain on a raw text column: clean → tokenize →
+    * stop words → TF → IDF → LR. Adds `cleaned_data` and `prediction`. */
+  def scoreText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("cleaned_data", TextOps.cleanTokens(col(textCol)))
+      .withColumn("prediction", predictFromTokens(col("cleaned_data")))
+}
+
+/** Native loader for the on-disk `PipelineModel` artifact layout
+  * (JSON stage metadata + Parquet coefficient tables). Reads the same
+  * bytes `org.apache.spark.ml.PipelineModel.load` would, without
+  * depending on cross-version ML persistence compatibility
+  * (artifacts were written by Spark 3.0.0; see SURVEY.md §7 risks). */
+object ModelLoader {
+
+  def load(spark: SparkSession, path: String): SentimentModel = {
+    val stagesDir = new java.io.File(s"$path/stages")
+    require(stagesDir.isDirectory, s"no stages/ under $path")
+    def stageDir(prefix: String): String =
+      stagesDir.listFiles().map(_.getName).find(_.startsWith(prefix))
+        .map(n => s"$path/stages/$n")
+        .getOrElse(sys.error(s"stage $prefix missing under $path/stages"))
+
+    // --- M1 StopWordsRemover: metadata-only (word list inline) ---
+    val swMeta = spark.read.json(s"${stageDir("0_")}/metadata")
+    // explicitly-set params land in paramMap, defaults in defaultParamMap
+    val swCol =
+      if (swMeta.select(col("paramMap.*")).columns.contains("stopWords"))
+        "paramMap.stopWords"
+      else "defaultParamMap.stopWords"
+    val stopWords: Array[String] = swMeta
+      .select(explode(col(swCol)).as("w"))
+      .collect().map(_.getString(0))
+
+    // --- M2 CountVectorizerModel: vocabulary parquet (one row) ---
+    val vocabRow = spark.read.parquet(s"${stageDir("1_")}/data").head()
+    val vocabSeq = vocabRow.getSeq[String](vocabRow.fieldIndex("vocabulary"))
+    val vocab = new java.util.HashMap[String, Int](vocabSeq.length * 2)
+    vocabSeq.zipWithIndex.foreach { case (w, i) => vocab.put(w, i) }
+
+    // --- M3 IDFModel: idf vector (minDocFreq floor already applied) ---
+    val idfRow = spark.read.parquet(s"${stageDir("2_")}/data").head()
+    val idf = vectorToDense(
+      idfRow.get(idfRow.fieldIndex("idf")), vocabSeq.length)
+
+    // --- M4 StringIndexerModel: label dictionary ---
+    val siRow = spark.read.parquet(s"${stageDir("3_")}/data").head()
+    val labels: Array[String] =
+      siRow.getSeq[scala.collection.Seq[String]](siRow.fieldIndex("labelsArray"))
+        .head.toArray
+
+    // --- M5 LogisticRegressionModel ---
+    val lrDir = stageDir("4_")
+    val lrRow = spark.read.parquet(s"$lrDir/data").head()
+    val numFeatures = lrRow.getInt(lrRow.fieldIndex("numFeatures"))
+    val intercept = vectorToDense(
+      lrRow.get(lrRow.fieldIndex("interceptVector")), 1)(0)
+    val coef = matrixRowToDense(
+      lrRow.get(lrRow.fieldIndex("coefficientMatrix")), numFeatures)
+    val lrMeta = spark.read.json(s"$lrDir/metadata")
+    val threshold = extractParam(lrMeta, "threshold").getOrElse(0.5)
+
+    SentimentModel(vocab, idf, coef, intercept, threshold, labels, stopWords)
+  }
+
+  /** paramMap value with defaultParamMap fallback (ML persistence puts
+    * explicitly-set params in paramMap, defaults in defaultParamMap). */
+  private def extractParam(meta: DataFrame, name: String): Option[Double] = {
+    def tryCol(c: String): Option[Double] =
+      if (meta.columns.contains(c.split('.').head))
+        scala.util.Try(meta.select(col(c)).head().getDouble(0)).toOption
+      else None
+    tryCol(s"paramMap.$name").orElse(tryCol(s"defaultParamMap.$name"))
+  }
+
+  /** VectorUDT column value → dense array. With spark-mllib on the
+    * classpath the parquet reader materializes the UDT (`ml.linalg
+    * .Vector`); without it the raw struct {type, size, indices,
+    * values} surfaces as a Row. Handle both. */
+  private def vectorToDense(v: Any, expectedSize: Int): Array[Double] = v match {
+    case vec: org.apache.spark.ml.linalg.DenseVector => vec.values
+    case vec: org.apache.spark.ml.linalg.SparseVector =>
+      val out = new Array[Double](math.max(vec.size, expectedSize))
+      var k = 0
+      while (k < vec.indices.length) { out(vec.indices(k)) = vec.values(k); k += 1 }
+      out
+    case r: Row =>
+      val tpe = r.getByte(r.fieldIndex("type"))
+      if (tpe == 1) { // dense
+        r.getSeq[Double](r.fieldIndex("values")).toArray
+      } else { // sparse
+        val size = r.getInt(r.fieldIndex("size"))
+        val out = new Array[Double](math.max(size, expectedSize))
+        val idx = r.getSeq[Int](r.fieldIndex("indices"))
+        val vals = r.getSeq[Double](r.fieldIndex("values"))
+        var k = 0
+        while (k < idx.length) { out(idx(k)) = vals(k); k += 1 }
+        out
+      }
+    case other => sys.error(s"unsupported vector value: ${other.getClass}")
+  }
+
+  /** MatrixUDT column value → dense coefficient row (numRows == 1).
+    * Handles UDT-materialized matrices and raw structs in dense,
+    * CSC, and CSR (isTransposed) layouts. */
+  private def matrixRowToDense(m: Any, numFeatures: Int): Array[Double] = m match {
+    case mat: org.apache.spark.ml.linalg.Matrix =>
+      val out = new Array[Double](numFeatures)
+      mat.foreachActive((_, j, v) => out(j) = v)
+      out
+    case r: Row =>
+      val tpe = r.getByte(r.fieldIndex("type"))
+      val numCols = r.getInt(r.fieldIndex("numCols"))
+      val transposed = r.getBoolean(r.fieldIndex("isTransposed"))
+      val out = new Array[Double](numFeatures)
+      if (tpe == 1) { // dense, row-major iff transposed
+        val vals = r.getSeq[Double](r.fieldIndex("values"))
+        var j = 0
+        while (j < numCols) { out(j) = vals(j); j += 1 } // 1×N: same either way
+      } else {
+        val ptrs = r.getSeq[Int](r.fieldIndex("colPtrs"))
+        val inds = r.getSeq[Int](r.fieldIndex("rowIndices"))
+        val vals = r.getSeq[Double](r.fieldIndex("values"))
+        if (!transposed) {
+          // CSC: ptrs over columns; rowIndices all 0 for a 1×N matrix
+          var j = 0
+          while (j < numCols) {
+            var k = ptrs(j)
+            while (k < ptrs(j + 1)) { out(j) = vals(k); k += 1 }
+            j += 1
+          }
+        } else {
+          // CSR: ptrs over rows (one row); inds hold column indices
+          var k = ptrs(0)
+          while (k < ptrs(1)) { out(inds(k)) = vals(k); k += 1 }
+        }
+      }
+      out
+    case other => sys.error(s"unsupported matrix value: ${other.getClass}")
+  }
+}
