@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.DetParams._
+
+/** DuckDB spellings of the engine's hash/similarity primitives,
+  * generated from the same [[graft.operators.DetParams]] constants the
+  * Spark plans use — one source of truth, two dialects. Driver runs
+  * these as the correctness oracle (SURVEY.md §5.4). */
+object OracleSql {
+
+  def hash32(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,8)) AS BIGINT)"
+
+  def hash60(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Distinct character trigrams of lower(text) (matches
+    * DedupOps.charTrigrams: DuckDB range excludes the end, so
+    * range(1, len-1) == Spark sequence(1, len-2)). */
+  val trigrams: String =
+    "CASE WHEN len(lower(text)) >= 3 THEN " +
+      "list_distinct(list_transform(range(1, len(lower(text))-1), " +
+      "i -> substr(lower(text), CAST(i AS INT), 3))) " +
+      "ELSE []::VARCHAR[] END"
+
+  /** MinHash signature slot i over a hashed-shingle list column `hs`. */
+  def sigElem(i: Int): String =
+    s"list_min(list_transform(hs, h -> (h*${minhashA(i)} + ${minhashB(i)}) % $MinhashP))"
+
+  /** Band key b over a sig (1-indexed list column `sig`). */
+  def bandKey(b: Int): String = {
+    val slots = (0 until MinhashRows).map(r => s"sig[${b * MinhashRows + r + 1}]")
+    s"md5(concat_ws('_', $b, ${slots.mkString(", ")}))"
+  }
+
+  /** Shared CTE prefix: documents → hashed trigrams → minhash sig →
+    * band-key columns b0..b{bands-1}. */
+  val minhashKeysCte: String = {
+    val sig = (0 until MinhashK).map(sigElem).mkString("[", ", ", "]")
+    val keys = (0 until MinhashBands).map(b => s"${bandKey(b)} AS b$b").mkString(", ")
+    s"""WITH tg AS (SELECT doc_id, $trigrams AS tgs FROM documents),
+       |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${hash32("s")}) AS hs FROM tg),
+       |sigt AS (SELECT doc_id, $sig AS sig FROM hsrc),
+       |keys AS (SELECT doc_id, $keys FROM sigt)""".stripMargin
+  }
+
+  /** Double-precision dot product of two list columns (left fold). */
+  def dot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  def cos(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  def cos6(a: String, b: String): String = s"round(${cos(a, b)}, 6)"
+
+  private def planeLit(p: Array[Double]): String =
+    p.map(lit3).mkString("[", ", ", "]")
+
+  /** Sign-LSH band key b for an embedding list column. */
+  def sketchBandKey(embCol: String, b: Int): String = {
+    val bits = (0 until PlaneBitsPerBand).map { j =>
+      val plane = planeLit(hyperplanes(b * PlaneBitsPerBand + j))
+      s"CASE WHEN ${dot(embCol, plane)} > 0 THEN '1' ELSE '0' END"
+    }
+    s"('$b:' || ${bits.mkString(" || ")})"
+  }
+
+  def sketchBandKeyList(embCol: String): String =
+    (0 until PlaneBandsCount).map(sketchBandKey(embCol, _))
+      .mkString("[", ", ", "]")
+
+  /** 60-bit SimHash over a token-hash list column `hs` (tf-weighted:
+    * the token list keeps duplicates). */
+  val simhashFromHs: String = {
+    val terms = (0 until 60).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
+    }
+    s"CAST(${terms.mkString("(", " + ", ")")} AS BIGINT)"
+  }
+}

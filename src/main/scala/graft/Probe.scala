@@ -7,28 +7,29 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
+    val dir = "/root/testdata/sf0.01"
 
-    def time(label: String)(f: => Long): Unit =
-      for (i <- 1 to 3) {
-        val t0 = System.nanoTime()
-        val c = f
-        println(f"[probe] $label#$i rows=$c in ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      }
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $label in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
 
-    // pure in-memory shuffle — no parquet involved
-    time("range_shuffle")(spark.range(1000).groupBy(expr("id % 5")).count().count())
-    // parquet scan, no shuffle
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    time("raw_count")(raw.count())
-    // parquet scan + shuffle
-    time("grp_type")(raw.groupBy(col("event_type")).count().count())
+    val d4 = SparkEntry.queries("d4_ngram_jaccard")
+    time("d4_count") { d4(spark, dir).count(): Unit }
+    time("d4_coalesce1_write") {
+      d4(spark, dir).coalesce(1).write.mode("overwrite").parquet("/tmp/probe_d4")
+    }
+    time("d4_write_nocoalesce") {
+      d4(spark, dir).write.mode("overwrite").parquet("/tmp/probe_d4b")
+    }
     spark.stop()
   }
 }

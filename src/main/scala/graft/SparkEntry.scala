@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextOps
 import graft.ml.{ModelLoader, SentimentModel, SentimentScorer}
+import graft.operators.{DedupOps, DetParams, SimilarityOps}
 
 /** Driver contract — flagship entry, per-operator query inventory, and
   * the DuckDB oracle SQL for each SQL-expressible query.
@@ -302,7 +303,82 @@ object SparkEntry {
                 element_at(col("toks"), i + 1),
                 element_at(col("toks"), i + 2),
                 element_at(col("toks"), i + 3))))))
-            .as("min_shingle_fp")))
+            .as("min_shingle_fp"))),
+
+    // BPE-ish regex token count (letters runs | digit runs | symbols)
+    "t5_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("n_bpe"))),
+
+    // == dedup family (SURVEY.md §7.6; narrow signature + LSH join) ==
+
+    // MinHash signatures → per-doc LSH band keys (char-trigram sets)
+    "d2_minhash_sig" -> ((s, dir) => {
+      val sig = t(s, dir, "documents").select(
+        col("doc_id"),
+        DedupOps.minhashSignature(DedupOps.charTrigrams(col("text"))).as("sig"))
+      sig.select(col("doc_id") +:
+        DedupOps.bandKeys(col("sig")).zipWithIndex
+          .map { case (k, i) => k.as(s"b$i") }: _*)
+    }),
+
+    // MinHash LSH candidate pairs (band bucket self-join)
+    "d2b_minhash_pairs" -> ((s, dir) =>
+      DedupOps.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // 60-bit SimHash fingerprints (tf-weighted, narrow one-pass)
+    "d3_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), DedupOps.simhash60(cleanTokens).as("simhash"))),
+
+    // n-gram Jaccard verification of MinHash-LSH candidate pairs —
+    // the scale pipeline: candidate generation is LSH-bounded (never
+    // O(n^2)); the exact intersect runs only on candidates. One
+    // array_intersect per pair: |A∪B| = |A|+|B|-|A∩B| with set sizes
+    // precomputed; staged projections keep Catalyst from inlining
+    // (and thus duplicating) the intersect.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = DedupOps
+        .minhashCandidatePairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+      val tg = docs
+        .select(col("doc_id"), DedupOps.charTrigrams(col("text")).as("tgs"))
+        .withColumn("ntg", size(col("tgs")))
+      cands
+        .join(tg.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(tg.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("a.tgs"), col("b.tgs"))).as("i"),
+          (col("a.ntg") + col("b.ntg")).as("st"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("st") - col("i"))).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+    }),
+
+    // embedding-cosine near-dup pairs via sign-LSH banding
+    "d5_embed_neardup" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+
+    // == similarity search over embeddings ==
+
+    // brute-force exact cosine top-5 for a broadcast query set
+    "s1_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // sign-LSH bucketed ANN top-3 (the scale path)
+    "s2_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -403,7 +479,79 @@ object SparkEntry {
          |    list_min(list_transform(range(1, len(toks) - 1),
          |      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
          |  ELSE NULL END AS min_shingle_fp
-         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin,
+    "t5_bpe_tokens" ->
+      "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe FROM documents",
+    "d2_minhash_sig" -> {
+      val cols = (0 until DetParams.MinhashBands).map(b => s"b$b").mkString(", ")
+      s"""${OracleSql.minhashKeysCte}
+         |SELECT doc_id, $cols FROM keys""".stripMargin
+    },
+    "d2b_minhash_pairs" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte},
+         |banded AS ($branches)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
+         |FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    },
+    "d3_simhash" ->
+      s"""WITH hsrc AS (SELECT doc_id,
+         |  list_transform($sqlToks, t -> ${OracleSql.hash60("t")}) AS hs FROM documents)
+         |SELECT doc_id, ${OracleSql.simhashFromHs} AS simhash FROM hsrc""".stripMargin,
+    "d4_ngram_jaccard" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte},
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |t AS (SELECT doc_id, tgs, len(tgs) AS ntg
+         |  FROM (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM documents)),
+         |p AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(a.tgs, b.tgs)) AS i, a.ntg + b.ntg AS st
+         |  FROM cand JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id),
+         |j AS (SELECT doc_a, doc_b, i / CAST(st - i AS DOUBLE) AS jac_raw FROM p)
+         |SELECT doc_a, doc_b, round(jac_raw, 6) AS jac FROM j
+         |WHERE jac_raw >= 0.6""".stripMargin
+    },
+    "d5_embed_neardup" ->
+      s"""WITH banded AS (SELECT vec_id, embedding,
+         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey FROM embeddings)
+         |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |  ${OracleSql.cos6("l.embedding", "r.embedding")} AS sim
+         |FROM banded l JOIN banded r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
+         |WHERE ${OracleSql.cos6("l.embedding", "r.embedding")} >= 0.45""".stripMargin,
+    "s1_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id,
+         |  ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id)
+         |SELECT q_id, vec_id, sim, rn FROM (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH qb AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
+         |  FROM embeddings WHERE vec_id < 10),
+         |cb AS (SELECT vec_id, embedding,
+         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey FROM embeddings),
+         |cand AS (SELECT DISTINCT q_id, q_emb, cb.vec_id, cb.embedding
+         |  FROM cb JOIN qb ON cb.bkey = qb.bkey AND cb.vec_id != qb.q_id),
+         |scored AS (SELECT q_id, vec_id,
+         |  ${OracleSql.cos6("q_emb", "embedding")} AS sim FROM cand)
+         |SELECT q_id, vec_id, sim, rn FROM (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin
   )
 }
 

@@ -20,7 +20,10 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce would collapse the
+        // whole upstream plan to one thread; repartition keeps the
+        // compute parallel and only funnels the (small) result.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>

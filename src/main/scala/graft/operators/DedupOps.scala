@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale text pipelines:
+  * exact hash-dedup, MinHash+LSH candidate generation, SimHash
+  * fingerprints, and n-gram Jaccard verification.
+  *
+  * Design for 100 TB: every per-document signature here is a *narrow*
+  * column expression (no shuffle, stays in one scan pass over the
+  * corpus); the only shuffles are the final candidate-pair joins,
+  * which are keyed on LSH band buckets so their fan-out is bounded by
+  * band size, never O(n^2). The verify stage (pairwise Jaccard) runs
+  * only on candidate pairs.
+  *
+  * All hashing routes through md5 prefixes so the DuckDB oracle can
+  * reproduce values exactly (Spark `conv(substr(md5 ..))` ==
+  * DuckDB `CAST('0x'||substr(md5 ..) AS BIGINT)`).
+  */
+object DedupOps {
+  import DetParams._
+
+  /** 32-bit base hash of a string column: first 8 md5 hex chars. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit hash of a string column: first 15 md5 hex chars (fits
+    * positive signed 64-bit in both Spark and DuckDB). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct character trigrams of a (lowercased) string column.
+    * Guarded for len < 3 (Spark's sequence(1,0) would step -1). */
+  def charTrigrams(c: Column): Column = {
+    val lc = lower(c)
+    array_distinct(
+      when(length(lc) >= 3,
+        transform(sequence(lit(1), length(lc) - 2),
+          i => substring(lc, i, lit(3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature (length [[DetParams.MinhashK]]) over a distinct
+    * shingle array: sig_i = min over shingles of (a_i*h32(s)+b_i) mod P.
+    * One md5 per shingle; K cheap affine maps over the hashed array. */
+  def minhashSignature(shingles: Column): Column = {
+    val hs = transform(shingles, s => md5Hash32(s))
+    array((0 until MinhashK).map { i =>
+      array_min(transform(hs,
+        h => pmod(h * minhashA(i) + minhashB(i), lit(MinhashP))))
+    }: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: md5 over the band index
+    * and its [[DetParams.MinhashRows]] signature slots. */
+  def bandKeys(sig: Column): Seq[Column] =
+    (0 until MinhashBands).map { b =>
+      val slots = (0 until MinhashRows).map(r =>
+        element_at(sig, b * MinhashRows + r + 1))
+      md5(concat_ws("_", lit(b) +: slots: _*))
+    }
+
+  /** 60-bit SimHash over a token array (duplicates = tf weighting):
+    * bit b of the fingerprint is set iff
+    * sum over tokens of (bit b of h60(token) ? +1 : -1) > 0.
+    * Pure narrow expression — no shuffle, one corpus pass. */
+  def simhash60(tokens: Column): Column = {
+    val hs = transform(tokens, t => md5Hash60(t))
+    val bits = (0 until 60).map { b =>
+      val bitsum = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitsum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).as("simhash")
+  }
+
+  /** Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  /** Candidate near-duplicate pairs via MinHash LSH: explode band
+    * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
+    * band buckets; with b bands the corpus is scanned once and
+    * shuffled b times its signature size (not its text size). */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = docs.select(
+      col(idCol),
+      minhashSignature(charTrigrams(col(textCol))).as("sig"))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bkey") === col("r.bkey") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators: exact cosine, sign-LSH sketches,
+  * brute-force and LSH-bucketed approximate nearest neighbors.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - the per-vector sketch is a narrow expression (one corpus pass);
+  *  - brute-force top-k broadcasts the (small) query set and never
+  *    shuffles the corpus — a BroadcastNestedLoopJoin feeding a
+  *    per-query top-k, which AQE executes as a bounded partial top-k
+  *    per partition before the final merge;
+  *  - the LSH path joins on band buckets, so candidate generation is
+  *    hash-partitioned and the expensive exact cosine runs only on
+  *    bucket collisions. Band bits should grow ~log2(n) with corpus
+  *    size to keep buckets bounded.
+  *
+  * All math is double-precision with a fixed left-to-right fold so
+  * the DuckDB oracle reproduces values bit-for-bit (then both sides
+  * round to 6 dp for hash comparison).
+  */
+object SimilarityOps {
+  import DetParams._
+
+  /** Double-precision dot product of two array<float/double> columns,
+    * left-to-right accumulation. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity (double). */
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Cosine rounded to 6 dp — the cross-system comparison contract. */
+  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Dot of an embedding column with a fixed hyperplane (literal). */
+  private def planeDot(emb: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(plane.toSeq), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-LSH band keys for an embedding column: [[DetParams.PlaneBandsCount]]
+    * keys, each a [[DetParams.PlaneBitsPerBand]]-char bit string from the
+    * signs of dots with fixed hyperplanes. */
+  def sketchBandKeys(emb: Column): Seq[Column] =
+    (0 until PlaneBandsCount).map { b =>
+      val bits = (0 until PlaneBitsPerBand).map { j =>
+        when(planeDot(emb, hyperplanes(b * PlaneBitsPerBand + j)) > 0,
+          lit("1")).otherwise(lit("0"))
+      }
+      concat(lit(b.toString + ":") +: bits: _*)
+    }
+
+  /** Exact brute-force top-k neighbors for a small query set.
+    * `queries` must be broadcastable; the corpus side never shuffles
+    * (broadcast nested-loop join + per-query top-k). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(embCol).as("q_emb")))
+    val scored = corpus.join(q, col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        cosine6(col("q_emb"), col(embCol)).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = vectors sharing at
+    * least one band key with the query, then exact cosine + top-k on
+    * the (bounded) candidate set. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(df: DataFrame, id: String, emb: String, key: String) =
+      df.select(col(id), col(emb),
+        explode(array(sketchBandKeys(col(emb)): _*)).as(key))
+    val qb = broadcast(banded(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+      "q_id", "q_emb", "q_bkey"))
+    val cb = banded(corpus, idCol, embCol, "bkey")
+    val cands = cb.join(qb,
+        col("bkey") === col("q_bkey") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col(idCol), col(embCol))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    cands.select(col("q_id"), col(idCol),
+        cosine6(col("q_emb"), col(embCol)).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Near-duplicate pairs by embedding cosine: sign-LSH banding for
+    * candidates, exact cosine filter at `threshold`. */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                            threshold: Double): DataFrame = {
+    val banded = corpus.select(col(idCol), col(embCol),
+      explode(array(sketchBandKeys(col(embCol)): _*)).as("bkey"))
+    banded.as("l").join(banded.as("r"),
+        col("l.bkey") === col("r.bkey") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("vec_a"), col(s"r.$idCol").as("vec_b"),
+        cosine6(col(s"l.$embCol"), col(s"r.$embCol")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}
