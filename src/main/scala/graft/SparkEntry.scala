@@ -316,9 +316,8 @@ object SparkEntry {
 
     // MinHash signatures → per-doc LSH band keys (char-trigram sets)
     "d2_minhash_sig" -> ((s, dir) => {
-      val sig = t(s, dir, "documents").select(
-        col("doc_id"),
-        DedupOps.minhashSignature(DedupOps.charTrigrams(col("text"))).as("sig"))
+      val sig = DedupOps.withMinhashSignature(
+        t(s, dir, "documents"), "doc_id", "text")
       sig.select(col("doc_id") +:
         DedupOps.bandKeys(col("sig")).zipWithIndex
           .map { case (k, i) => k.as(s"b$i") }: _*)
@@ -330,8 +329,7 @@ object SparkEntry {
 
     // 60-bit SimHash fingerprints (tf-weighted, narrow one-pass)
     "d3_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), DedupOps.simhash60(cleanTokens).as("simhash"))),
+      DedupOps.withSimhash(t(s, dir, "documents"), "doc_id", cleanTokens)),
 
     // n-gram Jaccard verification of MinHash-LSH candidate pairs —
     // the scale pipeline: candidate generation is LSH-bounded (never

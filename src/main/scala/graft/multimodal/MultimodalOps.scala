@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * payloads travel as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract / resize / frame-sample run as partition-
+  * local batch operators.
+  *
+  * Spark-side design (the part that must be right at 100 TB):
+  *  - media bytes NEVER pass through a shuffle: every media operator
+  *    is a narrow `mapPartitions` over the scan, and anything that
+  *    aggregates does so on extracted features (small), not payloads;
+  *  - rows are processed in bounded batches (`DecodeBatchSize`) so
+  *    peak memory = batch x frame-size regardless of partition size;
+  *  - operators carry explicit output schemas (no inference) so the
+  *    plan is stable for Catalyst;
+  *  - oversized payloads are routed to an error column, not thrown,
+  *    so one corrupt blob can't kill a 1000-executor stage.
+  *
+  * The actual codec calls are STUBBED (this container ships no
+  * image/audio libs): [[MediaCodec.decodeImage]] is a deterministic
+  * fake keyed on the payload bytes. The seams where a real libjpeg /
+  * ffmpeg binding would plug in are marked.
+  */
+object MultimodalOps {
+
+  /** Typed metadata accompanying every media payload. */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** A media table: metadata + opaque payload. */
+  val MediaSchema: StructType =
+    StructType(MediaMetaSchema.fields :+
+      StructField("payload", BinaryType))
+
+  /** Rows per decode batch — bounds peak decoder memory per task. */
+  val DecodeBatchSize = 32
+
+  final case class MediaRow(
+      media_id: Long, kind: String, mime: String,
+      width: Option[Int], height: Option[Int], duration_ms: Option[Long],
+      payload: Array[Byte])
+
+  final case class ImageFeature(
+      media_id: Long, ok: Boolean, error: String,
+      out_width: Int, out_height: Int, feature: Array[Float])
+
+  /** Deterministic synthetic media table (the container has no real
+    * media files); payload bytes are a seeded function of media_id so
+    * every stage is reproducible and testable. */
+  def syntheticMedia(spark: SparkSession, n: Int, partitions: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n.toLong, 1, partitions).map { id =>
+      val rnd = new scala.util.Random(id * 7919 + 17)
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      val payload = Array.fill[Byte](64 + rnd.nextInt(192))(rnd.nextInt().toByte)
+      MediaRow(id, kind, s"$kind/x-synthetic",
+        Some(32 + rnd.nextInt(96)), Some(32 + rnd.nextInt(96)),
+        if (kind == "image") None else Some(1000L + rnd.nextInt(9000)),
+        payload)
+    }
+  }
+
+  /** Image decode + resize + feature-extract as a partition-local
+    * batched operator. Narrow (no shuffle); bounded batches; errors
+    * captured per row. The codec call is the stub seam. */
+  def imageFeatures(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ImageFeature] = {
+    implicit val enc = Encoders.product[ImageFeature]
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        // real impl: hand `batch.map(_.payload)` to a vectorized codec
+        batch.map { r =>
+          MediaCodec.decodeImage(r.payload, outW, outH) match {
+            case Right(px) =>
+              ImageFeature(r.media_id, ok = true, error = null,
+                outW, outH, MediaCodec.pooledFeature(px, 8))
+            case Left(err) =>
+              ImageFeature(r.media_id, ok = false, error = err,
+                0, 0, Array.empty)
+          }
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `stepMs` timestamp becomes a
+    * (media_id, frame_ts_ms) row; the decode of each frame is again
+    * the stub seam. Narrow: one input row → few output rows, no
+    * payload duplication (frames reference the parent id). */
+  def sampleFrames(media: Dataset[MediaRow], stepMs: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video")
+      .flatMap { r =>
+        val dur = r.duration_ms.getOrElse(0L)
+        (0L until dur by stepMs).map(ts => (r.media_id, ts))
+      }
+      .toDF("media_id", "frame_ts_ms")
+  }
+
+  /** DataFrame-level wrapper matching [[MediaSchema]] for SQL users. */
+  def imageFeaturesDF(spark: SparkSession, media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    import spark.implicits._
+    imageFeatures(media.as[MediaRow], outW, outH).toDF()
+  }
+}
+
+/** The codec seam. Everything below is a clearly-marked deterministic
+  * FAKE standing in for libjpeg/ffmpeg bindings absent from this
+  * container; signatures and batch shapes are the real contract. */
+object MediaCodec {
+
+  /** Decode + resize an image payload to outW x outH grayscale pixels.
+    * Real impl: JNI/FFI into a codec. Fake: seeded pixels from the
+    * payload hash; payloads shorter than 64 bytes are "corrupt". */
+  def decodeImage(payload: Array[Byte], outW: Int, outH: Int): Either[String, Array[Float]] = {
+    if (payload == null || payload.length < 64) Left("corrupt: payload too short")
+    else {
+      val seed = java.util.Arrays.hashCode(payload).toLong
+      val rnd = new scala.util.Random(seed)
+      Right(Array.fill(outW * outH)(rnd.nextFloat()))
+    }
+  }
+
+  /** Average-pool a pixel grid down to an 8x8-ish feature vector. */
+  def pooledFeature(px: Array[Float], gridDim: Int): Array[Float] = {
+    val n = px.length
+    val cell = math.max(1, n / (gridDim * gridDim))
+    Array.tabulate(math.min(gridDim * gridDim, n)) { i =>
+      val from = i * cell
+      val until = math.min(from + cell, n)
+      var s = 0.0f
+      var j = from
+      while (j < until) { s += px(j); j += 1 }
+      s / (until - from)
+    }
+  }
+}

@@ -43,14 +43,31 @@ object DedupOps {
 
   /** MinHash signature (length [[DetParams.MinhashK]]) over a distinct
     * shingle array: sig_i = min over shingles of (a_i*h32(s)+b_i) mod P.
-    * One md5 per shingle; K cheap affine maps over the hashed array. */
+    *
+    * NOTE: as a single Column this embeds the md5-hashing subtree in
+    * every one of the K slots — Catalyst duplicates it K times. Use
+    * [[withMinhashSignature]] (staged projections) on any hot path so
+    * each shingle is md5-hashed exactly once. */
   def minhashSignature(shingles: Column): Column = {
     val hs = transform(shingles, s => md5Hash32(s))
+    minhashFromHashes(hs)
+  }
+
+  /** K affine-map minima over an already-hashed shingle array. */
+  def minhashFromHashes(hs: Column): Column =
     array((0 until MinhashK).map { i =>
       array_min(transform(hs,
         h => pmod(h * minhashA(i) + minhashB(i), lit(MinhashP))))
     }: _*)
-  }
+
+  /** (idCol, sig) with the expensive steps staged across separate
+    * projections: trigrams → md5 hashes → K minima. CollapseProject
+    * keeps multi-referenced non-trivial aliases materialized, so the
+    * md5 pass runs once per document instead of K times. */
+  def withMinhashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), charTrigrams(col(textCol)).as("__tgs"))
+      .select(col(idCol), transform(col("__tgs"), s => md5Hash32(s)).as("__hs"))
+      .select(col(idCol), minhashFromHashes(col("__hs")).as("sig"))
 
   /** LSH band keys from a MinHash signature: md5 over the band index
     * and its [[DetParams.MinhashRows]] signature slots. */
@@ -64,16 +81,31 @@ object DedupOps {
   /** 60-bit SimHash over a token array (duplicates = tf weighting):
     * bit b of the fingerprint is set iff
     * sum over tokens of (bit b of h60(token) ? +1 : -1) > 0.
-    * Pure narrow expression — no shuffle, one corpus pass. */
-  def simhash60(tokens: Column): Column = {
-    val hs = transform(tokens, t => md5Hash60(t))
+    * Pure narrow expression — no shuffle, one corpus pass.
+    *
+    * NOTE: as a single Column this embeds the token-hashing subtree in
+    * all 60 bit terms (Catalyst duplicates it 60x). Hot paths must use
+    * [[withSimhash]], which stages tokens → hashes → bits across
+    * projections so hashing runs once. */
+  def simhash60(tokens: Column): Column =
+    simhashFromHashes(transform(tokens, t => md5Hash60(t)))
+
+  /** The 60 bit terms over an already-hashed token array column. */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 60).map { b =>
       val bitsum = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
       when(bitsum > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _).as("simhash")
+    bits.reduce(_ + _)
   }
+
+  /** (idCol, simhash) with tokenization and hashing staged across
+    * projections so each runs once per document, not 60 times. */
+  def withSimhash(df: DataFrame, idCol: String, tokens: Column): DataFrame =
+    df.select(col(idCol), tokens.as("__toks"))
+      .select(col(idCol), transform(col("__toks"), t => md5Hash60(t)).as("__hs"))
+      .select(col(idCol), simhashFromHashes(col("__hs")).as("simhash"))
 
   /** Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -85,9 +117,7 @@ object DedupOps {
     * band buckets; with b bands the corpus is scanned once and
     * shuffled b times its signature size (not its text size). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = docs.select(
-      col(idCol),
-      minhashSignature(charTrigrams(col(textCol))).as("sig"))
+    val sig = withMinhashSignature(docs, idCol, textCol)
     val banded = sig.select(
       col(idCol),
       posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))

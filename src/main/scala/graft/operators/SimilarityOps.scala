@@ -56,17 +56,26 @@ object SimilarityOps {
       concat(lit(b.toString + ":") +: bits: _*)
     }
 
+  /** L2 norm of an embedding column (double). */
+  def l2norm(emb: Column): Column = sqrt(dotD(emb, emb))
+
   /** Exact brute-force top-k neighbors for a small query set.
     * `queries` must be broadcastable; the corpus side never shuffles
-    * (broadcast nested-loop join + per-query top-k). */
+    * (broadcast nested-loop join + per-query top-k). Norms are
+    * precomputed per vector (staged projections) so each pair costs
+    * one dot product, not three. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      embCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(
-      col(idCol).as("q_id"), col(embCol).as("q_emb")))
-    val scored = corpus.join(q, col(idCol) =!= col("q_id"))
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb"))))
+    val c = corpus.select(col(idCol), col(embCol))
+      .withColumn("c_nrm", l2norm(col(embCol)))
+    val scored = c.join(q, col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        cosine6(col("q_emb"), col(embCol)).as("sim"))
+        round(dotD(col("q_emb"), col(embCol)) /
+          (col("q_nrm") * col("c_nrm")), 6).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -78,21 +87,24 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def banded(df: DataFrame, id: String, emb: String, key: String) =
-      df.select(col(id), col(emb),
-        explode(array(sketchBandKeys(col(emb)): _*)).as(key))
+    def banded(df: DataFrame, id: String, emb: String, nrm: String, key: String) =
+      df.withColumn(nrm, l2norm(col(emb)))
+        .withColumn(key, explode(array(sketchBandKeys(col(emb)): _*)))
     val qb = broadcast(banded(
       queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
-      "q_id", "q_emb", "q_bkey"))
-    val cb = banded(corpus, idCol, embCol, "bkey")
+      "q_id", "q_emb", "q_nrm", "q_bkey"))
+    val cb = banded(corpus.select(col(idCol), col(embCol)),
+      idCol, embCol, "c_nrm", "bkey")
     val cands = cb.join(qb,
         col("bkey") === col("q_bkey") && col(idCol) =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col(idCol), col(embCol))
-      .distinct()
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col(idCol), col(embCol), col("c_nrm"))
+      .dropDuplicates("q_id", idCol)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(idCol))
     cands.select(col("q_id"), col(idCol),
-        cosine6(col("q_emb"), col(embCol)).as("sim"))
+        round(dotD(col("q_emb"), col(embCol)) /
+          (col("q_nrm") * col("c_nrm")), 6).as("sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
@@ -100,14 +112,18 @@ object SimilarityOps {
     * candidates, exact cosine filter at `threshold`. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                             threshold: Double): DataFrame = {
-    val banded = corpus.select(col(idCol), col(embCol),
-      explode(array(sketchBandKeys(col(embCol)): _*)).as("bkey"))
+    val banded = corpus.select(col(idCol), col(embCol))
+      .withColumn("nrm", l2norm(col(embCol)))
+      .withColumn("bkey", explode(array(sketchBandKeys(col(embCol)): _*)))
     banded.as("l").join(banded.as("r"),
         col("l.bkey") === col("r.bkey") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("vec_a"), col(s"r.$idCol").as("vec_b"),
-        cosine6(col(s"l.$embCol"), col(s"r.$embCol")).as("sim"))
-      .distinct()
+        col(s"l.$embCol").as("ea"), col(s"r.$embCol").as("eb"),
+        col("l.nrm").as("na"), col("r.nrm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b") // before the dot: band collisions
+      .select(col("vec_a"), col("vec_b"),
+        round(dotD(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.Row
+
+import graft.functions.TextOps
+import graft.ml.SentimentScorer
+
+/** The reference's streaming serving path re-expressed Spark-first
+  * (SURVEY.md §2a/2i): schema'd JSON envelope decode → clean/tokenize
+  * → null filter → 5-stage sentiment scoring → one of four sink
+  * modalities, with micro-batch semantics and checkpointing.
+  *
+  * The Kafka scan (`consumer_local.py:32-40`) is abstracted behind
+  * [[StreamPipeline.fromSource]]: any streaming DataFrame with a
+  * binary-or-string `value` column (Kafka's contract) plugs in — a
+  * kafka connector jar would drop in with zero engine change; tests
+  * and the in-repo demo use file/MemoryStream sources with the same
+  * downstream contract.
+  *
+  * Every transform is a narrow, stateless column expression: the whole
+  * pipeline is shuffle-free and needs no state store, so it scales
+  * linearly with source partitions (Kafka partition = Spark task).
+  */
+object StreamPipeline {
+
+  /** The producer's JSON envelope schema
+    * (`producer.py:39-42` / `consumer_local.py:29`). */
+  val EnvelopeSchema: StructType =
+    StructType(Seq(StructField("message", StringType)))
+
+  /** Envelope a raw text column into the producer's wire format
+    * (`producer.py:40-42`: comma scrub + JSON encode). */
+  def envelope(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(struct(TextOps.scrubCommas(text).as("message")))
+
+  /** Decode + clean + score. Input: streaming or batch DataFrame with
+    * a `value` column (binary or string). Output columns:
+    * `message`, `cleaned_data`, `prediction`, `created_at`.
+    *
+    * Implements the *intended* reference semantics (clean the decoded
+    * `message` field); `consumer_local.py:49` as-written cleans the
+    * raw envelope — see [[transformAsWritten]] and SURVEY.md §2g. */
+  def transform(df: DataFrame, scorer: SentimentScorer): DataFrame = {
+    val decoded = df
+      .select(col("value").cast("string").as("raw"))          // P1
+      .withColumn("value", from_json(col("raw"), EnvelopeSchema)) // P2/F2
+      .select(col("value.message").as("message"))
+      .na.drop()                                              // P3
+    scorer.scoreText(decoded, "message")                      // P4 + M1-M5
+      .withColumn("created_at",
+        date_format(current_timestamp(), "EEE MMM dd HH:mm:ss zzz yyyy"))
+      .select(col("message"), col("cleaned_data"),
+        col("prediction"), col("created_at"))
+  }
+
+  /** Strict as-written parity mode: the UDF input is the raw envelope
+    * string, so a constant "message" token prefixes every doc
+    * (`consumer_local.py:40,49`; SURVEY.md §2g discrepancy note). */
+  def transformAsWritten(df: DataFrame, scorer: SentimentScorer): DataFrame = {
+    val decoded = df
+      .select(col("value").cast("string").as("message"))
+      .na.drop()
+    scorer.scoreText(decoded, "message")
+      .select(col("message"), col("cleaned_data"), col("prediction"))
+  }
+
+  /** S4 console sink (`consumer.py:58-63`): update mode, no checkpoint. */
+  def toConsole(scored: DataFrame): DataStreamWriter[Row] =
+    scored.writeStream
+      .format("console")
+      .outputMode(OutputMode.Update())
+
+  /** S5 JSON-file sink (`consumer_local.py:59-66`): append mode with
+    * checkpoint — exactly-once via the `_spark_metadata` commit log. */
+  def toJsonFiles(scored: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    scored.writeStream
+      .format("json")
+      .outputMode(OutputMode.Append())
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+
+  /** S6/S7 foreachBatch sink (`consumer_mongo.py:10-13`,
+    * `consumer_delta.py:11-13`): per micro-batch batch-writer,
+    * at-least-once. The in-repo writer appends parquet partitioned by
+    * `batch_id`, making replays idempotent-by-inspection (the
+    * reference's mongo/delta appends are not): a restarted batch
+    * overwrites its own partition instead of duplicating rows. */
+  def toForeachBatchParquet(scored: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    scored.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+      }
+
+  /** File-based source twin of the Kafka scan: tails JSON envelope
+    * files from `dir`. Same downstream contract as S1 (a `value`
+    * column), so [[transform]] is source-agnostic. */
+  def fromJsonFileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir) // yields a single `value: string` column
+
+  /** Run the full pipeline from a source DataFrame to a started query
+    * with the default as-fast-as-possible micro-batch trigger
+    * (reference: default trigger, observed 6-11 s batches). */
+  def run(source: DataFrame, scorer: SentimentScorer,
+          sink: DataFrame => DataStreamWriter[Row],
+          trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    sink(transform(source, scorer)).trigger(trigger).start()
+}

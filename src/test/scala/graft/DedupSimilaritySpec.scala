@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, DetParams, SimilarityOps}
+
+/** Unit specs for the dedup/similarity operator family. */
+class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("charTrigrams: distinct, lowercased, short-string guard") {
+    import spark.implicits._
+    val got = Seq("ABABAB", "ab", "").toDF("text")
+      .select(DedupOps.charTrigrams(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("aba", "bab")) // distinct, first-occurrence order
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("minhash signature: order-invariant, equal for equal sets, length K") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "fox brown quick the").toDF("text")
+      .select(DedupOps.minhashSignature(
+        DedupOps.charTrigrams(col("text"))).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == DetParams.MinhashK)
+    // same trigram *set* would give same sig; these differ slightly but
+    // every slot must be a valid residue mod P
+    assert(sigs.flatten.forall(v => v >= 0 && v < DetParams.MinhashP))
+    val dup = Seq("identical text here", "identical text here").toDF("text")
+      .select(DedupOps.minhashSignature(
+        DedupOps.charTrigrams(col("text"))).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(dup(0) == dup(1))
+  }
+
+  test("minhash LSH: exact duplicates always collide in every band") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "completely identical document body"),
+      (2L, "completely identical document body"),
+      (3L, "something else entirely different")).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L &&
+      p._3 == DetParams.MinhashBands.toLong))
+  }
+
+  test("simhash: deterministic, identical inputs → identical fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("alpha", "beta", "gamma"),
+      Seq("alpha", "beta", "gamma"),
+      Seq("delta", "epsilon")).toDF("toks")
+      .select(DedupOps.simhash60(col("toks")).as("sh"))
+    val vals = df.collect().map(_.getLong(0))
+    assert(vals(0) == vals(1))
+    assert(vals(0) != vals(2))
+    assert(vals.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
+  test("jaccard: identical → 1.0, disjoint → 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d"))).toDF("x", "y")
+      .select(DedupOps.jaccard(col("x"), col("y")).as("j"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
+  }
+
+  test("cosine: exact on known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)),   // parallel
+      (Seq(3.0f, 4.0f), Seq(4.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, rank order") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = SimilarityOps.bruteForceTopK(
+      e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 4)
+    val rows = res.collect()
+    assert(rows.length == 12) // 3 queries x 4 neighbors
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)               // descending by rank
+      assert(!g.exists(r => r.getLong(1) == r.getLong(0))) // no self-match
+    }
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with same scores") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 3)
+    val bf = SimilarityOps.bruteForceTopK(e, qs, "vec_id", "embedding", 500)
+      .select("q_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SimilarityOps.lshTopK(e, qs, "vec_id", "embedding", 3).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key) && bf(key) == r.getDouble(2))
+    }
+  }
+}

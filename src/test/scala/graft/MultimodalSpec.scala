@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{MediaCodec, MultimodalOps}
+
+/** Multimodal plumbing: schema, partitioning, batching, error routing
+  * (decode itself is a deterministic stub — see MediaCodec). */
+class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private lazy val media = MultimodalOps.syntheticMedia(spark, 300, 8)
+
+  test("synthetic media table matches the declared schema and partitioning") {
+    assert(media.rdd.getNumPartitions == 8)
+    val kinds = media.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(kinds.values.sum == 300L)
+  }
+
+  test("imageFeatures: narrow plan (no shuffle), deterministic features") {
+    val feats = MultimodalOps.imageFeatures(media, 16, 16)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"media payloads must not shuffle:\n$plan")
+    val rows = feats.collect()
+    assert(rows.length == 100) // ids ≡ 0 mod 3
+    assert(rows.forall(_.ok))
+    assert(rows.forall(_.feature.length == 64))
+    // deterministic: same payload → same feature
+    val again = MultimodalOps.imageFeatures(media, 16, 16).collect()
+    assert(rows.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+  }
+
+  test("corrupt payloads are routed to the error column, not thrown") {
+    import spark.implicits._
+    val bad = Seq(
+      MultimodalOps.MediaRow(1L, "image", "image/x", None, None, None,
+        Array[Byte](1, 2, 3)), // < 64 bytes → corrupt
+      MultimodalOps.MediaRow(2L, "image", "image/x", None, None, None,
+        Array.fill[Byte](128)(7))).toDS()
+    val out = MultimodalOps.imageFeatures(bad, 8, 8).collect()
+      .sortBy(_.media_id)
+    assert(!out(0).ok && out(0).error.contains("corrupt"))
+    assert(out(1).ok && out(1).error == null)
+  }
+
+  test("frame sampling yields one row per step, no payload duplication") {
+    val frames = MultimodalOps.sampleFrames(media, 500L)
+    val perVideo = frames.groupBy(col("media_id")).count()
+    val joined = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("duration_ms"))
+      .join(perVideo, "media_id")
+    val mismatch = joined.filter(
+      col("count") =!= ceil(col("duration_ms") / 500.0)).count()
+    assert(mismatch == 0L)
+    assert(!frames.columns.contains("payload"))
+  }
+
+  test("codec stub: pooled feature has bounded grid size") {
+    val px = Array.fill(100)(0.5f)
+    val f = MediaCodec.pooledFeature(px, 8)
+    assert(f.length == 64)
+    assert(f.forall(v => math.abs(v - 0.5f) < 1e-6))
+  }
+}

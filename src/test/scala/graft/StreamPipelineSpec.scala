@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamPipeline
+
+/** Streaming-path tests (SURVEY.md §5.5): MemoryStream → full
+  * pipeline → memory/file sinks; checkpointed restart resume;
+  * foreachBatch idempotence. */
+class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val scorer = SparkEntry.scorer(spark)
+
+  private def envelope(s: String): String =
+    s"""{"message": "${s.replace("\"", "\\\"")}"}"""
+
+  test("memory source → transform → memory sink produces scored rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    input.addData(
+      envelope("I love this, it is a good day"),
+      envelope("this is terrible and sad"),
+      "not json at all")                       // malformed → null → dropped
+    val q = StreamPipeline
+      .transform(input.toDF().select(col("value")), scorer)
+      .writeStream.format("memory").queryName("scored_mem")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("scored_mem")
+      .select("message", "prediction").collect()
+    assert(rows.length == 2) // malformed row dropped by na.drop
+    val byMsg = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byMsg.keySet == Set(
+      "I love this, it is a good day", "this is terrible and sad"))
+    assert(byMsg.values.forall(p => p == 0.0 || p == 1.0))
+  }
+
+  test("as-written mode prefixes the constant 'message' token (SURVEY §2g)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    input.addData(envelope("hello world"))
+    val q = StreamPipeline
+      .transformAsWritten(input.toDF().select(col("value")), scorer)
+      .writeStream.format("memory").queryName("aswritten_mem")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val toks = spark.table("aswritten_mem")
+      .select("cleaned_data").head().getSeq[String](0)
+    assert(toks.head == "message")
+    assert(toks.containsSlice(Seq("hello", "world")))
+  }
+
+  test("json file sink with checkpoint: restart does not duplicate (S5 exactly-once)") {
+    val srcDir = tmp("stream_src")
+    val outDir = tmp("stream_out")
+    val ckDir = tmp("stream_ck")
+    Files.writeString(
+      java.nio.file.Paths.get(srcDir, "batch0.txt"),
+      Seq("a good day", "bad terrible thing").map(envelope).mkString("\n"))
+
+    def runOnce(): Unit = {
+      val q = StreamPipeline.toJsonFiles(
+        StreamPipeline.transform(
+          StreamPipeline.fromJsonFileSource(spark, srcDir), scorer),
+        outDir, ckDir).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.json(outDir).count()
+    runOnce() // restart from checkpoint — no new data, no duplicates
+    val n2 = spark.read.json(outDir).count()
+    assert(n1 == 2L && n2 == 2L)
+  }
+
+  test("foreachBatch parquet sink partitions by batch_id (S6/S7 stand-in)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmp("febatch_out")
+    val ckDir = tmp("febatch_ck")
+    val input = MemoryStream[String]
+    input.addData(envelope("first wave of text"))
+    val q = StreamPipeline.toForeachBatchParquet(
+      StreamPipeline.transform(input.toDF().select(col("value")), scorer),
+      outDir, ckDir).start()
+    q.processAllAvailable()
+    input.addData(envelope("second wave arrives"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.select("batch_id").distinct().count() == 2L)
+    assert(out.count() == 2L)
+  }
+}
