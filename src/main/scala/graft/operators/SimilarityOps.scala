@@ -25,8 +25,16 @@ object SimilarityOps {
   import DetParams._
 
   /** Double-precision dot product of two array<float/double> columns,
-    * left-to-right accumulation. */
+    * left-to-right accumulation — the codegen'd custom expression
+    * ([[graft.plans.VectorDotProduct]]). Bit-identical to [[dotHof]]. */
   def dotD(a: Column, b: Column): Column =
+    graft.plans.VectorDotProduct.dot(a, b)
+
+  /** The same dot product spelled with built-in higher-order
+    * functions (interpreted). Kept as the cross-check oracle for the
+    * codegen expression and for environments that reject custom
+    * expressions. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
