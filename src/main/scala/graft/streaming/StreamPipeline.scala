@@ -114,4 +114,28 @@ object StreamPipeline {
           sink: DataFrame => DataStreamWriter[Row],
           trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     sink(transform(source, scorer)).trigger(trigger).start()
+
+  // ---- stateful extensions (SURVEY.md §2i: the reference is fully
+  // stateless; these are the watermark/window/dedup operators a
+  // large-scale streaming pipeline adds on top) -----------------------
+
+  /** Event-time tumbling-window counts with a watermark — the
+    * streaming twin of batch query q5. State size is bounded by the
+    * watermark horizon; keys partition the state store, so the
+    * aggregation scales with executors, not stream length. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col(keyCol), col("n"))
+
+  /** Streaming exact dedup with bounded state: duplicates of `idCol`
+    * arriving within the watermark horizon are dropped; state for
+    * ids older than the watermark is evicted. The streaming twin of
+    * batch d1_exact_dedup at unbounded-stream scale. */
+  def dedupWithinWatermark(df: DataFrame, idCol: String, tsCol: String,
+                           watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
 }
