@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextOps
 import graft.ml.{ModelLoader, SentimentModel, SentimentScorer}
-import graft.operators.{DedupOps, DetParams, SimilarityOps}
+import graft.operators.{CorpusOps, DedupOps, DetParams, SimilarityOps}
 
 /** Driver contract — flagship entry, per-operator query inventory, and
   * the DuckDB oracle SQL for each SQL-expressible query.
@@ -243,6 +243,41 @@ object SparkEntry {
         .limit(10)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // distinct aggregate (two-phase: partial distinct then merge)
+    "q11_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))),
+
+    // hierarchical rollup (grouping-set expansion)
+    "q12_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))),
+
+    // as-of join: each click matched to the user's most recent
+    // purchase at-or-before it (window partitioned by user — scales
+    // with users, state bounded per partition)
+    "q13_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_purchase_id",
+          last(when(col("tag") === 0, col("event_id")), ignoreNulls = true)
+            .over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("last_purchase_id"))
+    }),
+
     // == LLM-data-pipeline operators (SURVEY.md §7.6) ==
 
     // exact dedup via hash groupBy (keeper = min doc_id)
@@ -376,7 +411,20 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
-    })
+    }),
+
+    // IVF-bucketed ANN top-3 (coarse quantizer + probed cells)
+    "s3_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        numCentroids = 16, probes = 2, k = 3)
+    }),
+
+    // corpus vocabulary + idf (training-side CountVectorizer/IDF twin)
+    "m6_vocab" -> ((s, dir) =>
+      CorpusOps.vocabularyWithIdf(
+        t(s, dir, "documents"), "doc_id", cleanTokens, limit = 500))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -447,6 +495,24 @@ object SparkEntry {
     "q10_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q13_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id AS click_id, user_id, last_purchase_id FROM (
+        |  SELECT event_id, user_id, tag,
+        |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_purchase_id
+        |  FROM ev) WHERE tag = 1""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n_dups FROM documents GROUP BY text",
     "t1_token_stats" ->
@@ -549,7 +615,36 @@ object SparkEntry {
          |  SELECT q_id, vec_id, sim,
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
-         |WHERE rn <= 3""".stripMargin
+         |WHERE rn <= 3""".stripMargin,
+    "s3_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |qc AS (SELECT q_id, q_emb, cell FROM (
+         |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT q_id, q_emb, a.vec_id, a.embedding
+         |  FROM qc JOIN asg a ON qc.cell = a.cell AND a.vec_id != qc.q_id),
+         |scored AS (SELECT q_id, vec_id, ${OracleSql.cos6("q_emb", "embedding")} AS sim FROM cand)
+         |SELECT q_id, vec_id, sim, rn FROM (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
+    "m6_vocab" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term FROM documents),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |d AS (SELECT term, count(*) AS df FROM tk GROUP BY term)
+         |SELECT term, df, idf FROM (
+         |  SELECT term, df,
+         |    round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6) AS idf,
+         |    row_number() OVER (ORDER BY df DESC, term) AS rn
+         |  FROM d CROSS JOIN n) WHERE rn <= 500""".stripMargin
   )
 }
 

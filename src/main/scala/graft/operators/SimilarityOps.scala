@@ -116,6 +116,55 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF-style approximate nearest neighbors: a deterministic coarse
+    * quantizer (the first `numCentroids` corpus vectors), one
+    * assignment pass (n x C dots, C fixed — linear in corpus size),
+    * then exact search over the `probes` nearest cells only.
+    *
+    * Scale shape: centroids broadcast; assignment is narrow; the
+    * probe join is hash-partitioned on cell id, so search cost is
+    * (cells probed / total cells) of the corpus per query. Real
+    * deployments would learn centroids with k-means — the quantizer
+    * here is deterministic by construction so results are exactly
+    * reproducible (and DuckDB-oracle-checkable). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, numCentroids: Int, probes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .withColumn("c_nrm", l2norm(col("c_emb"))))
+
+    def cellsFor(df: DataFrame, id: String, emb: String, nrm: String, keep: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("c_id"))
+      df.withColumn(nrm, l2norm(col(emb)))
+        .join(cents)
+        .select(col(id), col(emb), col(nrm), col("c_id"),
+          round(dotD(col(emb), col("c_emb")) /
+            (col(nrm) * col("c_nrm")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .select(col(id), col(emb), col(nrm), col("c_id"))
+    }
+
+    val assigned = cellsFor(corpus.select(col(idCol), col(embCol)),
+      idCol, embCol, "c_vnrm", keep = 1)
+      .withColumnRenamed("c_id", "cell")
+    val qcells = broadcast(cellsFor(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+      "q_id", "q_emb", "q_nrm", keep = probes)
+      .withColumnRenamed("c_id", "q_cell"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    assigned.join(qcells,
+        col("cell") === col("q_cell") && col(idCol) =!= col("q_id"))
+      .dropDuplicates("q_id", idCol)
+      .select(col("q_id"), col(idCol),
+        round(dotD(col("q_emb"), col(embCol)) /
+          (col("q_nrm") * col("c_vnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Near-duplicate pairs by embedding cosine: sign-LSH banding for
     * candidates, exact cosine filter at `threshold`. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
