@@ -366,6 +366,11 @@ object SparkEntry {
     "d3_simhash" -> ((s, dir) =>
       DedupOps.withSimhash(t(s, dir, "documents"), "doc_id", cleanTokens)),
 
+    // SimHash hamming-distance pairs via 4x15-bit pigeonhole banding
+    "d3b_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashHammingPairs(
+        t(s, dir, "documents"), "doc_id", cleanTokens, maxHamming = 3)),
+
     // n-gram Jaccard verification of MinHash-LSH candidate pairs —
     // the scale pipeline: candidate generation is LSH-bounded (never
     // O(n^2)); the exact intersect runs only on candidates. One
@@ -424,7 +429,12 @@ object SparkEntry {
     // corpus vocabulary + idf (training-side CountVectorizer/IDF twin)
     "m6_vocab" -> ((s, dir) =>
       CorpusOps.vocabularyWithIdf(
-        t(s, dir, "documents"), "doc_id", cleanTokens, limit = 500))
+        t(s, dir, "documents"), "doc_id", cleanTokens, limit = 500)),
+
+    // winnowing rolling-hash fingerprint (min of 8-char window hashes)
+    "t6_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), DedupOps.rollingFingerprint(col("text")).as("roll_fp")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -566,6 +576,21 @@ object SparkEntry {
       s"""WITH hsrc AS (SELECT doc_id,
          |  list_transform($sqlToks, t -> ${OracleSql.hash60("t")}) AS hs FROM documents)
          |SELECT doc_id, ${OracleSql.simhashFromHs} AS simhash FROM hsrc""".stripMargin,
+    "d3b_simhash_pairs" -> {
+      val chunks = (0 until 4)
+        .map(c => s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${15 * c}) & 32767 AS chunk_val FROM sh")
+        .mkString(" UNION ALL ")
+      s"""WITH hsrc AS (SELECT doc_id,
+         |  list_transform($sqlToks, t -> ${OracleSql.hash60("t")}) AS hs FROM documents),
+         |sh AS (SELECT doc_id, ${OracleSql.simhashFromHs} AS simhash FROM hsrc),
+         |chunks AS ($chunks),
+         |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |    l.simhash AS sh_a, r.simhash AS sh_b
+         |  FROM chunks l JOIN chunks r ON l.chunk_idx = r.chunk_idx
+         |    AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+    },
     "d4_ngram_jaccard" -> {
       val branches = (0 until DetParams.MinhashBands)
         .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
@@ -644,7 +669,14 @@ object SparkEntry {
          |  SELECT term, df,
          |    round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6) AS idf,
          |    row_number() OVER (ORDER BY df DESC, term) AS rn
-         |  FROM d CROSS JOIN n) WHERE rn <= 500""".stripMargin
+         |  FROM d CROSS JOIN n) WHERE rn <= 500""".stripMargin,
+    "t6_rolling_fp" ->
+      """SELECT doc_id, CASE WHEN len(text) >= 8 THEN
+        |  list_min(list_transform(range(1, len(text)-6), i ->
+        |    list_reduce(list_transform(range(0,8), j ->
+        |      CAST(ord(substr(text, CAST(i+j AS INT), 1)) AS BIGINT)),
+        |      (a,b) -> (a*257 + b) % 1000000007)))
+        |  ELSE NULL END AS roll_fp FROM documents""".stripMargin
   )
 }
 

@@ -107,6 +107,50 @@ object DedupOps {
       .select(col(idCol), transform(col("__toks"), t => md5Hash60(t)).as("__hs"))
       .select(col(idCol), simhashFromHashes(col("__hs")).as("simhash"))
 
+  /** Near-duplicate candidate pairs by SimHash hamming distance.
+    * Pigeonhole banding: a 60-bit fingerprint splits into 4 chunks of
+    * 15 bits; hamming(a,b) <= 3 implies at least one identical chunk,
+    * so the self-join on (chunk_idx, chunk_val) finds every such pair
+    * without O(n^2) comparisons; bit_count(xor) then verifies exactly.
+    * Same scale shape as MinHash LSH: narrow signature pass + bounded
+    * bucket join. */
+  def simhashHammingPairs(docs: DataFrame, idCol: String, tokens: Column,
+                          maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding guarantees recall only to hamming 3")
+    val sig = withSimhash(docs, idCol, tokens)
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("simhash"), 15 * c).bitwiseAND(lit(0x7fffL))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    banded.as("l").join(banded.as("r"),
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+        col("l.chunk_val") === col("r.chunk_val") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Winnowing-style rolling-hash fingerprint: minimum over all
+    * 8-char windows of the polynomial hash
+    * h(w) = sum w[j]*B^(7-j) mod P (B=257, P=1e9+7), computed as a
+    * left fold. Narrow one-pass expression; null for texts shorter
+    * than the window. */
+  def rollingFingerprint(text: Column): Column = {
+    val B = 257L
+    val P = 1000000007L
+    when(length(text) >= 8,
+      array_min(transform(sequence(lit(1), length(text) - 7), i =>
+        aggregate(
+          transform(sequence(lit(0), lit(7)),
+            j => ascii(substring(text, i + j, lit(1))).cast("long")),
+          lit(0L), (acc, x) => pmod(acc * B + x, lit(P))))))
+      .otherwise(lit(null).cast("long"))
+  }
+
   /** Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

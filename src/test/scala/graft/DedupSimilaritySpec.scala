@@ -59,6 +59,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
     assert(vals.forall(v => v >= 0 && v < (1L << 60)))
   }
 
+  test("simhash hamming pairs: exact dup → hamming 0; disjoint text absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("alpha", "beta", "gamma", "delta")),
+      (3L, Seq("umber", "violet", "wisteria"))).toDF("doc_id", "toks")
+    val pairs = DedupOps.simhashHammingPairs(docs, "doc_id", col("toks"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("rolling fingerprint: deterministic, shift-invariant min, short-text null") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps",
+      "XX the quick brown fox jumps", // superset of windows → min <= first's
+      "short").toDF("text")
+      .select(DedupOps.rollingFingerprint(col("text")).as("fp"))
+    val rows = df.collect()
+    val fp0 = rows(0).getLong(0)
+    val fp1 = rows(1).getLong(0)
+    assert(fp1 <= fp0) // extra windows can only lower the min
+    assert(rows(2).isNullAt(0))
+    // reference value computed by hand fold for one window ("the quic")
+    val w = "the quic".map(_.toLong)
+    val href = w.foldLeft(0L)((a, c) => (a * 257 + c) % 1000000007L)
+    assert(fp0 <= href)
+  }
+
   test("jaccard: identical → 1.0, disjoint → 0.0") {
     import spark.implicits._
     val df = Seq(
