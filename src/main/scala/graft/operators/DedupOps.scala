@@ -136,10 +136,18 @@ object DedupOps {
 
   /** Winnowing-style rolling-hash fingerprint: minimum over all
     * 8-char windows of the polynomial hash
-    * h(w) = sum w[j]*B^(7-j) mod P (B=257, P=1e9+7), computed as a
-    * left fold. Narrow one-pass expression; null for texts shorter
-    * than the window. */
-  def rollingFingerprint(text: Column): Column = {
+    * h(w) = sum w[j]*B^(7-j) mod P (B=257, P=1e9+7). Narrow one-pass;
+    * null for texts shorter than the window. Routed through the
+    * codegen'd O(len) rolling expression
+    * ([[graft.plans.RollingHashMin]]); [[rollingFingerprintHof]] is
+    * the value-identical built-in spelling kept as its oracle. */
+  def rollingFingerprint(text: Column): Column =
+    graft.plans.RollingHashMin(text)
+
+  /** The same fingerprint via built-in higher-order functions
+    * (O(window*len), interpreted) — cross-check oracle for the
+    * codegen expression. */
+  def rollingFingerprintHof(text: Column): Column = {
     val B = 257L
     val P = 1000000007L
     when(length(text) >= 8,

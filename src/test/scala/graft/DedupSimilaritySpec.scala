@@ -70,6 +70,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("rolling fingerprint codegen == HOF spelling on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        DedupOps.rollingFingerprint(col("text")).as("fast"),
+        DedupOps.rollingFingerprintHof(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0L)
+  }
+
   test("rolling fingerprint: deterministic, shift-invariant min, short-text null") {
     import spark.implicits._
     val df = Seq(
