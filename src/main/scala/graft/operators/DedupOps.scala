@@ -63,10 +63,12 @@ object DedupOps {
   /** (idCol, sig) with the expensive steps staged across separate
     * projections: trigrams → md5 hashes → K minima. CollapseProject
     * keeps multi-referenced non-trivial aliases materialized, so the
-    * md5 pass runs once per document instead of K times. */
+    * md5 pass runs once per document instead of K times; the hashing
+    * itself is the codegen'd [[graft.plans.Md5Hash32Array]]
+    * (value-identical to the per-element [[md5Hash32]] spelling). */
   def withMinhashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), charTrigrams(col(textCol)).as("__tgs"))
-      .select(col(idCol), transform(col("__tgs"), s => md5Hash32(s)).as("__hs"))
+      .select(col(idCol), graft.plans.Md5Hash32Array(col("__tgs")).as("__hs"))
       .select(col(idCol), minhashFromHashes(col("__hs")).as("sig"))
 
   /** LSH band keys from a MinHash signature: md5 over the band index
