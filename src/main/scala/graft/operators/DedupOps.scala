@@ -175,6 +175,11 @@ object DedupOps {
     val banded = sig.select(
       col(idCol),
       posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
+      // shuffle-hash, not broadcast: both sides of the self-join then
+      // shuffle the SAME child plan on the same keys, so Spark's
+      // ReusedExchange computes the signature pass once instead of
+      // once per side (a broadcast build would re-derive it).
+      .hint("shuffle_hash")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.bkey") === col("r.bkey") &&
