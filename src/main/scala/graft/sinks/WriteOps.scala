@@ -1,0 +1,34 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Batch write-side hygiene for corpus-scale outputs. At 100 TB the
+  * write layout IS the read performance of every downstream job:
+  *  - partition directories on the columns downstream filters prune on
+  *    (partition pruning turns a full scan into a directory lookup);
+  *  - sort within partitions on the columns downstream joins/groups
+  *    key on (parquet min/max row-group stats then skip pages);
+  *  - bound file sizes so a skewed partition writes many parallel
+  *    files instead of one task-killing giant.
+  */
+object WriteOps {
+
+  /** Write parquet partitioned by `partitionCols`, rows sorted within
+    * each output task by `sortCols`, at most `maxRecordsPerFile` rows
+    * per file. `repartition(partitionCols)` first, so each partition
+    * directory is produced by one task group (no N-files-per-task
+    * explosion when many input tasks each hold a sliver of every
+    * partition). */
+  def partitionedSorted(df: DataFrame, path: String,
+                        partitionCols: Seq[String], sortCols: Seq[String],
+                        maxRecordsPerFile: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}
