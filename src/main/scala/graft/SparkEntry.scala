@@ -258,6 +258,14 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))),
 
+    // exact grouped percentiles (sort-based, linear interpolation)
+    "q14_percentile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
     // as-of join: each click matched to the user's most recent
     // purchase at-or-before it (window partitioned by user — scales
     // with users, state bounded per partition)
@@ -512,6 +520,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q14_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
     "q13_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, ts,
         |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
