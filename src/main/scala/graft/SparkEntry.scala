@@ -385,25 +385,9 @@ object SparkEntry {
     // array_intersect per pair: |A∪B| = |A|+|B|-|A∩B| with set sizes
     // precomputed; staged projections keep Catalyst from inlining
     // (and thus duplicating) the intersect.
-    "d4_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cands = DedupOps
-        .minhashCandidatePairs(docs, "doc_id", "text")
-        .select(col("doc_a"), col("doc_b"))
-      val tg = docs
-        .select(col("doc_id"), DedupOps.charTrigrams(col("text")).as("tgs"))
-        .withColumn("ntg", size(col("tgs")))
-      cands
-        .join(tg.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(tg.as("b"), col("doc_b") === col("b.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("a.tgs"), col("b.tgs"))).as("i"),
-          (col("a.ntg") + col("b.ntg")).as("st"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("i").cast("double") / (col("st") - col("i"))).as("jac_raw"))
-        .filter(col("jac_raw") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
-    }),
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.nearDuplicatePairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.6)),
 
     // embedding-cosine near-dup pairs via sign-LSH banding
     "d5_embed_neardup" -> ((s, dir) =>

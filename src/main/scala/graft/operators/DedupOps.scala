@@ -166,6 +166,44 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b))
 
+  /** Full near-duplicate pipeline: MinHash-LSH candidate pairs →
+    * exact trigram-Jaccard verify at `threshold`. The trigram table is
+    * persisted for the duration of the query because three branches
+    * consume it (signature derivation + both verify-join sides) and
+    * Spark recomputes un-materialized lineage per branch; it is a few
+    * bytes per document (arrays of 3-char shingles), so storage is
+    * negligible next to the recompute it saves. */
+  def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    val tg = docs
+      .select(col(idCol), charTrigrams(col(textCol)).as("tgs"))
+      .withColumn("ntg", size(col("tgs")))
+      .persist()
+    val sig = tg
+      .select(col(idCol), graft.plans.Md5Hash32Array(col("tgs")).as("__hs"))
+      .select(col(idCol), minhashFromHashes(col("__hs")).as("sig"))
+    val banded = sig.select(
+        col(idCol),
+        posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
+      .hint("shuffle_hash")
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bkey") === col("r.bkey") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+    cands
+      .join(tg.as("a"), col("doc_a") === col(s"a.$idCol"))
+      .join(tg.as("b"), col("doc_b") === col(s"b.$idCol"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a.tgs"), col("b.tgs"))).as("i"),
+        (col("a.ntg") + col("b.ntg")).as("st"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("st") - col("i"))).as("jac_raw"))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
     * band buckets; with b bands the corpus is scanned once and
