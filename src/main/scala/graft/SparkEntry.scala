@@ -96,12 +96,14 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
 
-    // P3: null-dropping filter (dropna)
+    // P3: null-dropping filter (dropna) — pinned to the computed
+    // column so the predicate matches the oracle's `et IS NOT NULL`
+    // exactly (a bare .na.drop() would also drop on event_id nulls).
     "p3_null_filter" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
           nullif(col("event_type"), lit("click")).as("et"))
-        .na.drop()),
+        .na.drop(Seq("et"))),
 
     // P4/F3-F6: clean + tokenize chain (pure built-ins, codegen'd)
     "p4_clean_tokenize" -> ((s, dir) =>

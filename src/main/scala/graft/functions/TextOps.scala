@@ -46,12 +46,12 @@ object TextOps {
     englishStopWords.map(_.toLowerCase(java.util.Locale.UK)).toSet
 
   /** Case-insensitive stop-word filter over an Array[String] column.
-    * Built-ins only: the stop set folds into the plan as an
-    * `array_contains(lit(...))` — no shuffle, no UDF. */
-  def removeStopWords(tokens: Column): Column = {
-    val stopArr = array(stopWordsLower.toSeq.sorted.map(lit): _*)
-    filter(tokens, t => !array_contains(stopArr, lower(t)))
-  }
+    * Built-ins only, no shuffle, no UDF: `isInCollection` plants an
+    * `In` that the optimizer rewrites to `InSet` (hash-set membership,
+    * O(1) per token) — vs the O(|stoplist|) linear scan an
+    * `array_contains(lit(...))` spelling would do per token. */
+  def removeStopWords(tokens: Column): Column =
+    filter(tokens, t => !lower(t).isInCollection(stopWordsLower.toSeq.sorted))
 
   /** Comma scrub (producer.py:40 `text.replace(',', '')`). */
   def scrubCommas(c: Column): Column = regexp_replace(c, ",", "")

@@ -99,10 +99,11 @@ final class SentimentScorer(bc: Broadcast[SentimentModel]) extends Serializable 
     if (words == null) null else java.lang.Double.valueOf(bc.value.margin(words))
   }
 
-  /** M1 stop-word filter as a pure built-in expression. */
+  /** M1 stop-word filter as a pure built-in expression (`isInCollection`
+    * → optimizer-rewritten `InSet`: O(1) hash-set probe per token). */
   def removeStopWords(tokens: Column): Column = {
-    val stopArr = array(bc.value.stopWords.map(w => lit(w.toLowerCase)).toSeq: _*)
-    filter(tokens, t => !array_contains(stopArr, lower(t)))
+    val stopSet = bc.value.stopWords.map(_.toLowerCase).distinct.toSeq.sorted
+    filter(tokens, t => !lower(t).isInCollection(stopSet))
   }
 
   /** tokens (pre-stop-word-removal) → prediction. */

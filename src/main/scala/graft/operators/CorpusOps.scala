@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text statistics — the training-side aggregations the
@@ -17,9 +16,11 @@ object CorpusOps {
     * (`ln((N+1)/(df+1))`, Spark ML IDF formula), top `limit` terms by
     * (df desc, term) with a deterministic rank cutoff.
     *
-    * The global rank window is fine while the kept vocabulary fits one
-    * partition (it is `limit`-bounded); the df aggregation itself is
-    * fully distributed. */
+    * The cutoff is `orderBy(...).limit(limit)`, which Spark executes as
+    * `TakeOrderedAndProject` — per-partition partial top-k merged on
+    * the driver — so the unbounded distinct-term set never funnels
+    * through a single-partition sort (a corpus-scale vocabulary is
+    * millions of terms; only `limit` rows ever leave the executors). */
   def vocabularyWithIdf(docs: DataFrame, idCol: String, tokens: Column,
                         limit: Int): DataFrame = {
     val total = broadcast(docs.agg(count(lit(1)).as("nd")))
@@ -30,9 +31,7 @@ object CorpusOps {
       .select(col("term"), col("df"),
         round(log((col("nd") + 1).cast("double") / (col("df") + 1)), 6)
           .as("idf"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("df").desc, col("term"))))
-      .filter(col("rn") <= limit)
-      .drop("rn")
+      .orderBy(col("df").desc, col("term"))
+      .limit(limit)
   }
 }

@@ -124,6 +124,10 @@ object DedupOps {
       posexplode(array((0 until 4).map { c =>
         shiftright(col("simhash"), 15 * c).bitwiseAND(lit(0x7fffL))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      // shuffle-hash, not broadcast: both self-join sides then shuffle
+      // the SAME child on the same keys and ReusedExchange computes the
+      // simhash signature pass once (mirrors minhashCandidatePairs).
+      .hint("shuffle_hash")
     banded.as("l").join(banded.as("r"),
         col("l.chunk_idx") === col("r.chunk_idx") &&
         col("l.chunk_val") === col("r.chunk_val") &&

@@ -18,12 +18,24 @@ object WriteOps {
     * per file. `repartition(partitionCols)` first, so each partition
     * directory is produced by one task group (no N-files-per-task
     * explosion when many input tasks each hold a sliver of every
-    * partition). */
+    * partition).
+    *
+    * `tasksPerPartition > 1` adds a salt to the repartition keys so a
+    * hot partition value is written by that many parallel tasks instead
+    * of serializing through a single writer (`repartition(partitionCols)`
+    * alone hashes each partition value to exactly one task;
+    * `maxRecordsPerFile` only splits files *sequentially* within it). */
   def partitionedSorted(df: DataFrame, path: String,
                         partitionCols: Seq[String], sortCols: Seq[String],
-                        maxRecordsPerFile: Long): Unit = {
-    import org.apache.spark.sql.functions.col
-    df.repartition(partitionCols.map(col): _*)
+                        maxRecordsPerFile: Long,
+                        tasksPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val keyed =
+      if (tasksPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(
+        (partitionCols.map(col) :+
+          pmod(hash(sortCols.map(col): _*), lit(tasksPerPartition))): _*)
+    keyed
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write
       .mode("overwrite")
