@@ -53,7 +53,10 @@ object DedupOps {
     minhashFromHashes(hs)
   }
 
-  /** K affine-map minima over an already-hashed shingle array. */
+  /** K affine-map minima over an already-hashed shingle array —
+    * built-in HOF spelling (K interpreted `array_min(transform(...))`
+    * passes). Kept as the value-parity oracle for the codegen
+    * [[graft.plans.MinHashSignature]]; hot paths use the latter. */
   def minhashFromHashes(hs: Column): Column =
     array((0 until MinhashK).map { i =>
       array_min(transform(hs,
@@ -63,13 +66,14 @@ object DedupOps {
   /** (idCol, sig) with the expensive steps staged across separate
     * projections: trigrams → md5 hashes → K minima. CollapseProject
     * keeps multi-referenced non-trivial aliases materialized, so the
-    * md5 pass runs once per document instead of K times; the hashing
-    * itself is the codegen'd [[graft.plans.Md5Hash32Array]]
-    * (value-identical to the per-element [[md5Hash32]] spelling). */
+    * md5 pass runs once per document; both hashing and signature are
+    * one-primitive-loop codegen expressions
+    * ([[graft.plans.Md5Hash32Array]], [[graft.plans.MinHashSignature]])
+    * value-identical to their built-in spellings. */
   def withMinhashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), charTrigrams(col(textCol)).as("__tgs"))
       .select(col(idCol), graft.plans.Md5Hash32Array(col("__tgs")).as("__hs"))
-      .select(col(idCol), minhashFromHashes(col("__hs")).as("sig"))
+      .select(col(idCol), graft.plans.MinHashSignature(col("__hs")).as("sig"))
 
   /** LSH band keys from a MinHash signature: md5 over the band index
     * and its [[DetParams.MinhashRows]] signature slots. */
@@ -92,7 +96,10 @@ object DedupOps {
   def simhash60(tokens: Column): Column =
     simhashFromHashes(transform(tokens, t => md5Hash60(t)))
 
-  /** The 60 bit terms over an already-hashed token array column. */
+  /** The 60 bit terms over an already-hashed token array column —
+    * built-in HOF spelling (60 interpreted `aggregate` passes). Kept
+    * as the value-parity oracle for the codegen
+    * [[graft.plans.SimHash60]]; hot paths use the latter. */
   def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 60).map { b =>
       val bitsum = aggregate(hs, lit(0L),
@@ -103,11 +110,12 @@ object DedupOps {
   }
 
   /** (idCol, simhash) with tokenization and hashing staged across
-    * projections so each runs once per document, not 60 times. */
+    * projections so each runs once per document; the 60-bit
+    * fingerprint is the one-pass codegen [[graft.plans.SimHash60]]. */
   def withSimhash(df: DataFrame, idCol: String, tokens: Column): DataFrame =
     df.select(col(idCol), tokens.as("__toks"))
       .select(col(idCol), transform(col("__toks"), t => md5Hash60(t)).as("__hs"))
-      .select(col(idCol), simhashFromHashes(col("__hs")).as("simhash"))
+      .select(col(idCol), graft.plans.SimHash60(col("__hs")).as("simhash"))
 
   /** Near-duplicate candidate pairs by SimHash hamming distance.
     * Pigeonhole banding: a 60-bit fingerprint splits into 4 chunks of
@@ -185,7 +193,7 @@ object DedupOps {
       .persist()
     val sig = tg
       .select(col(idCol), graft.plans.Md5Hash32Array(col("tgs")).as("__hs"))
-      .select(col(idCol), minhashFromHashes(col("__hs")).as("sig"))
+      .select(col(idCol), graft.plans.MinHashSignature(col("__hs")).as("sig"))
     val banded = sig.select(
         col(idCol),
         posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
