@@ -43,6 +43,11 @@ object SparkEntry {
   val ModelDir: String =
     sys.env.getOrElse("GRAFT_MODEL_DIR", "/root/reference/pre_trained_model")
 
+  /** Committed model-fixture parquet (flattened vocab/idf/coef tables
+    * for the relational m5 oracle; see graft.tools.DumpModelFixture). */
+  val FixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/fixtures")
+
   // model + broadcast scorer cached per JVM (Verify/Bench are one-shot)
   @volatile private var cachedScorer: SentimentScorer = _
   def scorer(s: SparkSession): SentimentScorer = {
@@ -139,8 +144,9 @@ object SparkEntry {
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))),
 
-    // M2–M5: native 5-stage sentiment scoring (oracle: golden corpus
-    // in ScalaTest; driver records rows-only here)
+    // M2–M5: native 5-stage sentiment scoring (DuckDB oracle scores
+    // relationally against the flattened model fixture; the golden
+    // corpus + mllib parity specs cross-check in ScalaTest)
     "m5_sentiment" -> ((s, dir) => {
       val sc = scorer(s)
       sc.scoreText(t(s, dir, "documents"), "text")
@@ -451,6 +457,28 @@ object SparkEntry {
       s"SELECT doc_id, array_to_string(list_filter($sqlToks, w -> NOT list_contains($sqlStopList, w)), ' ') AS words FROM documents",
     "m2_tf" ->
       s"SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest($sqlToks) AS term FROM documents) GROUP BY doc_id, term",
+    // Relational spelling of the full 5-stage scorer: tokens → stop
+    // words → tf → join the flattened model fixture → ordered fold of
+    // (tf*idf)*coef in ascending vocab-index order (list_reduce over
+    // list(... ORDER BY idx) == the scorer's ascending-index loop, so
+    // the double accumulation is bit-identical) → margin vs threshold.
+    "m5_sentiment" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(list_filter($sqlToks, w -> NOT list_contains($sqlStopList, w))) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+         |v AS (SELECT * FROM read_parquet('$FixtureDir/sentiment_vocab.parquet')),
+         |contrib AS (
+         |  SELECT doc_id, idx, (CAST(tf AS DOUBLE) * idf) * coef AS c
+         |  FROM tf JOIN v USING (term)),
+         |acc AS (
+         |  SELECT doc_id AS a_doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY idx)), (a,b) -> a + b) AS s
+         |  FROM contrib GROUP BY doc_id),
+         |m AS (SELECT * FROM read_parquet('$FixtureDir/sentiment_meta.parquet'))
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN coalesce(acc.s, 0.0) + m.intercept > m.logit_threshold THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
+         |FROM documents d LEFT JOIN acc ON d.doc_id = acc.a_doc_id CROSS JOIN m""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
