@@ -99,6 +99,23 @@ final class SentimentScorer(bc: Broadcast[SentimentModel]) extends Serializable 
     if (words == null) null else java.lang.Double.valueOf(bc.value.margin(words))
   }
 
+  /** One margin evaluation fanned out to the three output columns the
+    * reference's `PipelineModel.transform` adds (SURVEY §2h column
+    * list): binomial-LR conventions `rawPrediction = [-m, m]`,
+    * `probability = [1-σ(m), σ(m)]`, `prediction` by threshold. */
+  private val scoreStructUdf = udf { words: Seq[String] =>
+    if (words == null) null
+    else {
+      val model = bc.value
+      val m = model.margin(words)
+      val p1 = 1.0 / (1.0 + math.exp(-m))
+      SentimentScorer.Scores(
+        rawPrediction = Array(-m, m),
+        probability = Array(1.0 - p1, p1),
+        prediction = if (m > math.log(model.threshold / (1.0 - model.threshold))) 1.0 else 0.0)
+    }
+  }
+
   /** M1 stop-word filter as a pure built-in expression (`isInCollection`
     * → optimizer-rewritten `InSet`: O(1) hash-set probe per token). */
   def removeStopWords(tokens: Column): Column = {
@@ -120,6 +137,34 @@ final class SentimentScorer(bc: Broadcast[SentimentModel]) extends Serializable 
   def scoreText(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("cleaned_data", TextOps.cleanTokens(col(textCol)))
       .withColumn("prediction", predictFromTokens(col("cleaned_data")))
+
+  /** Column-parity twin of the reference `PipelineModel.transform`
+    * output: adds `rawPrediction: array<double>`,
+    * `probability: array<double>`, `prediction: double` over a tokens
+    * column (stop words not yet removed). The struct UDF evaluates the
+    * margin once; the three columns are field extracts (CollapseProject
+    * keeps the multi-referenced struct materialized, so the model dot
+    * product is not re-run per column). */
+  def withScores(df: DataFrame, tokensCol: String): DataFrame =
+    df.withColumn("__scored", scoreStructUdf(removeStopWords(col(tokensCol))))
+      .withColumn("rawPrediction", col("__scored.rawPrediction"))
+      .withColumn("probability", col("__scored.probability"))
+      .withColumn("prediction", col("__scored.prediction"))
+      .drop("__scored")
+
+  /** [[scoreText]] with the full transform column set. */
+  def scoreTextFull(df: DataFrame, textCol: String): DataFrame =
+    withScores(
+      df.withColumn("cleaned_data", TextOps.cleanTokens(col(textCol))),
+      "cleaned_data")
+}
+
+object SentimentScorer {
+  /** Output triple of the full transform (binomial-LR layout). */
+  final case class Scores(
+      rawPrediction: Array[Double],
+      probability: Array[Double],
+      prediction: Double)
 }
 
 /** Native loader for the on-disk `PipelineModel` artifact layout

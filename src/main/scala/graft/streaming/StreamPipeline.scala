@@ -88,18 +88,44 @@ object StreamPipeline {
     * at-least-once. The in-repo writer appends parquet partitioned by
     * `batch_id`, making replays idempotent-by-inspection (the
     * reference's mongo/delta appends are not): a restarted batch
-    * overwrites its own partition instead of duplicating rows. */
+    * overwrites its own partition instead of duplicating rows.
+    *
+    * `mergeSchema` semantics (the reference's delta sink sets
+    * `mergeSchema=true`, `consumer_delta.py:13`): before writing, the
+    * batch is aligned to the union of the existing table schema and
+    * its own — columns the table has but the batch lacks are added as
+    * typed nulls, columns the batch adds simply appear in the new
+    * files — so an evolving envelope never breaks the write and a
+    * `mergeSchema` read sees the full union. The schema probe reads
+    * parquet footers only; at scale, pin a table schema up front or
+    * use a real transactional table format instead. */
   def toForeachBatchParquet(scored: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     scored.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(path)
+      .foreachBatch(mergeSchemaParquetWriter(path))
+
+  /** The per-batch writer behind [[toForeachBatchParquet]], exposed so
+    * the schema-union semantics are testable without stream plumbing
+    * (a real evolution arrives across restarts that continue the
+    * checkpoint's batch counter). */
+  def mergeSchemaParquetWriter(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val withId = batch.withColumn("batch_id", lit(batchId))
+      val existing = scala.util.Try(
+        batch.sparkSession.read.option("mergeSchema", "true")
+          .parquet(path).schema).toOption
+      val aligned = existing.fold(withId) { old =>
+        val have = withId.columns.toSet
+        old.fields.filterNot(f => have.contains(f.name))
+          .foldLeft(withId)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
       }
+      aligned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    }
 
   /** File-based source twin of the Kafka scan: tails JSON envelope
     * files from `dir`. Same downstream contract as S1 (a `value`

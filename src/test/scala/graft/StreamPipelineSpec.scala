@@ -102,4 +102,31 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
     assert(out.select("batch_id").distinct().count() == 2L)
     assert(out.count() == 2L)
   }
+
+  test("foreachBatch sink merges evolving schemas (S7 mergeSchema)") {
+    import spark.implicits._
+    val outDir = tmp("febmerge_out")
+    val write = StreamPipeline.mergeSchemaParquetWriter(outDir)
+
+    // batch 0: envelope v1 — (message) only
+    write(Seq("hello world").toDF("message"), 0L)
+    // batch 1: envelope v2 — adds a `lang` column
+    write(Seq(("bonjour", "fr")).toDF("message", "lang"), 1L)
+    // batch 2: envelope v3 — drops `lang` again; the writer must align
+    // it back to the union schema (typed null), not break the write
+    write(Seq("third").toDF("message"), 2L)
+
+    val out = spark.read.option("mergeSchema", "true").parquet(outDir)
+    assert(out.columns.toSet == Set("message", "lang", "batch_id"))
+    assert(out.count() == 3L)
+    val byMsg = out.collect().map(r =>
+      r.getAs[String]("message") -> r.getAs[String]("lang")).toMap
+    assert(byMsg("hello world") == null) // pre-evolution rows read as null
+    assert(byMsg("bonjour") == "fr")
+    assert(byMsg("third") == null)       // post-evolution writer aligned
+
+    // replay of batch 2 (at-least-once) stays idempotent post-merge
+    write(Seq("third").toDF("message"), 2L)
+    assert(spark.read.option("mergeSchema", "true").parquet(outDir).count() == 3L)
+  }
 }
