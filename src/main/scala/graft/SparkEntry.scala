@@ -266,6 +266,44 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))),
 
+    // full cube (all grouping-set combinations)
+    "q15_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))),
+
+    // explicit grouping sets (one-dimensional marginals only — the
+    // cube minus the full cross and grand total)
+    "q16_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))),
+
+    // lead/lag value navigation per user (window partitioned by user —
+    // state bounded per partition, scales with users)
+    "q17_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+    }),
+
+    // sessionization: gap-based session windows per user (batch twin
+    // of streaming session_window aggregation; partitioned by user)
+    "q18_sessions" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          unix_timestamp(col("session_window.start")).as("sess_start"),
+          col("user_id"), col("n_events"))),
+
     // exact grouped percentiles (sort-based, linear interpolation)
     "q14_percentile" -> ((s, dir) =>
       t(s, dir, "events")
@@ -534,6 +572,34 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q15_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q16_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q17_lead_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // Session semantics pinned to Spark's session_window: end-exclusive
+    // [start, last+gap), so a new session opens when diff >= gap.
+    // Timestamps truncated to micros (CAST TIMESTAMP) like q5.
+    "q18_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x)
+        |SELECT CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS sess_start,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "q14_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

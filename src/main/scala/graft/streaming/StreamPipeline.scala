@@ -164,4 +164,31 @@ object StreamPipeline {
                            watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Streaming MinHash near-dup suppression with bounded state — the
+    * streaming twin of batch d2: per-document signature is the same
+    * narrow codegen pass (trigrams → md5 batch hash → one-loop K
+    * minima), keyed as a single scalar so the state store holds one
+    * 32-byte key per surviving document inside the watermark horizon.
+    *
+    * Signature-exact collision (all K minima equal) is the *high-
+    * precision* end of MinHash: it catches reorderings/case variants
+    * with identical trigram sets. Band-level recall (any-band match,
+    * the batch d2b semantics) needs flatMapGroupsWithState keyed per
+    * band; at stream scale that is b state entries per doc —
+    * signature-exact is the right default. */
+  def minhashDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
+                                  watermark: String): DataFrame = {
+    import graft.operators.DedupOps
+    df.withColumn("__tgs", DedupOps.charTrigrams(col(textCol)))
+      .withColumn("__hs", graft.plans.Md5Hash32Array(col("__tgs")))
+      .withColumn("__sigkey",
+        md5(concat_ws(",",
+          org.apache.spark.sql.functions.transform(
+            graft.plans.MinHashSignature(col("__hs")),
+            x => x.cast("string")))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sigkey")
+      .drop("__tgs", "__hs", "__sigkey")
+  }
 }

@@ -61,4 +61,32 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     val ids = spark.table("dedup_out").select("id").collect().map(_.getString(0))
     assert(ids.sorted.toSeq == Seq("x", "y"))
   }
+
+  test("streaming minhash dedup drops signature-identical near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = StreamPipeline.minhashDedupWithinWatermark(
+      input.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("mh_dedup_out")
+      .outputMode("append").start()
+
+    // same trigram set after lowercasing → same signature → near-dup,
+    // even though the raw strings differ (exact dedup would keep both)
+    input.addData(
+      (ts(1), "The quick brown fox jumps over the lazy dog"),
+      (ts(2), "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),
+      (ts(3), "a completely different document about spark engines"))
+    q.processAllAvailable()
+    input.addData((ts(4), "the quick brown fox jumps over the lazy dog"))
+    q.processAllAvailable()
+    q.stop()
+
+    val texts = spark.table("mh_dedup_out").select("text").collect()
+      .map(_.getString(0))
+    assert(texts.length == 2, texts.mkString("; "))
+    assert(texts.count(_.toLowerCase.contains("quick brown fox")) == 1)
+    // signature helper columns must not leak into the output
+    assert(spark.table("mh_dedup_out").columns.toSet == Set("ts", "text"))
+  }
 }
