@@ -684,6 +684,8 @@ object SparkEntry {
          |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
          |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
     },
+    // verify stage intersects hashed trigram sets (same md5-prefix
+    // hash as the Spark side, so collisions shrink both identically)
     "d4_ngram_jaccard" -> {
       val branches = (0 until DetParams.MinhashBands)
         .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
@@ -693,10 +695,10 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |  FROM banded l JOIN banded r
          |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-         |t AS (SELECT doc_id, tgs, len(tgs) AS ntg
-         |  FROM (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM documents)),
+         |t AS (SELECT doc_id, list_distinct(hs) AS tgh, len(list_distinct(hs)) AS ntg
+         |  FROM hsrc),
          |p AS (SELECT doc_a, doc_b,
-         |    len(list_intersect(a.tgs, b.tgs)) AS i, a.ntg + b.ntg AS st
+         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
          |  FROM cand JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id),
          |j AS (SELECT doc_a, doc_b, i / CAST(st - i AS DOUBLE) AS jac_raw FROM p)
          |SELECT doc_a, doc_b, round(jac_raw, 6) AS jac FROM j

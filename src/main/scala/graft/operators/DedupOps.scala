@@ -182,18 +182,29 @@ object DedupOps {
     * exact trigram-Jaccard verify at `threshold`. The trigram table is
     * persisted for the duration of the query because three branches
     * consume it (signature derivation + both verify-join sides) and
-    * Spark recomputes un-materialized lineage per branch; it is a few
-    * bytes per document (arrays of 3-char shingles), so storage is
-    * negligible next to the recompute it saves. */
+    * Spark recomputes un-materialized lineage per branch; callers
+    * running query loops should `spark.catalog.clearCache()` (or
+    * unpersist) after the action.
+    *
+    * The verify stage intersects *hashed* trigram sets (distinct
+    * 32-bit md5-prefix values), not strings: the persisted table is
+    * array<long> instead of array<string> (~4× smaller, primitive
+    * equality in the intersect), and because the DuckDB oracle hashes
+    * with the identical function, any hash collision shrinks both
+    * systems' sets identically — the compare is exact even though the
+    * Jaccard is now over hashed-trigram space. */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double): DataFrame = {
     val tg = docs
-      .select(col(idCol), charTrigrams(col(textCol)).as("tgs"))
-      .withColumn("ntg", size(col("tgs")))
+      .select(col(idCol), charTrigrams(col(textCol)).as("__tgs"))
+      .select(col(idCol),
+        array_distinct(graft.plans.Md5Hash32Array(col("__tgs"))).as("tgh"))
+      .withColumn("ntg", size(col("tgh")))
       .persist()
+    // min over distinct hashes == min over hashes-of-distinct-trigrams,
+    // so the signature (and its band keys) matches the d2/d2b spelling
     val sig = tg
-      .select(col(idCol), graft.plans.Md5Hash32Array(col("tgs")).as("__hs"))
-      .select(col(idCol), graft.plans.MinHashSignature(col("__hs")).as("sig"))
+      .select(col(idCol), graft.plans.MinHashSignature(col("tgh")).as("sig"))
     val banded = sig.select(
         col(idCol),
         posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
@@ -208,7 +219,7 @@ object DedupOps {
       .join(tg.as("a"), col("doc_a") === col(s"a.$idCol"))
       .join(tg.as("b"), col("doc_b") === col(s"b.$idCol"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("a.tgs"), col("b.tgs"))).as("i"),
+        size(array_intersect(col("a.tgh"), col("b.tgh"))).as("i"),
         (col("a.ntg") + col("b.ntg")).as("st"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("st") - col("i"))).as("jac_raw"))
