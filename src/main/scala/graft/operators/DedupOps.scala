@@ -71,8 +71,7 @@ object DedupOps {
     * ([[graft.plans.Md5Hash32Array]], [[graft.plans.MinHashSignature]])
     * value-identical to their built-in spellings. */
   def withMinhashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), charTrigrams(col(textCol)).as("__tgs"))
-      .select(col(idCol), graft.plans.Md5Hash32Array(col("__tgs")).as("__hs"))
+    df.select(col(idCol), graft.plans.HashedTrigrams32(col(textCol)).as("__hs"))
       .select(col(idCol), graft.plans.MinHashSignature(col("__hs")).as("sig"))
 
   /** LSH band keys from a MinHash signature: md5 over the band index
@@ -196,9 +195,7 @@ object DedupOps {
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double): DataFrame = {
     val tg = docs
-      .select(col(idCol), charTrigrams(col(textCol)).as("__tgs"))
-      .select(col(idCol),
-        array_distinct(graft.plans.Md5Hash32Array(col("__tgs"))).as("tgh"))
+      .select(col(idCol), graft.plans.HashedTrigrams32(col(textCol)).as("tgh"))
       .withColumn("ntg", size(col("tgh")))
       .persist()
     // min over distinct hashes == min over hashes-of-distinct-trigrams,

@@ -4,13 +4,43 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.operators.DedupOps
-import graft.plans.{Md5Hash32Array, MinHashSignature, SimHash60}
+import graft.plans.{HashedTrigrams32, Md5Hash32Array, MinHashSignature, SimHash60}
 
 /** Codegen one-pass signature expressions vs their built-in HOF
   * spellings — value-identical on real corpus data and on null/empty
   * edge cases (the DuckDB oracles are written against the HOF
   * spellings, so parity here is what keeps d2/d3 hash-matching). */
 class SignatureExprsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("fused trigram hash == staged distinct(md5(charTrigrams)) spelling") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        HashedTrigrams32(col("text")).as("fast"),
+        array_distinct(Md5Hash32Array(
+          DedupOps.charTrigrams(col("text")))).as("slow"))
+      .filter(to_json(col("fast")) =!= to_json(col("slow")))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("fused trigram hash edge cases: short, empty, unicode, null") {
+    import spark.implicits._
+    val df = Seq((1, "ab"), (2, ""), (3, "ÜniCode Müll"), (4, null),
+        (5, "aaaa"), (6, "AbCaBC")) // dups + case folding
+      .toDF("id", "t")
+    val rows = df.select(
+        col("id"),
+        HashedTrigrams32(col("t")).as("fast"),
+        array_distinct(Md5Hash32Array(
+          DedupOps.charTrigrams(col("t")))).as("slow"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"id=${r.getInt(0)}")
+    }
+    assert(rows(0).getSeq[Any](1).isEmpty)   // len<3 → empty
+    assert(rows(3).getSeq[Any](1).isEmpty)   // null in → empty (otherwise branch)
+    assert(rows(4).getSeq[Any](1).size == 1) // "aaaa" → one distinct trigram
+  }
 
   test("minhash codegen == K-pass HOF spelling on real trigrams") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
