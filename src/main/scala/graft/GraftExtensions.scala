@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.VectorDotProduct
+import graft.plans.{HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, VectorDotProduct}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -16,25 +16,52 @@ import graft.plans.VectorDotProduct
   * or
   *   GraftExtensions.register(spark)                 // live session
   *
-  * Currently: `vec_dot(array<float|double>, array<float|double>)`.
+  * Registered functions (each value-identical to a built-in spelling
+  * kept as its oracle spec):
+  *   vec_dot(a, b)            double dot product of two numeric arrays
+  *   md5_hash32_array(a)      md5-prefix 32-bit hash of each element
+  *   minhash_signature(hs)    K affine minima over hashed shingles
+  *   simhash60(hs)            60-bit SimHash over hashed tokens
+  *   hashed_trigrams32(s)     distinct hashed char-trigrams of a string
+  *   rolling_hash_min(s)      min 8-char-window polynomial hash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.vecDot)
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
+  private type Builder = Seq[Expression] => Expression
+
+  private def unary(name: String, clazz: Class[_], mk: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Builder) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, s"$name takes exactly 1 argument")
+      mk(children.head)
+    })
+
   private val vecDot = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VectorDotProduct].getName, "vec_dot"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+    ((children: Seq[Expression]) => {
       require(children.length == 2, "vec_dot takes exactly 2 arguments")
       VectorDotProduct(children.head, children(1))
-    })
+    }): Builder)
+
+  private val all = Seq(
+    vecDot,
+    unary("md5_hash32_array", classOf[Md5Hash32Array], Md5Hash32Array(_: Expression)),
+    unary("minhash_signature", classOf[MinHashSignature], MinHashSignature(_: Expression)),
+    unary("simhash60", classOf[SimHash60], SimHash60(_: Expression)),
+    unary("hashed_trigrams32", classOf[HashedTrigrams32], HashedTrigrams32(_: Expression)),
+    unary("rolling_hash_min", classOf[RollingHashMin], RollingHashMin(_: Expression)))
 
   /** Idempotent registration into an already-built session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(vecDot._1, vecDot._2, vecDot._3)
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -59,6 +59,19 @@ class VectorDotProductSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r.getDouble(0) == 14.0)
   }
 
+  test("all custom expressions are SQL-callable after register") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  size(hashed_trigrams32('hello world')) AS n_tg,
+        |  size(minhash_signature(hashed_trigrams32('hello world'))) AS n_sig,
+        |  simhash60(md5_hash32_array(array('a', 'b'))) AS sh,
+        |  rolling_hash_min('abcdefghij') AS rh""".stripMargin).head()
+    assert(r.getInt(0) == 9)  // 11 chars → 9 windows, all distinct
+    assert(r.getInt(1) == graft.operators.DetParams.MinhashK)
+    assert(!r.isNullAt(2) && !r.isNullAt(3))
+  }
+
   test("codegen actually fires (no fallback to interpreted path)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = e.select(
