@@ -472,7 +472,34 @@ object SparkEntry {
     // winnowing rolling-hash fingerprint (min of 8-char window hashes)
     "t6_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"), DedupOps.rollingFingerprint(col("text")).as("roll_fp")))
+        col("doc_id"), DedupOps.rollingFingerprint(col("text")).as("roll_fp"))),
+
+    // deterministic corpus subsample: keep docs whose content hash
+    // lands in a fixed residue class — reproducible across runs and
+    // cluster sizes (unlike rand()-based sample), narrow, no shuffle
+    "t7_det_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(pmod(DedupOps.md5Hash32(col("text")), lit(10)) === 0)
+        .select(col("doc_id"), col("lang"))),
+
+    // sequence packing for training: docs go into 32 hash buckets,
+    // each bucket packs greedily (in doc_id order) into 4096-token
+    // bins via a running token count. The window is partitioned by
+    // bucket, so state and sort are per-bucket — scales with buckets
+    // x executors, never a global sort (the bucket count would be
+    // sized ~ cluster parallelism at 100 TB)
+    "t8_seq_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          pmod(DedupOps.md5Hash32(col("doc_id").cast("string")), lit(32))
+            .as("bucket"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 4096).as("bin"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -765,6 +792,20 @@ object SparkEntry {
          |    round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6) AS idf,
          |    row_number() OVER (ORDER BY df DESC, term) AS rn
          |  FROM d CROSS JOIN n) WHERE rn <= 500""".stripMargin,
+    "t7_det_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,
+    "t8_seq_pack" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len($sqlToks) AS n_tokens,
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 32 AS bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, bucket, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin FROM c""".stripMargin,
     "t6_rolling_fp" ->
       """SELECT doc_id, CASE WHEN len(text) >= 8 THEN
         |  list_min(list_transform(range(1, len(text)-6), i ->
