@@ -129,4 +129,31 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
     write(Seq("third").toDF("message"), 2L)
     assert(spark.read.option("mergeSchema", "true").parquet(outDir).count() == 3L)
   }
+
+  test("incremental batch (AvailableNow) processes only new files per run") {
+    val srcDir = tmp("incr_src")
+    val outDir = tmp("incr_out")
+    val ckDir = tmp("incr_ck")
+    def sink(df: org.apache.spark.sql.DataFrame) =
+      StreamPipeline.toJsonFiles(df, outDir, ckDir)
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/a.jsonl"),
+      envelope("first file text") + "\n")
+    StreamPipeline.runIncremental(
+      StreamPipeline.fromJsonFileSource(spark, srcDir), scorer, sink)
+    assert(spark.read.json(outDir).count() == 1L)
+
+    // second run: one new file — only it is processed (checkpointed
+    // file-source offsets), and the run terminates on its own
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/b.jsonl"),
+      envelope("second file text") + "\n")
+    StreamPipeline.runIncremental(
+      StreamPipeline.fromJsonFileSource(spark, srcDir), scorer, sink)
+    val out = spark.read.json(outDir)
+    assert(out.count() == 2L)
+    assert(out.select("message").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("first file text", "second file text"))
+  }
 }
