@@ -168,6 +168,112 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Deterministic distributed Lloyd's k-means — the learned coarse
+    * quantizer for IVF ([[ivfTopK]]'s doc notes it as the real-world
+    * upgrade over the fixed quantizer).
+    *
+    * Scale shape: each iteration is one broadcast-centroid assignment
+    * pass over the corpus (n×k dots, narrow) plus a per-(cell, dim)
+    * partial-sum shuffle whose output is exactly k×dim rows; only the
+    * k×dim centroid matrix ever reaches the driver. Determinism, by
+    * construction, independent of partitioning and cluster size:
+    * seeds = the k vectors with the smallest (md5-hash of id, id);
+    * assignment ties break on lowest centroid id; per-dimension means
+    * are DECIMAL-exact sums (order-independent) divided once. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                      k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds: Array[Array[Double]] = corpus
+      .select(col(idCol), col(embCol).cast("array<double>").as("e"),
+        DedupOps.md5Hash32(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+      .select(col("e")).as[Array[Double]].collect()
+
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      val centsDf = broadcast(
+        cents.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+          .toDF("c_id", "c_emb")
+          .withColumn("c_nrm", l2norm(col("c_emb"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
+      val assigned = corpus
+        .select(col(idCol), col(embCol).cast("array<double>").as("e"))
+        .withColumn("nrm", l2norm(col("e")))
+        .join(centsDf)
+        .select(col(idCol), col("e"), col("c_id"),
+          round(dotD(col("e"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      // per-dimension DECIMAL-exact partial sums: shuffle carries only
+      // (cell, dim) keys; result is k×dim rows
+      val sums = assigned
+        .select(col("c_id"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy(col("c_id"), col("dim"))
+        .agg(sum(col("v").cast("decimal(28,12)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("c_id"), col("dim"),
+          (col("s") / col("n")).cast("double").as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with caller-provided (e.g. k-means-learned) centroids
+    * instead of the deterministic corpus-prefix quantizer. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, embCol: String,
+                           centroids: Array[Array[Double]],
+                           probes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      centroids.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+        .toDF("c_id", "c_emb")
+        .withColumn("c_nrm", l2norm(col("c_emb"))))
+
+    def cellsFor(df: DataFrame, id: String, emb: String, nrm: String, keep: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("c_id"))
+      df.withColumn(nrm, l2norm(col(emb)))
+        .join(cents)
+        .select(col(id), col(emb), col(nrm), col("c_id"),
+          round(dotD(col(emb), col("c_emb")) /
+            (col(nrm) * col("c_nrm")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .select(col(id), col(emb), col(nrm), col("c_id"))
+    }
+
+    val assigned = cellsFor(corpus.select(col(idCol), col(embCol)),
+      idCol, embCol, "c_vnrm", keep = 1)
+      .withColumnRenamed("c_id", "cell")
+    val qcells = broadcast(cellsFor(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+      "q_id", "q_emb", "q_nrm", keep = probes)
+      .withColumnRenamed("c_id", "q_cell"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    assigned.join(qcells,
+        col("cell") === col("q_cell") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(dotD(col("q_emb"), col(embCol)) /
+          (col("q_nrm") * col("c_vnrm")), 6).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Near-duplicate pairs by embedding cosine: sign-LSH banding for
     * candidates, exact cosine filter at `threshold`. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
