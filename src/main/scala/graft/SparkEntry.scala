@@ -435,6 +435,12 @@ object SparkEntry {
       DedupOps.nearDuplicatePairs(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.6)),
 
+    // edit-distance verification of LSH candidate pairs (catches
+    // small in-place edits that trigram Jaccard scores leniently)
+    "d6_edit_distance" -> ((s, dir) =>
+      DedupOps.editDistancePairs(
+        t(s, dir, "documents"), "doc_id", "text", maxDist = 100)),
+
     // embedding-cosine near-dup pairs via sign-LSH banding
     "d5_embed_neardup" -> ((s, dir) =>
       SimilarityOps.embeddingNearDupPairs(
@@ -730,6 +736,20 @@ object SparkEntry {
          |j AS (SELECT doc_a, doc_b, i / CAST(st - i AS DOUBLE) AS jac_raw FROM p)
          |SELECT doc_a, doc_b, round(jac_raw, 6) AS jac FROM j
          |WHERE jac_raw >= 0.6""".stripMargin
+    },
+    "d6_edit_distance" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte},
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, levenshtein(a.text, b.text) AS edit_dist
+         |FROM cand JOIN documents a ON doc_a = a.doc_id
+         |JOIN documents b ON doc_b = b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= 100""".stripMargin
     },
     "d5_embed_neardup" ->
       s"""WITH banded AS (SELECT vec_id, embedding,

@@ -224,6 +224,25 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
   }
 
+  /** Near-duplicate pairs verified by edit distance: MinHash-LSH
+    * candidates (never O(n^2)), then exact Levenshtein only on the
+    * candidate pairs, keeping those within `maxDist`. Levenshtein is
+    * O(len_a*len_b) per pair — affordable precisely because the LSH
+    * gate bounds the pair count; it catches small in-place edits that
+    * trigram Jaccard scores leniently. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int): DataFrame = {
+    val cands = minhashCandidatePairs(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val txt = docs.select(col(idCol), col(textCol))
+    cands
+      .join(txt.as("a"), col("doc_a") === col(s"a.$idCol"))
+      .join(txt.as("b"), col("doc_b") === col(s"b.$idCol"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col(s"a.$textCol"), col(s"b.$textCol")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
     * band buckets; with b bands the corpus is scanned once and
