@@ -304,6 +304,24 @@ object SparkEntry {
           unix_timestamp(col("session_window.start")).as("sess_start"),
           col("user_id"), col("n_events"))),
 
+    // pivot: one row per user, one count column per event type
+    // (explicit value list keeps the schema static and plannable)
+    "q19_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // set ops beyond union: customer nations without suppliers
+    // (except) and with suppliers (intersect)
+    "q20_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(su).withColumn("op", lit("except"))
+        .union(c.intersect(su).withColumn("op", lit("intersect")))
+    }),
+
     // exact grouped percentiles (sort-based, linear interpolation)
     "q14_percentile" -> ((s, dir) =>
       t(s, dir, "events")
@@ -605,6 +623,20 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q19_pivot" ->
+      """SELECT user_id,
+        |  coalesce(count(*) FILTER (event_type = 'click'), 0) AS click,
+        |  coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS purchase,
+        |  coalesce(count(*) FILTER (event_type = 'view'), 0) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q20_set_ops" ->
+      """SELECT nationkey, 'except' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'intersect' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier)""".stripMargin,
     "q15_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
