@@ -238,9 +238,16 @@ object DedupOps {
     cands
       .join(txt.as("a"), col("doc_a") === col(s"a.$idCol"))
       .join(txt.as("b"), col("doc_b") === col(s"b.$idCol"))
+      // |len(a)-len(b)| is a lower bound on edit distance — prunes the
+      // bulk of candidates before any DP runs
+      .filter(abs(length(col(s"a.$textCol")) - length(col(s"b.$textCol")))
+        <= maxDist)
+      // thresholded levenshtein: banded DP, O(len*maxDist) with early
+      // exit (returns -1 above the threshold) instead of O(len^2)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col(s"a.$textCol"), col(s"b.$textCol")).as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col(s"a.$textCol"), col(s"b.$textCol"), maxDist)
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
