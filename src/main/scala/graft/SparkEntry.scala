@@ -258,6 +258,16 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))),
 
+    // exact distinct via custom bitmap TypedImperativeAggregate:
+    // constant-size OR-mergeable state per group (vs countDistinct's
+    // per-value expand+merge shuffle) — the precomputed-distinct
+    // pattern for dense bounded id domains
+    "q21_bitmap_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.plans.BitmapDistinctCount(col("user_id"), 1 << 20)
+          .as("n_users"))),
+
     // hierarchical rollup (grouping-set expansion)
     "q12_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -618,6 +628,9 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q11_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q21_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
     "q12_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
