@@ -179,6 +179,78 @@ object StreamPipeline {
     q.awaitTermination()
   }
 
+  /** Watermarked stream-stream inner join: each click joins purchases
+    * of the same user within `[click - horizon, click]`. Both sides
+    * carry watermarks and the join has a time-range predicate, so the
+    * state store retains each side only for the horizon — bounded
+    * state, keyed shuffle on the join key (scales with users, not
+    * stream length). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        userCol: String, tsCol: String,
+                        horizon: String, watermark: String): DataFrame = {
+    val c = clicks.withWatermark(tsCol, watermark)
+      .select(col(userCol).as("user"), col(tsCol).as("click_ts"),
+        col("*"))
+      .drop(userCol, tsCol)
+    val p = purchases.withWatermark(tsCol, watermark)
+      .select(col(userCol).as("p_user"), col(tsCol).as("purchase_ts"))
+    c.join(p,
+      col("user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $horizon") &&
+        col("purchase_ts") <= col("click_ts"))
+      .drop("p_user")
+  }
+
+  /** Streaming sessionization with custom state via
+    * `flatMapGroupsWithState`: per-user session accumulates events
+    * until `gapMs` of event-time silence, then emits
+    * (user, sessionStart, nEvents) and resets. State is one small
+    * struct per active user, evicted by event-time timeout — the
+    * custom-state twin of the built-in `session_window` aggregation
+    * (batch query q18). Output rows appear once their session closes. */
+  def sessionizeWithState(events: DataFrame, userCol: String, tsCol: String,
+                          gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .as[(Long, java.sql.Timestamp)]
+
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+           state: GroupState[(Long, Long, Long)]) // (start, last, n)
+        : Iterator[(Long, Long, Long)] = {
+      if (state.hasTimedOut) {
+        val (start, _, n) = state.get
+        state.remove()
+        Iterator.single((user, start, n))
+      } else {
+        val ts = rows.map(_._2.getTime).toSeq.sorted
+        var out = List.empty[(Long, Long, Long)]
+        var (start, last, n) =
+          state.getOption.getOrElse((ts.head, ts.head, 0L))
+        ts.foreach { t =>
+          if (t - last >= gapMs) { // close the open session, start anew
+            out = (user, start, n) :: out
+            start = t; n = 0L
+          }
+          last = t; n += 1
+        }
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gapMs)
+        out.reverseIterator
+      }
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OM.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF("user", "sess_start_ms", "n_events")
+  }
+
   /** Streaming MinHash near-dup suppression with bounded state — the
     * streaming twin of batch d2: per-document signature is the same
     * narrow codegen pass (trigrams → md5 batch hash → one-loop K

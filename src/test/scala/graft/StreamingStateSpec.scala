@@ -89,4 +89,56 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     // signature helper columns must not leak into the output
     assert(spark.table("mh_dedup_out").columns.toSet == Set("ts", "text"))
   }
+
+  test("stream-stream join matches purchases within the click horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val joined = StreamPipeline.clickPurchaseJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id"),
+      "user_id", "ts", horizon = "10 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+
+    purchases.addData((ts(1), 7L), (ts(30), 7L))  // one in, one out of range
+    clicks.addData((ts(8), 7L), (ts(8), 9L))      // user 9 never purchases
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ss_join")
+      .select(col("user"), col("click_ts").cast("string"),
+        col("purchase_ts").cast("string")).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    assert(rows(0).getLong(0) == 7L)
+    assert(rows(0).getString(2) == "2026-01-01 10:01:00")
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions per user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamPipeline.sessionizeWithState(
+      input.toDF().toDF("ts", "user_id"), "user_id", "ts",
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("fmgws_sess")
+      .outputMode("append").start()
+
+    // user 7: events at 10:01,10:02 then a gap, then 10:31 → 2 sessions
+    input.addData((ts(1), 7L), (ts(2), 7L), (ts(31), 7L))
+    q.processAllAvailable()
+    // advance the watermark far enough to time out the second session
+    input.addData((ts(59), 8L))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 8L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fmgws_sess")
+      .select("user", "sess_start_ms", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((7L, ts(1).getTime, 2L)), rows.toString)
+    assert(rows.contains((7L, ts(31).getTime, 1L)), rows.toString)
+  }
 }
