@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Batch write-side hygiene for corpus-scale outputs. At 100 TB the
   * write layout IS the read performance of every downstream job:
@@ -25,6 +26,25 @@ object WriteOps {
     * of serializing through a single writer (`repartition(partitionCols)`
     * alone hashes each partition value to exactly one task;
     * `maxRecordsPerFile` only splits files *sequentially* within it). */
+  /** Write `df` as a bucketed + sorted managed table: rows are hash-
+    * bucketed on `bucketCols` into `numBuckets` files per partition
+    * and sorted within each bucket. Two tables bucketed the same way
+    * join/aggregate on the bucket columns with NO exchange — the
+    * shuffle is paid once at write time and amortized over every
+    * subsequent join, the core co-location technique for repeatedly-
+    * joined 100 TB fact tables. (Bucket metadata lives in the session
+    * catalog, so this writes via `saveAsTable`.) */
+  def bucketedTable(df: DataFrame, table: String,
+                    bucketCols: Seq[String], sortCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def partitionedSorted(df: DataFrame, path: String,
                         partitionCols: Seq[String], sortCols: Seq[String],
                         maxRecordsPerFile: Long,

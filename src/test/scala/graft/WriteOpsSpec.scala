@@ -39,4 +39,33 @@ class WriteOpsSpec extends AnyFunSuite with SparkSessionFixture {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
   }
+
+  test("co-bucketed tables join with zero exchanges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    WriteOps.bucketedTable(docs, "docs_bkt",
+      bucketCols = Seq("doc_id"), sortCols = Seq("doc_id"), numBuckets = 4)
+    WriteOps.bucketedTable(emb.withColumnRenamed("vec_id", "doc_id"),
+      "emb_bkt",
+      bucketCols = Seq("doc_id"), sortCols = Seq("doc_id"), numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a shuffle-family join so the assertion proves the bucket
+      // layout (a broadcast join would trivially have no exchange)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("docs_bkt")
+        .join(spark.table("emb_bkt"), "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // co-bucketed sides satisfy the join's distribution requirement
+      // from the file layout: no doc_id exchange anywhere in the plan
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"), plan)
+      assert(joined.collect().map(_.getLong(1)).sum == docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS docs_bkt")
+      spark.sql("DROP TABLE IF EXISTS emb_bkt")
+    }
+  }
 }
