@@ -314,6 +314,22 @@ object SparkEntry {
           unix_timestamp(col("session_window.start")).as("sess_start"),
           col("user_id"), col("n_events"))),
 
+    // skew-salted equi-join: result-identical to the plain join (the
+    // oracle is the plain SQL join), but a hot orderkey's rows spread
+    // across saltFactor reducers instead of one
+    "q22_salted_join" -> ((s, dir) =>
+      graft.operators.SkewOps.saltedEquiJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_totalprice")),
+          "l_orderkey", saltFactor = 8)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          max(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n"))),
+
     // pivot: one row per user, one count column per event type
     // (explicit value list keeps the schema static and plannable)
     "q19_pivot" -> ((s, dir) =>
@@ -636,6 +652,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q22_salted_join" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MAX(o_totalprice) AS total, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin,
     "q19_pivot" ->
       """SELECT user_id,
         |  coalesce(count(*) FILTER (event_type = 'click'), 0) AS click,
