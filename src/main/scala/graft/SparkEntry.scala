@@ -314,6 +314,22 @@ object SparkEntry {
           unix_timestamp(col("session_window.start")).as("sess_start"),
           col("user_id"), col("n_events"))),
 
+    // correlated scalar subqueries (Catalyst decorrelates them into
+    // aggregate + join — exercising the subquery rewrite path)
+    "q23_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT COUNT(*) FROM orders_v o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  (SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+          |   FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS total_spent
+          |FROM customer_v c
+          |WHERE (SELECT COUNT(*) FROM orders_v o
+          |       WHERE o.o_custkey = c.c_custkey) >= 12""".stripMargin)
+    }),
+
     // skew-salted equi-join: result-identical to the plain join (the
     // oracle is the plain SQL join), but a hot orderkey's rows spread
     // across saltFactor reducers instead of one
@@ -652,6 +668,15 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q23_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spent
+        |FROM customer c
+        |WHERE (SELECT COUNT(*) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey) >= 12""".stripMargin,
     "q22_salted_join" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
