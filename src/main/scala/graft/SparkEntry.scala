@@ -314,6 +314,27 @@ object SparkEntry {
           unix_timestamp(col("session_window.start")).as("sess_start"),
           col("user_id"), col("n_events"))),
 
+    // range join: each click joined to the session interval containing
+    // it — equi key (user) + range predicate, so the join partitions
+    // on user and the per-partition range scan is bounded (the
+    // scale-correct range-join shape; a bare theta join would be n*m)
+    "q24_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sess = ev
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id").as("s_user"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"))
+      ev.filter(col("event_type") === "click")
+        .join(sess,
+          col("user_id") === col("s_user") &&
+            col("ts") >= col("s_start") && col("ts") < col("s_end"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("s_start")).as("sess_start"), col("n_events"))
+    }),
+
     // correlated scalar subqueries (Catalyst decorrelates them into
     // aggregate + join — exercising the subquery rewrite path)
     "q23_scalar_subquery" -> ((s, dir) => {
@@ -668,6 +689,22 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // oracle assigns each event its gaps-and-islands session directly
+    // (equivalent to the interval containment: sessions of one user
+    // are disjoint by construction)
+    "q24_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess FROM x),
+        |g AS (SELECT *,
+        |    CAST(epoch(date_trunc('second', min(ts) OVER (PARTITION BY user_id, sess))) AS BIGINT) AS sess_start,
+        |    count(*) OVER (PARTITION BY user_id, sess) AS n_events FROM s)
+        |SELECT event_id, user_id, sess_start, n_events FROM g
+        |WHERE event_type = 'click'""".stripMargin,
     "q23_scalar_subquery" ->
       """SELECT c_custkey, c_name,
         |  (SELECT COUNT(*) FROM orders o
