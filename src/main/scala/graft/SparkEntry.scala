@@ -374,7 +374,10 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "purchase", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)),
+        // fill ONLY the pivot count columns — a bare na.fill(0) would
+        // also rewrite a NULL user_id group key to 0 and diverge from
+        // the oracle's GROUP BY NULL row
+        .na.fill(0L, Seq("click", "purchase", "view"))),
 
     // set ops beyond union: customer nations without suppliers
     // (except) and with suppliers (intersect)

@@ -130,10 +130,19 @@ object SimilarityOps {
     * reproducible (and DuckDB-oracle-checkable). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, numCentroids: Int, probes: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = broadcast(corpus.filter(col(idCol) < numCentroids)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
       .withColumn("c_nrm", l2norm(col("c_emb"))))
+    ivfTopKImpl(corpus, queries, idCol, embCol, cents, probes, k)
+  }
+
+  /** Shared IVF probe path: assign corpus and query vectors to their
+    * nearest cells against the broadcast `cents` (c_id, c_emb, c_nrm),
+    * join on cell, exact cosine + per-query top-k on candidates. */
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, embCol: String, cents: DataFrame,
+                          probes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
 
     def cellsFor(df: DataFrame, id: String, emb: String, nrm: String, keep: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("c_id"))
@@ -235,43 +244,13 @@ object SimilarityOps {
                            idCol: String, embCol: String,
                            centroids: Array[Array[Double]],
                            probes: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = broadcast(
       centroids.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
         .toDF("c_id", "c_emb")
         .withColumn("c_nrm", l2norm(col("c_emb"))))
-
-    def cellsFor(df: DataFrame, id: String, emb: String, nrm: String, keep: Int) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("c_id"))
-      df.withColumn(nrm, l2norm(col(emb)))
-        .join(cents)
-        .select(col(id), col(emb), col(nrm), col("c_id"),
-          round(dotD(col(emb), col("c_emb")) /
-            (col(nrm) * col("c_nrm")), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= keep)
-        .select(col(id), col(emb), col(nrm), col("c_id"))
-    }
-
-    val assigned = cellsFor(corpus.select(col(idCol), col(embCol)),
-      idCol, embCol, "c_vnrm", keep = 1)
-      .withColumnRenamed("c_id", "cell")
-    val qcells = broadcast(cellsFor(
-      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
-      "q_id", "q_emb", "q_nrm", keep = probes)
-      .withColumnRenamed("c_id", "q_cell"))
-
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col(idCol))
-    assigned.join(qcells,
-        col("cell") === col("q_cell") && col(idCol) =!= col("q_id"))
-      .select(col("q_id"), col(idCol),
-        round(dotD(col("q_emb"), col(embCol)) /
-          (col("q_nrm") * col("c_vnrm")), 6).as("sim"))
-      .distinct()
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    ivfTopKImpl(corpus, queries, idCol, embCol, cents, probes, k)
   }
 
   /** Near-duplicate pairs by embedding cosine: sign-LSH banding for

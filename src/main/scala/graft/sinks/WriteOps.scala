@@ -10,22 +10,12 @@ import org.apache.spark.sql.functions.col
   *  - sort within partitions on the columns downstream joins/groups
   *    key on (parquet min/max row-group stats then skip pages);
   *  - bound file sizes so a skewed partition writes many parallel
-  *    files instead of one task-killing giant.
+  *    files instead of one task-killing giant;
+  *  - bucket repeatedly-joined tables so the join shuffle is paid once
+  *    at write time.
   */
 object WriteOps {
 
-  /** Write parquet partitioned by `partitionCols`, rows sorted within
-    * each output task by `sortCols`, at most `maxRecordsPerFile` rows
-    * per file. `repartition(partitionCols)` first, so each partition
-    * directory is produced by one task group (no N-files-per-task
-    * explosion when many input tasks each hold a sliver of every
-    * partition).
-    *
-    * `tasksPerPartition > 1` adds a salt to the repartition keys so a
-    * hot partition value is written by that many parallel tasks instead
-    * of serializing through a single writer (`repartition(partitionCols)`
-    * alone hashes each partition value to exactly one task;
-    * `maxRecordsPerFile` only splits files *sequentially* within it). */
   /** Write `df` as a bucketed + sorted managed table: rows are hash-
     * bucketed on `bucketCols` into `numBuckets` files per partition
     * and sorted within each bucket. Two tables bucketed the same way
@@ -45,11 +35,23 @@ object WriteOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write parquet partitioned by `partitionCols`, rows sorted within
+    * each output task by `sortCols`, at most `maxRecordsPerFile` rows
+    * per file. `repartition(partitionCols)` first, so each partition
+    * directory is produced by one task group (no N-files-per-task
+    * explosion when many input tasks each hold a sliver of every
+    * partition).
+    *
+    * `tasksPerPartition > 1` adds a salt to the repartition keys so a
+    * hot partition value is written by that many parallel tasks instead
+    * of serializing through a single writer (`repartition(partitionCols)`
+    * alone hashes each partition value to exactly one task;
+    * `maxRecordsPerFile` only splits files *sequentially* within it). */
   def partitionedSorted(df: DataFrame, path: String,
                         partitionCols: Seq[String], sortCols: Seq[String],
                         maxRecordsPerFile: Long,
                         tasksPerPartition: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
     val keyed =
       if (tasksPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
       else df.repartition(

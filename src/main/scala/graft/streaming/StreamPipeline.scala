@@ -108,24 +108,39 @@ object StreamPipeline {
   /** The per-batch writer behind [[toForeachBatchParquet]], exposed so
     * the schema-union semantics are testable without stream plumbing
     * (a real evolution arrives across restarts that continue the
-    * checkpoint's batch counter). */
-  def mergeSchemaParquetWriter(path: String): (DataFrame, Long) => Unit =
+    * checkpoint's batch counter).
+    *
+    * The on-disk footer probe runs ONCE per writer (first batch after
+    * start/restart); afterwards the accumulated union schema is
+    * carried in the writer closure, so per-batch cost stays O(1)
+    * instead of re-listing every previously written partition — a
+    * long-running stream adds one partition per batch, and a per-batch
+    * full-table probe would grow quadratically in aggregate. Correct
+    * because this writer is the table's only producer between
+    * restarts. */
+  def mergeSchemaParquetWriter(path: String): (DataFrame, Long) => Unit = {
+    // accumulated union schema; None until first probe
+    var known: Option[StructType] = None
     (batch: DataFrame, batchId: Long) => {
       val withId = batch.withColumn("batch_id", lit(batchId))
-      val existing = scala.util.Try(
-        batch.sparkSession.read.option("mergeSchema", "true")
-          .parquet(path).schema).toOption
-      val aligned = existing.fold(withId) { old =>
+      if (known.isEmpty) {
+        known = scala.util.Try(
+          batch.sparkSession.read.option("mergeSchema", "true")
+            .parquet(path).schema).toOption
+      }
+      val aligned = known.fold(withId) { old =>
         val have = withId.columns.toSet
         old.fields.filterNot(f => have.contains(f.name))
           .foldLeft(withId)((d, f) =>
             d.withColumn(f.name, lit(null).cast(f.dataType)))
       }
+      known = Some(aligned.schema) // fold this batch's columns in
       aligned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)
     }
+  }
 
   /** File-based source twin of the Kafka scan: tails JSON envelope
     * files from `dir`. Same downstream contract as S1 (a `value`
@@ -207,17 +222,20 @@ object StreamPipeline {
     * (user, sessionStart, nEvents) and resets. State is one small
     * struct per active user, evicted by event-time timeout — the
     * custom-state twin of the built-in `session_window` aggregation
-    * (batch query q18). Output rows appear once their session closes. */
+    * (batch query q18). Output rows appear once their session closes.
+    *
+    * Late events (out-of-order but inside the watermark) merge into
+    * the open session — they can extend its start backward but never
+    * drag `last` backward, so lateness cannot mis-split a session. */
   def sessionizeWithState(events: DataFrame, userCol: String, tsCol: String,
                           gapMs: Long): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
       .select(col(userCol).cast("long").as("user"),
         col(tsCol).cast("timestamp").as("ts"))
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .withWatermark("ts", s"$gapMs milliseconds")
       .as[(Long, java.sql.Timestamp)]
 
     def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
@@ -233,11 +251,13 @@ object StreamPipeline {
         var (start, last, n) =
           state.getOption.getOrElse((ts.head, ts.head, 0L))
         ts.foreach { t =>
-          if (t - last >= gapMs) { // close the open session, start anew
+          if (t > last && t - last >= gapMs) { // forward gap: close + reopen
             out = (user, start, n) :: out
             start = t; n = 0L
           }
-          last = t; n += 1
+          if (t < start) start = t // late event extends the open session
+          last = math.max(last, t)
+          n += 1
         }
         state.update((start, last, n))
         state.setTimeoutTimestamp(last + gapMs)
@@ -265,9 +285,7 @@ object StreamPipeline {
     * signature-exact is the right default. */
   def minhashDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                                   watermark: String): DataFrame = {
-    import graft.operators.DedupOps
-    df.withColumn("__tgs", DedupOps.charTrigrams(col(textCol)))
-      .withColumn("__hs", graft.plans.Md5Hash32Array(col("__tgs")))
+    df.withColumn("__hs", graft.plans.HashedTrigrams32(col(textCol)))
       .withColumn("__sigkey",
         md5(concat_ws(",",
           org.apache.spark.sql.functions.transform(
@@ -275,6 +293,6 @@ object StreamPipeline {
             x => x.cast("string")))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sigkey")
-      .drop("__tgs", "__hs", "__sigkey")
+      .drop("__hs", "__sigkey")
   }
 }

@@ -141,4 +141,37 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows.contains((7L, ts(1).getTime, 2L)), rows.toString)
     assert(rows.contains((7L, ts(31).getTime, 1L)), rows.toString)
   }
+
+  test("sessionizer: late in-watermark event cannot mis-split a session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamPipeline.sessionizeWithState(
+      input.toDF().toDF("ts", "user_id"), "user_id", "ts",
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("fmgws_late")
+      .outputMode("append").start()
+
+    input.addData((ts(10), 7L))
+    q.processAllAvailable()
+    // late arrival (10:05 < state.last 10:10, inside the watermark):
+    // must merge into the open session without dragging `last` back
+    input.addData((ts(5), 7L))
+    q.processAllAvailable()
+    // 10:16 is 6 min after the true last event (10:10) → same session
+    input.addData((ts(16), 7L))
+    q.processAllAvailable()
+    // time the session out with a far-future event from another user
+    input.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 8L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fmgws_late")
+      .filter(col("user") === 7L)
+      .select("sess_start_ms", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly ONE session, started at the (late) earliest event, n=3 —
+    // the pre-fix code closed a bogus session at 10:16
+    assert(rows == Set((ts(5).getTime, 3L)), rows.toString)
+  }
 }
