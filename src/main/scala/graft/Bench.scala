@@ -57,11 +57,15 @@ object Bench {
     }
     val retried = firstPass.collect { case (n, t) if t > cutoff => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failures are OMITTED from the per-query map (so summing it equals
+    // "value") and listed explicitly instead of hiding behind -1.0
+    val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retried_outliers":$retried}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retried_outliers":$retried,"failed":$failed}"""
     // canonical machine-readable copy (stdout can interleave with
     // Spark/sbt log noise; BENCH_r01 came back parsed:null that way)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
