@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -25,7 +27,10 @@ import graft.operators.DetParams
   *
   * Null handling matches the HOF spelling: null elements are skipped
   * (`transform` maps them to null, `array_min` ignores nulls); an
-  * array with no non-null elements yields all-null slots.
+  * array with no non-null elements yields all-null slots; a NULL
+  * input array yields a NON-null array of K nulls (the HOF's outer
+  * `array(...)` constructor never returns null), so this expression
+  * is never null.
   *
   * Domain: element values in [0, 2^32) (md5Hash32 outputs) — with
   * a < 2^30 the affine map then stays below 2^62. Outside that domain
@@ -34,7 +39,7 @@ import graft.operators.DetParams
 case class MinHashSignature(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -42,12 +47,21 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
       s"minhash_signature expects array<bigint>, got $t")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    MinHashHelper.signature(input.asInstanceOf[ArrayData])
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => MinHashHelper.nullSignature()
+    case arr  => MinHashHelper.signature(arr.asInstanceOf[ArrayData])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.MinHashHelper.signature($c);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      $javaType ${ev.value} = ${childGen.isNull} ?
+        graft.plans.MinHashHelper.nullSignature() :
+        graft.plans.MinHashHelper.signature(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -69,6 +83,11 @@ object MinHashHelper {
   private val A = DetParams.minhashA
   private val B = DetParams.minhashB
   private val P = DetParams.MinhashP
+
+  /** HOF-parity value for a NULL input array: `array(array_min(
+    * transform(null, ..)), ..)` is a non-null array of K nulls. */
+  def nullSignature(): GenericArrayData =
+    new GenericArrayData(new Array[Any](K))
 
   def signature(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
@@ -112,11 +131,13 @@ object MinHashHelper {
   * Null handling matches the HOF spelling: a null element poisons
   * every per-bit `aggregate` sum to null, whose `> 0` check then
   * falls to the `otherwise(0)` branch — so ANY null element yields
-  * fingerprint 0 (as does an empty array). */
+  * fingerprint 0 (as does an empty array). A NULL input array takes
+  * the same null-poisoned path (`aggregate(null, ..)` is null), so it
+  * also yields 0, never NULL — this expression is never null. */
 case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -124,12 +145,19 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       s"simhash60 expects array<bigint>, got $t")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    SimHash60Helper.simhash(input.asInstanceOf[ArrayData])
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => 0L
+    case arr  => SimHash60Helper.simhash(arr.asInstanceOf[ArrayData])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.SimHash60Helper.simhash($c);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      long ${ev.value} = ${childGen.isNull} ? 0L :
+        graft.plans.SimHash60Helper.simhash(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)

@@ -81,11 +81,21 @@ private[sources] class EnvelopeScan(path: String, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
+    // fail at PLANNING time with a clear message: a missing path would
+    // otherwise surface as NoSuchFileException inside a task, and
+    // listFiles() returns null (not empty) on IO/permission errors.
+    if (!dir.exists())
+      throw new IllegalArgumentException(
+        s"graft-envelope path does not exist: $path")
     val files =
-      if (dir.isDirectory)
-        dir.listFiles().filter(f =>
+      if (dir.isDirectory) {
+        val listed = dir.listFiles()
+        if (listed == null)
+          throw new java.io.IOException(
+            s"graft-envelope cannot list directory (IO/permission error): $path")
+        listed.filter(f =>
           f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      else Array(dir)
+      } else Array(dir)
     files.sortBy(_.getName)
       .map(f => EnvelopeInputPartition(f.getAbsolutePath): InputPartition)
   }

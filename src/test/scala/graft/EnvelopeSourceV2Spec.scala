@@ -47,4 +47,17 @@ class EnvelopeSourceV2Spec extends AnyFunSuite with SparkSessionFixture {
     assert(!scan.contains("[value,file]"), scan)
     assert(pruned.head().getString(0).contains("only text"))
   }
+
+  test("missing path fails at planning with a clear error") {
+    val missing = "/tmp/env_v2_does_not_exist_" + System.nanoTime()
+    val ex = intercept[Exception] {
+      spark.read.format("graft-envelope").load(missing).count()
+    }
+    // the planning-time IllegalArgumentException may be wrapped by the
+    // exec layer; the message must survive and name the path
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m.contains("does not exist") && m.contains(missing)), ex.toString)
+  }
 }

@@ -96,4 +96,30 @@ class SignatureExprsSpec extends AnyFunSuite with SparkSessionFixture {
     // null element → simhash 0 (HOF's null-poisoned aggregate)
     assert(rows(2).getLong(3) == 0L)
   }
+
+  test("NULL input array parity: non-null K-null minhash, simhash 0") {
+    import spark.implicits._
+    // HOF spellings never return NULL for a null array: the minhash
+    // outer array(..) constructor yields K nulls, and simhash's
+    // null-poisoned aggregates fall to otherwise(0). The codegen
+    // expressions must agree (reachable via withSimhash on a null
+    // tokens column: transform(null, ..) -> null hash array).
+    val df = Seq((1, null: Seq[java.lang.Long]), (2, Seq[java.lang.Long](7L)))
+      .toDF("id", "hs")
+    val rows = df.select(
+        col("id"),
+        MinHashSignature(col("hs")).as("mh_fast"),
+        DedupOps.minhashFromHashes(col("hs")).as("mh_slow"),
+        SimHash60(col("hs")).as("sh_fast"),
+        DedupOps.simhashFromHashes(col("hs")).as("sh_slow"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[java.lang.Long](1) == r.getSeq[java.lang.Long](2),
+        s"minhash mismatch id=${r.getInt(0)}")
+      assert(r.get(3) == r.get(4), s"simhash mismatch id=${r.getInt(0)}")
+    }
+    val nullRow = rows(0)
+    assert(!nullRow.isNullAt(1) && nullRow.getSeq[java.lang.Long](1).forall(_ == null))
+    assert(!nullRow.isNullAt(3) && nullRow.getLong(3) == 0L)
+  }
 }
