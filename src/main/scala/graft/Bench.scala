@@ -49,10 +49,15 @@ object Bench {
     val ok = firstPass.values.filter(_ >= 0).toSeq.sorted
     val median = if (ok.isEmpty) 0.0 else ok(ok.size / 2)
     val cutoff = math.max(10.0, 3 * median)
+    // retry slow outliers (report the min) AND first-pass failures
+    // (a one-off environment hiccup shouldn't report a working query
+    // as failed; a real failure fails twice and stays -1.0)
     val results = firstPass.map { case (name, t) =>
       if (t > cutoff) {
         val retry = runOnce(name, selected(name))
         name -> (if (retry >= 0) math.min(t, retry) else t)
+      } else if (t < 0) {
+        name -> runOnce(name, selected(name))
       } else name -> t
     }
     val retried = firstPass.collect { case (n, t) if t > cutoff => "\"" + n + "\"" }

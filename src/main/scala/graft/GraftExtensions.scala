@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, VectorDotProduct}
+import graft.plans.{HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, SketchBands, VectorDotProduct}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -24,6 +24,7 @@ import graft.plans.{HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingH
   *   simhash60(hs)            60-bit SimHash over hashed tokens
   *   hashed_trigrams32(s)     distinct hashed char-trigrams of a string
   *   rolling_hash_min(s)      min 8-char-window polynomial hash
+  *   sketch_bands(emb)        sign-LSH band-key strings of a vector
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -57,7 +58,8 @@ object GraftExtensions {
     unary("minhash_signature", classOf[MinHashSignature], MinHashSignature(_: Expression)),
     unary("simhash60", classOf[SimHash60], SimHash60(_: Expression)),
     unary("hashed_trigrams32", classOf[HashedTrigrams32], HashedTrigrams32(_: Expression)),
-    unary("rolling_hash_min", classOf[RollingHashMin], RollingHashMin(_: Expression)))
+    unary("rolling_hash_min", classOf[RollingHashMin], RollingHashMin(_: Expression)),
+    unary("sketch_bands", classOf[SketchBands], SketchBands(_: Expression)))
 
   /** Idempotent registration into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -52,10 +52,21 @@ object SimilarityOps {
       zip_with(emb, typedLit(plane.toSeq), (x, p) => x.cast("double") * p),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Sign-LSH band keys for an embedding column: [[DetParams.PlaneBandsCount]]
-    * keys, each a [[DetParams.PlaneBitsPerBand]]-char bit string from the
-    * signs of dots with fixed hyperplanes. */
-  def sketchBandKeys(emb: Column): Seq[Column] =
+  /** Sign-LSH band keys as one array column — the codegen one-pass
+    * expression ([[graft.plans.SketchBands]]): all
+    * [[DetParams.NumPlanes]] plane dots accumulate in a single walk of
+    * the vector. Value-identical to [[sketchBandKeysHof]]; hot paths
+    * (d5 / s2) use this. */
+  def sketchBands(emb: Column): Column = graft.plans.SketchBands(emb)
+
+  /** Sign-LSH band keys, built-in HOF spelling ([[DetParams.NumPlanes]]
+    * interpreted `aggregate(zip_with(...))` passes per vector):
+    * [[DetParams.PlaneBandsCount]] keys, each a
+    * [[DetParams.PlaneBitsPerBand]]-char bit string from the signs of
+    * dots with fixed hyperplanes. Kept as the value-parity oracle for
+    * the codegen [[graft.plans.SketchBands]] — the DuckDB oracle SQL
+    * is written against this spelling. */
+  def sketchBandKeysHof(emb: Column): Seq[Column] =
     (0 until PlaneBandsCount).map { b =>
       val bits = (0 until PlaneBitsPerBand).map { j =>
         when(planeDot(emb, hyperplanes(b * PlaneBitsPerBand + j)) > 0,
@@ -97,7 +108,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     def banded(df: DataFrame, id: String, emb: String, nrm: String, key: String) =
       df.withColumn(nrm, l2norm(col(emb)))
-        .withColumn(key, explode(array(sketchBandKeys(col(emb)): _*)))
+        .withColumn(key, explode(sketchBands(col(emb))))
     val qb = broadcast(banded(
       queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
       "q_id", "q_emb", "q_nrm", "q_bkey"))
@@ -259,7 +270,11 @@ object SimilarityOps {
                             threshold: Double): DataFrame = {
     val banded = corpus.select(col(idCol), col(embCol))
       .withColumn("nrm", l2norm(col(embCol)))
-      .withColumn("bkey", explode(array(sketchBandKeys(col(embCol)): _*)))
+      .withColumn("bkey", explode(sketchBands(col(embCol))))
+      // shuffle-hash, not broadcast: both self-join sides then shuffle
+      // the SAME child on the same keys and ReusedExchange computes the
+      // sketch pass once (mirrors minhashCandidatePairs / d3b).
+      .hint("shuffle_hash")
     // score per band collision, filter at the threshold FIRST (cuts
     // ~500k collision rows to the handful of near-dups), then distinct
     // the small survivors — deduplicating collisions before scoring

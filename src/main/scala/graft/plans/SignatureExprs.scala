@@ -85,9 +85,13 @@ object MinHashHelper {
   private val P = DetParams.MinhashP
 
   /** HOF-parity value for a NULL input array: `array(array_min(
-    * transform(null, ..)), ..)` is a non-null array of K nulls. */
-  def nullSignature(): GenericArrayData =
+    * transform(null, ..)), ..)` is a non-null array of K nulls.
+    * Shared immutable instance (no per-row allocation on the codegen
+    * path): consumers copy when writing into unsafe rows. */
+  private val NullSig: GenericArrayData =
     new GenericArrayData(new Array[Any](K))
+
+  def nullSignature(): GenericArrayData = NullSig
 
   def signature(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()

@@ -119,6 +119,7 @@ object StreamPipeline {
     * because this writer is the table's only producer between
     * restarts. */
   def mergeSchemaParquetWriter(path: String): (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     // accumulated union schema; None until first probe
     var known: Option[StructType] = None
     (batch: DataFrame, batchId: Long) => {
@@ -129,12 +130,27 @@ object StreamPipeline {
             .parquet(path).schema).toOption
       }
       val aligned = known.fold(withId) { old =>
-        val have = withId.columns.toSet
-        old.fields.filterNot(f => have.contains(f.name))
-          .foldLeft(withId)((d, f) =>
-            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val batchTypes = withId.schema.fields.map(f => f.name -> f.dataType).toMap
+        old.fields.foldLeft(withId) { (d, f) =>
+          batchTypes.get(f.name) match {
+            // column the table has but this batch lacks: typed null
+            case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+            case Some(t) if t == f.dataType => d
+            // column re-appearing under a different type: cast back to
+            // the recorded type when lossless (int batch into a long
+            // table), otherwise fail the batch NOW with a clear error —
+            // writing as-is would poison every later mergeSchema read
+            // of the table with a footer-level type conflict
+            case Some(t) if Cast.canUpCast(t, f.dataType) =>
+              d.withColumn(f.name, col(f.name).cast(f.dataType))
+            case Some(t) => throw new IllegalStateException(
+              s"mergeSchema conflict on column '${f.name}': table has " +
+                s"${f.dataType.simpleString}, batch $batchId has " +
+                s"${t.simpleString} (no lossless cast)")
+          }
+        }
       }
-      known = Some(aligned.schema) // fold this batch's columns in
+      known = Some(aligned.schema) // fold this batch's new columns in
       aligned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
@@ -203,17 +219,33 @@ object StreamPipeline {
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                         userCol: String, tsCol: String,
                         horizon: String, watermark: String): DataFrame = {
-    val c = clicks.withWatermark(tsCol, watermark)
-      .select(col(userCol).as("user"), col(tsCol).as("click_ts"),
-        col("*"))
+    // the join itself runs on __cpj_-prefixed internals, so key/time
+    // columns named "user"/"click_ts"/etc. never collide; only a
+    // *payload* click column carrying one of the reserved output names
+    // is rejected (fail fast at construction, not mid-stream)
+    val reserved = Seq("user", "click_ts", "purchase_ts")
+    val payload = clicks.columns.toSeq.diff(Seq(userCol, tsCol))
+    val clash = payload.intersect(reserved)
+    require(clash.isEmpty,
+      s"clickPurchaseJoin reserves output columns ${reserved.mkString("/")}; " +
+        s"rename click input column(s): ${clash.mkString(", ")}")
+    val c = clicks
+      .withColumn("__cpj_user", col(userCol))
+      .withColumn("__cpj_click_ts", col(tsCol))
       .drop(userCol, tsCol)
-    val p = purchases.withWatermark(tsCol, watermark)
-      .select(col(userCol).as("p_user"), col(tsCol).as("purchase_ts"))
+      .withWatermark("__cpj_click_ts", watermark)
+    val p = purchases
+      .select(col(userCol).as("__cpj_p_user"),
+        col(tsCol).as("__cpj_purchase_ts"))
+      .withWatermark("__cpj_purchase_ts", watermark)
     c.join(p,
-      col("user") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $horizon") &&
-        col("purchase_ts") <= col("click_ts"))
-      .drop("p_user")
+      col("__cpj_user") === col("__cpj_p_user") &&
+        col("__cpj_purchase_ts") >= col("__cpj_click_ts") - expr(s"INTERVAL $horizon") &&
+        col("__cpj_purchase_ts") <= col("__cpj_click_ts"))
+      .drop("__cpj_p_user")
+      .withColumnRenamed("__cpj_user", "user")
+      .withColumnRenamed("__cpj_click_ts", "click_ts")
+      .withColumnRenamed("__cpj_purchase_ts", "purchase_ts")
   }
 
   /** Streaming sessionization with custom state via

@@ -130,6 +130,33 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.option("mergeSchema", "true").parquet(outDir).count() == 3L)
   }
 
+  test("mergeSchema writer casts or rejects a re-typed column (S7)") {
+    import spark.implicits._
+    val outDir = tmp("febretype_out")
+    val write = StreamPipeline.mergeSchemaParquetWriter(outDir)
+
+    // batch 0 records `score` as long
+    write(Seq(("a", 10L)).toDF("message", "score"), 0L)
+    // batch 1 re-sends `score` as int: lossless upcast back to long,
+    // the table stays readable with one footer type
+    write(Seq(("b", 7)).toDF("message", "score"), 1L)
+    val out = spark.read.option("mergeSchema", "true").parquet(outDir)
+    assert(out.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.select("score").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(7L, 10L)))
+
+    // batch 2 re-sends `score` as string: no lossless cast — the batch
+    // must FAIL (writing as-is would poison later mergeSchema reads)
+    val err = intercept[IllegalStateException] {
+      write(Seq(("c", "oops")).toDF("message", "score"), 2L)
+    }
+    assert(err.getMessage.contains("score"))
+    // and the failed batch wrote nothing
+    assert(spark.read.option("mergeSchema", "true").parquet(outDir)
+      .count() == 2L)
+  }
+
   test("incremental batch (AvailableNow) processes only new files per run") {
     val srcDir = tmp("incr_src")
     val outDir = tmp("incr_out")

@@ -115,6 +115,42 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows(0).getString(2) == "2026-01-01 10:01:00")
   }
 
+  test("stream-stream join accepts inputs already named user/click_ts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // key/time columns carrying the reserved output names themselves —
+    // the pre-fix implementation broke at analysis on the self-shadowing
+    // select(col("user").as("user"), col("*")).drop("user")
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val joined = StreamPipeline.clickPurchaseJoin(
+      clicks.toDF().toDF("click_ts", "user"),
+      purchases.toDF().toDF("click_ts", "user"),
+      "user", "click_ts", horizon = "10 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join_resv")
+      .outputMode("append").start()
+    purchases.addData((ts(1), 7L))
+    clicks.addData((ts(8), 7L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join_resv")
+      .select(col("user"), col("purchase_ts").cast("string")).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    assert(rows(0).getLong(0) == 7L)
+    assert(rows(0).getString(1) == "2026-01-01 10:01:00")
+
+    // a PAYLOAD column squatting a reserved name is rejected up front
+    val bad = intercept[IllegalArgumentException] {
+      StreamPipeline.clickPurchaseJoin(
+        spark.range(1).select(col("id").as("uid"),
+          current_timestamp().as("t"), lit("x").as("purchase_ts")),
+        spark.range(1).select(col("id").as("uid"),
+          current_timestamp().as("t")),
+        "uid", "t", horizon = "10 minutes", watermark = "5 minutes")
+    }
+    assert(bad.getMessage.contains("purchase_ts"))
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
