@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, SketchBands, VectorDotProduct}
+import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, SketchBands, VectorDotProduct}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -25,6 +25,7 @@ import graft.plans.{HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingH
   *   hashed_trigrams32(s)     distinct hashed char-trigrams of a string
   *   rolling_hash_min(s)      min 8-char-window polynomial hash
   *   sketch_bands(emb)        sign-LSH band-key strings of a vector
+  *   edit_distance_bounded(a, b, k)  Myers bit-parallel levenshtein <= k
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -52,8 +53,22 @@ object GraftExtensions {
       VectorDotProduct(children.head, children(1))
     }): Builder)
 
+  private val editDistBounded = (
+    FunctionIdentifier("edit_distance_bounded"),
+    new ExpressionInfo(classOf[EditDistanceBounded].getName, "edit_distance_bounded"),
+    ((children: Seq[Expression]) => {
+      require(children.length == 3, "edit_distance_bounded takes exactly 3 arguments")
+      val k = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "edit_distance_bounded threshold must be an INT literal")
+      }
+      EditDistanceBounded(children.head, children(1), k)
+    }): Builder)
+
   private val all = Seq(
     vecDot,
+    editDistBounded,
     unary("md5_hash32_array", classOf[Md5Hash32Array], Md5Hash32Array(_: Expression)),
     unary("minhash_signature", classOf[MinHashSignature], MinHashSignature(_: Expression)),
     unary("simhash60", classOf[SimHash60], SimHash60(_: Expression)),

@@ -147,4 +147,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
       assert(bf.contains(key) && bf(key) == r.getDouble(2))
     }
   }
+
+  test("nearDuplicatePairsReleasable: release() leaves no cached blocks") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (pairs, release) = DedupOps.nearDuplicatePairsReleasable(
+      docs, "doc_id", "text", threshold = 0.6)
+    assert(pairs.count() >= 0) // action materializes the persisted table
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "trigram table still cached after release()")
+  }
 }
