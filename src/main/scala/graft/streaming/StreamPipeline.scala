@@ -327,4 +327,94 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("__sigkey")
       .drop("__hs", "__sigkey")
   }
+
+  /** Band-level streaming MinHash dedup — the recall twin of batch
+    * d2b ([[minhashDedupWithinWatermark]] is the precision end: it
+    * suppresses only signature-exact repeats). A document is a
+    * near-dup if ANY of its [[graft.operators.DetParams.MinhashBands]]
+    * LSH band keys was seen before within the watermark horizon.
+    *
+    * Shape: one `flatMapGroupsWithState` keyed per band key — state is
+    * one (lastSeen) long per live band key, so b entries per surviving
+    * document inside the horizon (the state-cost trade-off
+    * [[minhashDedupWithinWatermark]]'s doc notes). Chaining a second
+    * stateful operator after flatMapGroupsWithState is unsupported, so
+    * the per-document collapse of the b per-band decisions runs
+    * batch-locally: every band row of a document is processed in the
+    * same micro-batch, so this stream emits per-(doc, band) decision
+    * rows and [[collapseBandDecisions]] reduces them inside a
+    * `foreachBatch` sink (a plain batch aggregation there).
+    *
+    * Semantics: first-wins by (event time, row tag); a later document
+    * colliding with any previously seen band is suppressed — including
+    * bands of documents that were themselves suppressed (transitive
+    * suppression, the standard streaming-LSH behavior: the cluster's
+    * first representative survives). Output columns:
+    * `rid, ts, text, bkey, collided`. */
+  def minhashBandDedupStream(df: DataFrame, textCol: String, tsCol: String,
+                             watermarkMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = df.sparkSession
+    import spark.implicits._
+    // row tag: stable across the row's b band rows; streaming forbids
+    // monotonically_increasing_id, so tag = md5(text, ts) and
+    // collapseBandDecisions keeps exactly one of tag-identical rows
+    val banded = df
+      .select(col(tsCol).cast("timestamp").as("__ts"),
+        col(textCol).cast("string").as("__text"))
+      .withWatermark("__ts", s"$watermarkMs milliseconds")
+      .withColumn("__rid",
+        md5(concat_ws(" ", col("__text"), col("__ts").cast("string"))))
+      .withColumn("__hs", graft.plans.HashedTrigrams32(col("__text")))
+      .withColumn("__sig", graft.plans.MinHashSignature(col("__hs")))
+      .withColumn("__bkey", explode(array(
+        graft.operators.DedupOps.bandKeys(col("__sig")): _*)))
+      .select(col("__bkey"), col("__rid"), col("__ts"), col("__text"))
+      .as[(String, String, java.sql.Timestamp, String)]
+
+    def fn(bkey: String,
+           rows: Iterator[(String, String, java.sql.Timestamp, String)],
+           state: GroupState[Long]) // last event-time this key was seen
+        : Iterator[(String, java.sql.Timestamp, String, String, Boolean)] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+        var seen = state.getOption.isDefined
+        var last = state.getOption.getOrElse(0L)
+        val out = sorted.map { case (_, rid, ts, text) =>
+          val collided = seen
+          seen = true
+          last = math.max(last, ts.getTime)
+          (rid, ts, text, bkey, collided)
+        }
+        state.update(last)
+        state.setTimeoutTimestamp(math.max(last + watermarkMs,
+          state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
+
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OM.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF("rid", "ts", "text", "bkey", "collided")
+  }
+
+  /** Batch-side reduction of [[minhashBandDedupStream]] decision rows
+    * (run inside a `foreachBatch` sink): a document survives iff its
+    * FIRST occurrence collided in none of its bands. Per (rid, bkey)
+    * the first occurrence's flag is the min (later tag-identical
+    * repeats are always flagged), so survivors have
+    * max over bands of min over repeats == false; tag-identical
+    * repeats collapse to exactly one surviving row. */
+  def collapseBandDecisions(decisions: DataFrame): DataFrame =
+    decisions
+      .groupBy(col("rid"), col("ts"), col("text"), col("bkey"))
+      .agg(min(col("collided")).as("__first_collided"))
+      .groupBy(col("rid"), col("ts"), col("text"))
+      .agg(max(col("__first_collided")).as("__suppressed"))
+      .filter(!col("__suppressed"))
+      .select(col("ts"), col("text"))
 }

@@ -151,6 +151,58 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(bad.getMessage.contains("purchase_ts"))
   }
 
+  test("band-level minhash dedup suppresses a near-dup exact-sig dedup keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // pick, from real documents, a pair sharing >= 1 LSH band but NOT
+    // the full signature: signature-exact dedup keeps both, the
+    // band-level stream must suppress the later one
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = DedupOps.withMinhashSignature(docs, "doc_id", "text")
+      .withColumn("sigkey",
+        md5(concat_ws(",", transform(col("sig"), _.cast("string")))))
+    val cand = DedupOps.minhashCandidatePairs(docs, "doc_id", "text")
+      .join(sig.select(col("doc_id").as("doc_a"), col("sigkey").as("ka")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sigkey").as("kb")), "doc_b")
+      .filter(col("ka") =!= col("kb"))
+      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b").head()
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").head().getString(0)
+    val ta = textOf(cand.getLong(0))
+    val tb = textOf(cand.getLong(1))
+
+    val input = MemoryStream[(Timestamp, String)]
+    val decisions = StreamPipeline.minhashBandDedupStream(
+      input.toDF().toDF("ts", "text"), "text", "ts",
+      watermarkMs = 60 * 60 * 1000)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = decisions.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept.synchronized {
+          kept ++= StreamPipeline.collapseBandDecisions(b)
+            .collect().map(_.getString(1))
+        }
+        ()
+      }.start()
+    // exact in-batch repeat of ta: exactly one survives
+    input.addData((ts(1), ta), (ts(1), ta))
+    q.processAllAvailable()
+    // near-dup inside the watermark: >= 1 shared band → suppressed
+    input.addData((ts(2), tb))
+    q.processAllAvailable()
+    // unrelated text: no shared band → kept
+    input.addData((ts(3), "completely unrelated fresh prose about gardening tools"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(kept.count(_ == ta) == 1, s"ta kept ${kept.count(_ == ta)} times")
+    assert(!kept.contains(tb), "band-colliding near-dup was not suppressed")
+    assert(kept.exists(_.contains("gardening")))
+    assert(kept.size == 2)
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
