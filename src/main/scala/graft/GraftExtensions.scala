@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, SketchBands, VectorDotProduct}
+import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, VectorDotProduct}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -26,6 +26,7 @@ import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHa
   *   rolling_hash_min(s)      min 8-char-window polynomial hash
   *   sketch_bands(emb)        sign-LSH band-key strings of a vector
   *   edit_distance_bounded(a, b, k)  Myers bit-parallel levenshtein <= k
+  *   sorted_intersect_count(a, b)    merge-scan |a ∩ b| of sorted arrays
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -66,9 +67,18 @@ object GraftExtensions {
       EditDistanceBounded(children.head, children(1), k)
     }): Builder)
 
+  private val sortedIntersect = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    ((children: Seq[Expression]) => {
+      require(children.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+      SortedIntersectCount(children.head, children(1))
+    }): Builder)
+
   private val all = Seq(
     vecDot,
     editDistBounded,
+    sortedIntersect,
     unary("md5_hash32_array", classOf[Md5Hash32Array], Md5Hash32Array(_: Expression)),
     unary("minhash_signature", classOf[MinHashSignature], MinHashSignature(_: Expression)),
     unary("simhash60", classOf[SimHash60], SimHash60(_: Expression)),

@@ -205,8 +205,14 @@ object DedupOps {
   def nearDuplicatePairsReleasable(docs: DataFrame, idCol: String,
                                    textCol: String, threshold: Double)
       : (DataFrame, () => Unit) = {
+    // sorted once per document: the MinHash minima and `size` below are
+    // order-invariant, and sorting lets the verify stage count the
+    // intersection with an allocation-free merge scan
+    // ([[graft.plans.SortedIntersectCount]]) instead of a per-pair
+    // hash-set build
     val tg = docs
-      .select(col(idCol), graft.plans.HashedTrigrams32(col(textCol)).as("tgh"))
+      .select(col(idCol),
+        array_sort(graft.plans.HashedTrigrams32(col(textCol))).as("tgh"))
       .withColumn("ntg", size(col("tgh")))
       .persist()
     // min over distinct hashes == min over hashes-of-distinct-trigrams,
@@ -227,7 +233,8 @@ object DedupOps {
       .join(tg.as("a"), col("doc_a") === col(s"a.$idCol"))
       .join(tg.as("b"), col("doc_b") === col(s"b.$idCol"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("a.tgh"), col("b.tgh"))).as("i"),
+        graft.plans.SortedIntersectCount.of(
+          col("a.tgh"), col("b.tgh")).as("i"),
         (col("a.ntg") + col("b.ntg")).as("st"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("st") - col("i"))).as("jac_raw"))
