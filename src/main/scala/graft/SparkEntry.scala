@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextOps
 import graft.ml.{ModelLoader, SentimentModel, SentimentScorer}
-import graft.operators.{CorpusOps, DedupOps, DetParams, SimilarityOps}
+import graft.operators.{CorpusOps, DedupOps, DetParams, GraphOps, SimilarityOps}
 
 /** Driver contract — flagship entry, per-operator query inventory, and
   * the DuckDB oracle SQL for each SQL-expressible query.
@@ -589,6 +589,70 @@ object SparkEntry {
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .select(col("doc_id"), col("bucket"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / 4096).as("bin"))
+    }),
+
+    // near-dup cluster closure: the pair detectors (d2b..d6) emit
+    // pairs; an actual dedup pass needs the transitive closure and one
+    // representative per cluster. MinHash-LSH candidate pairs →
+    // connected components (alternating large-star/small-star,
+    // O(log^2 n) shuffle rounds — never a driver-side union-find) →
+    // cluster label = component-min doc id + cluster size.
+    "d7_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.minhashCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text")
+      GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    }),
+
+    // train/benchmark decontamination (the GPT-3-appendix pattern):
+    // flag training docs sharing any word 5-gram with a held-out set.
+    // The held-out split is hash-deterministic (reproducible across
+    // runs/cluster sizes); gram hashes are md5 so the oracle matches
+    // exactly. At 100 TB the benchmark gram set is tiny vs the corpus
+    // — broadcast it; the corpus side stays narrow (explode + one
+    // broadcast-join probe, no corpus shuffle before the per-doc agg).
+    "d8_decontaminate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"),
+          (pmod(DedupOps.md5Hash32(col("doc_id").cast("string")), lit(10)) === 0)
+            .as("is_test"))
+        .select(col("doc_id"), col("is_test"),
+          explode(when(size(col("toks")) >= 5,
+            transform(sequence(lit(1), size(col("toks")) - 4),
+              i => md5(concat_ws(" ", slice(col("toks"), i, lit(5))))))
+            .otherwise(array().cast("array<string>"))).as("gh"))
+      val testGrams = grams.filter(col("is_test")).select(col("gh")).distinct()
+      grams.filter(!col("is_test"))
+        .join(broadcast(testGrams), "gh")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("gh")).as("n_shared"))
+    }),
+
+    // repetition-based quality (Gopher-style): repeated-word fraction
+    // and the most-frequent-bigram share of all word bigrams. The
+    // bigram mode is explode → (doc, bigram) count → per-doc max/sum —
+    // two key-partitioned aggregations, no per-doc state beyond the
+    // group row, so the shape is flat at any corpus size.
+    "t9_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+      val bi = d.select(col("doc_id"),
+          explode(when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("maxc"), sum(col("cnt")).as("sumc"))
+      d.select(col("doc_id"),
+          (lit(1) - size(array_distinct(col("toks"))).cast("double") /
+            nullif(size(col("toks")), lit(0))).as("dup_word_frac"))
+        .join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_word_frac"),
+          (col("maxc").cast("double") / col("sumc")).as("top_bigram_frac"))
     })
   )
 
@@ -964,7 +1028,63 @@ object SparkEntry {
         |    list_reduce(list_transform(range(0,8), j ->
         |      CAST(ord(substr(text, CAST(i+j AS INT), 1)) AS BIGINT)),
         |      (a,b) -> (a*257 + b) % 1000000007)))
-        |  ELSE NULL END AS roll_fp FROM documents""".stripMargin
+        |  ELSE NULL END AS roll_fp FROM documents""".stripMargin,
+    // connected components as a recursive reachability closure (min
+    // reachable id per node == component min); edge set is the d2b
+    // candidate-pair spelling. MATERIALIZED is load-bearing: DuckDB
+    // inlines CTEs by default, which would re-evaluate the whole
+    // minhash chain on every recursion step (>100x slower).
+    "d7_dedup_clusters" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |banded AS ($branches),
+         |pairs AS MATERIALIZED (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS csize FROM lab""".stripMargin
+    },
+    "d8_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test
+         |  FROM documents),
+         |g AS (SELECT doc_id, is_test,
+         |    unnest(CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> md5(array_to_string(toks[i:i+4], ' ')))
+         |      ELSE []::VARCHAR[] END) AS gh
+         |  FROM d)
+         |SELECT t.doc_id, count(DISTINCT t.gh) AS n_shared
+         |FROM g t JOIN (SELECT DISTINCT gh FROM g WHERE is_test) s
+         |  ON t.gh = s.gh
+         |WHERE NOT t.is_test
+         |GROUP BY t.doc_id""".stripMargin,
+    "t9_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) >= 2 THEN
+         |      list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE []::VARCHAR[] END) AS bg
+         |  FROM d),
+         |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
+         |m AS (SELECT doc_id, max(cnt) AS maxc, sum(cnt) AS sumc
+         |  FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  1 - CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)
+         |    AS dup_word_frac,
+         |  CAST(maxc AS DOUBLE) / sumc AS top_bigram_frac
+         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
   )
 }
 

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph operators for dedup pipelines.
+  *
+  * The near-duplicate detectors (d2b/d3b/d4/d5/d6) emit *pairs*; an
+  * actual dedup pass needs *clusters* — near-duplication is transitive
+  * in practice (A~B, B~C ⇒ keep one of {A,B,C}) — and then one
+  * representative per cluster. That closure is connected components
+  * over the pair graph.
+  */
+object GraphOps {
+
+  /** Connected components over an undirected edge list via the
+    * alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014).
+    *
+    * 100 TB shape: each round is two star operations, and each star is
+    * one key-partitioned aggregation plus one join on the same key —
+    * no adjacency list, component, or label table is ever
+    * materialized on a single machine, and the driver sees only a
+    * (count, xor-checksum) pair per round for the convergence test.
+    * Round count is O(log^2 n) in the worst case and a handful in
+    * practice, which is why this shape survives web-scale graphs where
+    * min-label propagation (graph-diameter rounds) and driver-side
+    * union-find (all edges on the driver) both fail.
+    *
+    * Returns (node, component): one row per distinct node appearing in
+    * any edge, component = minimum node id of its connected component.
+    * The fixpoint (every node starred to its component min) is unique,
+    * so the result is deterministic regardless of execution order.
+    *
+    * Each round's edge set is persisted (the next round consumes it
+    * twice: grouped mins + join back) and the previous round's is
+    * released eagerly; the fixpoint edge set backing the returned
+    * DataFrame stays persisted — callers running query loops should
+    * use [[connectedComponentsReleasable]] and release after their
+    * action (the Bench/Verify harness instead clearCache()s between
+    * queries).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxRounds: Int = 50): DataFrame =
+    connectedComponentsReleasable(edges, srcCol, dstCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus an explicit release hook for the
+    * persisted fixpoint edge set. */
+  def connectedComponentsReleasable(edges: DataFrame, srcCol: String,
+                                    dstCol: String, maxRounds: Int = 50)
+      : (DataFrame, () => Unit) = {
+    // canonical undirected form: (u, v) with u < v, self-loops dropped
+    val init = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    // Iterative plans on Spark MUST truncate lineage every round:
+    // persist() caches *data* but each round's logical plan still
+    // nests the previous one (~6x nodes per round here), so analysis
+    // alone goes super-linear after a few rounds. After materializing
+    // the round into cache we rewrap it as a fresh LogicalRDD leaf —
+    // the same reason GraphFrames checkpoints between Pregel steps.
+    // (At cluster scale a reliable checkpoint() adds fault tolerance;
+    // local/cached truncation is the single-job equivalent.)
+    var handle = init.persist(StorageLevel.MEMORY_AND_DISK)
+    var curSig = signature(handle)
+    var cur = truncated(handle)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"connectedComponents did not converge within $maxRounds rounds")
+      rounds += 1
+      val next = smallStar(largeStar(cur)).persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSig = signature(next)
+      converged = nextSig == curSig
+      handle.unpersist(blocking = false)
+      handle = next
+      curSig = nextSig
+      cur = truncated(next)
+    }
+    // fixpoint: every edge is (componentMin, member); roots map to
+    // themselves (they appear only on the u side)
+    val fixed = handle
+    val labels = cur.select(col("v").as("node"), col("u").as("component"))
+      .union(cur.select(col("u").as("node"), col("u").as("component")).distinct())
+    (labels, () => { fixed.unpersist(blocking = true); () })
+  }
+
+  /** Large-star: every node connects its *larger* neighbors to the
+    * minimum of its closed neighborhood. One groupBy + one join, both
+    * keyed on the node id, so the exchange is reused. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val mins = sym.groupBy("a")
+      .agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    sym.join(mins, "a")
+      .filter(col("b") > col("a"))
+      // emitted edge {b, m} with m <= a < b is already canonical
+      .select(col("m").as("u"), col("b").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its *smaller* neighbors (and
+    * itself) to the minimum of them. Input/output canonical (u < v);
+    * keyed on the larger endpoint. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+    val linked = e.join(mins, "v")
+      // neighbor u >= m; u == m would be a self-loop
+      .filter(col("u") =!= col("m"))
+      .select(col("m").as("u"), col("u").as("v"))
+    val self = mins.select(col("m").as("u"), col("v"))
+    linked.union(self).filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Lineage-truncating view of a materialized (persisted) round: a
+    * fresh DataFrame whose plan is a single LogicalRDD leaf over the
+    * cached rows, so round N+1's analysis does not re-walk rounds
+    * 1..N. The Row round-trip is O(edges) per round and only on the
+    * already-shuffled edge set. */
+  private def truncated(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** Cheap order-insensitive edge-set fingerprint for the convergence
+    * test: row count + xor of per-edge 64-bit hashes (xor cannot
+    * overflow, unlike a sum under ANSI arithmetic). */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Unit specs for connected components (large-star/small-star). */
+class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val (labels, release) = GraphOps.connectedComponentsReleasable(
+      edges.toDF("src", "dst"), "src", "dst")
+    try labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally release()
+  }
+
+  /** Reference union-find on the driver. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain, star, cycle, and singleton-edge components") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),     // chain → comp 1
+      (10L, 11L), (10L, 12L), (10L, 13L), // star → comp 10
+      (20L, 21L), (21L, 22L), (22L, 20L), // cycle → comp 20
+      (30L, 31L))                          // single edge → comp 30
+    val got = components(edges)
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("duplicate / reversed / self-loop edges do not change the result") {
+    val got = components(Seq(
+      (2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("long path converges (worst case for star rounds)") {
+    val n = 64L
+    val got = components((1L until n).map(i => (i, i + 1)))
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("random graphs match a driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nNodes = 60 + trial * 30
+      val edges = Seq.fill(nNodes) {
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      assert(components(edges) == unionFind(edges), s"trial $trial")
+    }
+  }
+
+  test("releasable variant leaves no cached blocks after release") {
+    import spark.implicits._
+    spark.catalog.clearCache() // drop any residue from sibling suites
+    val (labels, release) = GraphOps.connectedComponentsReleasable(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
+    assert(labels.count() == 3)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
