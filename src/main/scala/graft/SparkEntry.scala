@@ -653,7 +653,12 @@ object SparkEntry {
         .join(bi, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_word_frac"),
           (col("maxc").cast("double") / col("sumc")).as("top_bigram_frac"))
-    })
+    }),
+
+    // bigram-LM fluency score (CCNet/KenLM-style quality filter):
+    // corpus-fit add-one bigram model, per-doc mean log-probability
+    "t10_bigram_lm" -> ((s, dir) =>
+      CorpusOps.bigramLmScores(t(s, dir, "documents"), "doc_id", cleanTokens))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1084,7 +1089,26 @@ object SparkEntry {
          |  1 - CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)
          |    AS dup_word_frac,
          |  CAST(maxc AS DOUBLE) / sumc AS top_bigram_frac
-         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+    "t10_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, toks FROM
+         |    (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bb AS (SELECT doc_id, b.p AS p, b.w AS w FROM (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> {'p': toks[i], 'w': toks[i+1]})) AS b FROM d)),
+         |c2 AS (SELECT p, w, count(*) AS c2 FROM bb GROUP BY 1, 2),
+         |c1 AS (SELECT p, count(*) AS c1 FROM bb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |  (SELECT unnest($sqlToks) AS w FROM documents)),
+         |m AS (SELECT c2.p, c2.w,
+         |    CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6)
+         |      AS DECIMAL(18,6)) AS logp
+         |  FROM c2 JOIN c1 USING (p) CROSS JOIN v),
+         |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS sl
+         |  FROM bb JOIN m USING (p, w) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS avg_logp
+         |FROM s""".stripMargin
   )
 }
 

@@ -34,4 +34,48 @@ object CorpusOps {
       .orderBy(col("df").desc, col("term"))
       .limit(limit)
   }
+
+  /** Bigram language-model fluency score per document (the
+    * CCNet/KenLM-style quality filter, re-expressed relationally):
+    * fit an add-one-smoothed bigram model on the corpus itself —
+    * P(w|p) = (c(p,w)+1)/(c(p,·)+|V|) — and score each document by
+    * the mean log-probability of its bigrams. Low scores flag
+    * disfluent/garbage text for training-set filtering.
+    *
+    * Scale shape: the model is two key-partitioned counts over the
+    * exploded bigram stream (map-side combined); scoring re-joins the
+    * stream to the model on (p, w) — at corpus scale the model is
+    * orders of magnitude smaller than the corpus (|V|^2 bound, Zipf
+    * in practice) so Spark broadcasts it; nothing ever collects.
+    *
+    * Oracle parity: each probability is one double division and
+    * `round(ln(p), 6)` (the m6 idf recipe), then quantized to
+    * DECIMAL(18,6) so the per-doc sum is exact and order-free; the
+    * final mean is a single double division. Output:
+    * (doc_id, n_bigrams, avg_logp) for docs with >= 2 tokens. */
+  def bigramLmScores(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val d = docs.select(col(idCol), tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bb = d.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("p"),
+            element_at(col("toks"), i + 1).as("w")))).as("b"))
+      .select(col(idCol), col("b.p").as("p"), col("b.w").as("w"))
+    val c2 = bb.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
+    val c1 = bb.groupBy(col("p")).agg(count(lit(1)).as("c1"))
+    // vocabulary over ALL docs (incl. <2-token ones), matching the
+    // unigram universe the smoothing mass is spread over
+    val v = broadcast(docs.select(explode(tokens).as("w"))
+      .agg(count_distinct(col("w")).as("v")))
+    val model = c2.join(c1, "p").crossJoin(v)
+      .select(col("p"), col("w"),
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)").as("logp"))
+    bb.join(model, Seq("p", "w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp")).as("sl"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("sl").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
 }

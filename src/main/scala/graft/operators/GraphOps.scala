@@ -74,6 +74,7 @@ object GraphOps {
       require(rounds < maxRounds,
         s"connectedComponents did not converge within $maxRounds rounds")
       rounds += 1
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(cur)).persist(StorageLevel.MEMORY_AND_DISK)
       val nextSig = signature(next)
       converged = nextSig == curSig
@@ -81,6 +82,8 @@ object GraphOps {
       handle = next
       curSig = nextSig
       cur = truncated(next)
+      System.err.println(f"[cc] round $rounds edges=${nextSig._1} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     // fixpoint: every edge is (componentMin, member); roots map to
     // themselves (they appear only on the u side)
@@ -94,24 +97,35 @@ object GraphOps {
     * minimum of its closed neighborhood. One groupBy + one join, both
     * keyed on the node id, so the exchange is reused. */
   private def largeStar(e: DataFrame): DataFrame = {
+    // shuffle-hash, not broadcast: the groupBy below and this join
+    // then exchange the SAME sym subtree on the same key, so
+    // ReusedExchange evaluates it once per round (the d2b pattern)
     val sym = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
+      .hint("shuffle_hash")
     val mins = sym.groupBy("a")
       .agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
     sym.join(mins, "a")
       .filter(col("b") > col("a"))
-      // emitted edge {b, m} with m <= a < b is already canonical
+      // emitted edge {b, m} with m <= a < b is already canonical.
+      // No distinct here: small-star's terminal distinct canonicalizes
+      // the round, and skipping it saves an exchange per round (the
+      // duplicate factor is bounded by the multiplicity already in sym).
       .select(col("m").as("u"), col("b").as("v"))
-      .distinct()
   }
 
   /** Small-star: every node connects its *smaller* neighbors (and
     * itself) to the minimum of them. Input/output canonical (u < v);
     * keyed on the larger endpoint. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("v").agg(min(col("u")).as("m"))
-    val linked = e.join(mins, "v")
+    // e is the (unpersisted) large-star output, consumed twice; the
+    // shuffle-hash hint makes both consumers exchange it on v and
+    // ReusedExchange computes large-star once per round instead of
+    // twice (a broadcast of mins would re-derive e for the probe side)
+    val eh = e.hint("shuffle_hash")
+    val mins = eh.groupBy("v").agg(min(col("u")).as("m"))
+    val linked = eh.join(mins, "v")
       // neighbor u >= m; u == m would be a self-loop
       .filter(col("u") =!= col("m"))
       .select(col("m").as("u"), col("u").as("v"))
