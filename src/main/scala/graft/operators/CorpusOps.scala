@@ -42,11 +42,15 @@ object CorpusOps {
     * the mean log-probability of its bigrams. Low scores flag
     * disfluent/garbage text for training-set filtering.
     *
-    * Scale shape: the model is two key-partitioned counts over the
-    * exploded bigram stream (map-side combined); scoring re-joins the
-    * stream to the model on (p, w) — at corpus scale the model is
-    * orders of magnitude smaller than the corpus (|V|^2 bound, Zipf
-    * in practice) so Spark broadcasts it; nothing ever collects.
+    * Scale shape: two narrow corpus scans and NO corpus-wide shuffle.
+    * The model-fit shuffle moves only per-partition-distinct bigram
+    * counts (partial agg bounds it by |V|^2 per partition, Zipf-small
+    * in practice), the prefix count c(p,·) folds from c(p,w) instead
+    * of re-counting the stream, and the scoring pass probes the
+    * broadcast model with no exchange at all. (An exchange-reuse
+    * single-scan variant is impossible here: groupBy plants a partial
+    * aggregate under its exchange, so the count's exchange subtree can
+    * never match a join-probe exchange.) Nothing ever collects.
     *
     * Oracle parity: each probability is one double division and
     * `round(ln(p), 6)` (the m6 idf recipe), then quantized to
@@ -62,7 +66,8 @@ object CorpusOps {
             element_at(col("toks"), i + 1).as("w")))).as("b"))
       .select(col(idCol), col("b.p").as("p"), col("b.w").as("w"))
     val c2 = bb.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
-    val c1 = bb.groupBy(col("p")).agg(count(lit(1)).as("c1"))
+    // c(p,.) folds from c(p,w) — no second pass over the bigram stream
+    val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
     // vocabulary over ALL docs (incl. <2-token ones), matching the
     // unigram universe the smoothing mass is spread over
     val v = broadcast(docs.select(explode(tokens).as("w"))
@@ -71,6 +76,8 @@ object CorpusOps {
       .select(col("p"), col("w"),
         round(log((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
           .cast("decimal(18,6)").as("logp"))
+    // no broadcast() pin: a corpus-scale bigram model can outgrow the
+    // broadcast budget, and AQE already broadcasts it when it is small
     bb.join(model, Seq("p", "w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -7,8 +7,8 @@ import scala.collection.JavaConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,6 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - column pruning pushes into the reader
   *    (`SupportsPushDownRequiredColumns`): `select(value)` never
   *    materializes the metadata column and vice versa;
+  *  - predicates on the `file` metadata column push into PLANNING
+  *    (`SupportsPushDownFilters`): equality / IN / prefix filters
+  *    prune whole input partitions before any task launches — the
+  *    file-feed analog of Kafka partition pruning and parquet
+  *    partition-directory pruning. Pruning is conservative: every
+  *    filter is also returned as residual, so Spark re-applies it and
+  *    an unpushable shape costs correctness nothing;
   *  - readers stream lines, never buffering a file in memory.
   */
 class EnvelopeSourceV2 extends TableProvider with DataSourceRegister {
@@ -61,23 +68,56 @@ private[sources] class EnvelopeTable(path: String) extends Table with SupportsRe
 }
 
 private[sources] class EnvelopeScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = EnvelopeSourceV2.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EnvelopeScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(EnvelopeScan.isPrunableFileFilter)
+    // everything stays residual: pruning is an optimization, Spark
+    // keeps evaluating the full predicate above the scan
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new EnvelopeScan(path, required, pushed)
 }
 
-private[sources] class EnvelopeScan(path: String, required: StructType)
+private[sources] object EnvelopeScan {
+  /** Filter shapes usable for planning-time file pruning. */
+  def isPrunableFileFilter(f: Filter): Boolean = f match {
+    case EqualTo("file", _: String)          => true
+    case In("file", _)                       => true
+    case StringStartsWith("file", _: String) => true
+    case _                                   => false
+  }
+
+  /** Conservative evaluation of a pushed filter against a candidate
+    * file path: must only return false when the file provably holds
+    * no matching row. */
+  def filterKeepsFile(f: Filter, path: String): Boolean = f match {
+    case EqualTo("file", v: String)          => path == v
+    case In("file", vs)                      => vs.exists(v => v == path)
+    case StringStartsWith("file", p: String) => path.startsWith(p)
+    case _                                   => true
+  }
+}
+
+private[sources] class EnvelopeScan(path: String, required: StructType,
+                                    pushed: Array[Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-envelope $path ${required.fieldNames.mkString("[", ",", "]")}"
+    s"graft-envelope $path ${required.fieldNames.mkString("[", ",", "]")}" +
+      (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]"))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -97,7 +137,10 @@ private[sources] class EnvelopeScan(path: String, required: StructType)
           f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       } else Array(dir)
     files.sortBy(_.getName)
-      .map(f => EnvelopeInputPartition(f.getAbsolutePath): InputPartition)
+      .map(_.getAbsolutePath)
+      // planning-time partition pruning from the pushed file filters
+      .filter(p => pushed.forall(EnvelopeScan.filterKeepsFile(_, p)))
+      .map(p => EnvelopeInputPartition(p): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -48,6 +48,37 @@ class EnvelopeSourceV2Spec extends AnyFunSuite with SparkSessionFixture {
     assert(pruned.head().getString(0).contains("only text"))
   }
 
+  test("file-filter pushdown prunes input partitions at planning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("env_v2f").toString
+    EnvelopeFeed.publishWave(Seq("wave one").toDF("t"), "t", dir)
+    EnvelopeFeed.publishWave(Seq("wave two").toDF("t"), "t", dir)
+    EnvelopeFeed.publishWave(Seq("wave three").toDF("t"), "t", dir)
+
+    val all = spark.read.format("graft-envelope").load(dir)
+    assert(all.rdd.getNumPartitions == 3)
+    val target = all.select(col("file")).distinct()
+      .collect().map(_.getString(0)).sorted.head
+
+    // equality on the metadata column → a single input partition
+    val one = spark.read.format("graft-envelope").load(dir)
+      .filter(col("file") === target)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.select(col("value")).collect().map(_.getString(0)).toSeq
+      .nonEmpty)
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters"), scan)
+
+    // prefix match (the directory itself) keeps everything; an
+    // unpushable predicate shape prunes nothing and stays correct
+    val pfx = spark.read.format("graft-envelope").load(dir)
+      .filter(col("file").startsWith(dir))
+    assert(pfx.rdd.getNumPartitions == 3 && pfx.count() == 3)
+    val residual = spark.read.format("graft-envelope").load(dir)
+      .filter(length(col("file")) > 0 && col("value").contains("two"))
+    assert(residual.rdd.getNumPartitions == 3 && residual.count() == 1)
+  }
+
   test("missing path fails at planning with a clear error") {
     val missing = "/tmp/env_v2_does_not_exist_" + System.nanoTime()
     val ex = intercept[Exception] {
