@@ -658,7 +658,45 @@ object SparkEntry {
     // bigram-LM fluency score (CCNet/KenLM-style quality filter):
     // corpus-fit add-one bigram model, per-doc mean log-probability
     "t10_bigram_lm" -> ((s, dir) =>
-      CorpusOps.bigramLmScores(t(s, dir, "documents"), "doc_id", cleanTokens))
+      CorpusOps.bigramLmScores(t(s, dir, "documents"), "doc_id", cleanTokens)),
+
+    // duplicated-span measurement (the span-level signal behind
+    // "Deduplicating Training Data Makes Language Models Better",
+    // Lee et al. 2022): per doc, the fraction of its word 8-gram
+    // occurrences that appear in at least one other document. Two
+    // key-partitioned aggregations over the exploded gram stream —
+    // the same shuffles an exact substring-dedup pass needs at scale.
+    "d9_dup_spans" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+        .select(col("doc_id"),
+          explode(when(size(col("toks")) >= 8,
+            transform(sequence(lit(1), size(col("toks")) - 7),
+              i => md5(concat_ws(" ", slice(col("toks"), i, lit(8))))))
+            .otherwise(array().cast("array<string>"))).as("gh"))
+      val gd = g.groupBy(col("gh")).agg(count_distinct(col("doc_id")).as("nd"))
+      g.join(gd, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+    }),
+
+    // stratified deterministic sampling: per-language keep rates via
+    // hash residues — downsample the dominant language, keep the
+    // rare ones (training-mix balancing). Reproducible across runs
+    // and cluster sizes; narrow, no shuffle.
+    "q25_stratified_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("r", pmod(DedupOps.md5Hash32(col("text")), lit(100)))
+        .filter(col("r") <
+          when(col("lang") === "en", 20)
+            .when(col("lang") === "de", 50)
+            .when(col("lang") === "es", 50)
+            .when(col("lang") === "fr", 80)
+            .otherwise(100))
+        .select(col("doc_id"), col("lang"), col("source")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1108,7 +1146,26 @@ object SparkEntry {
          |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS sl
          |  FROM bb JOIN m USING (p, w) GROUP BY doc_id)
          |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS avg_logp
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+    "d9_dup_spans" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) >= 8 THEN
+         |      list_transform(range(1, len(toks) - 6),
+         |        i -> md5(array_to_string(toks[i:i+7], ' ')))
+         |      ELSE []::VARCHAR[] END) AS gh
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+         |gd AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh),
+         |j AS (SELECT g.doc_id, gd.nd FROM g JOIN gd USING (gh))
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / count(*) AS dup_frac
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "q25_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${OracleSql.hash32("text")} % 100 <
+         |  CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
+         |    WHEN 'es' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END""".stripMargin
   )
 }
 
