@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -76,6 +77,11 @@ object GraphOps {
       rounds += 1
       val t0 = System.nanoTime()
       val next = smallStar(largeStar(cur)).persist(StorageLevel.MEMORY_AND_DISK)
+      if (rounds == 1 && sys.env.contains("GRAFT_CC_EXPLAIN"))
+        // plan-hygiene audit hook: one round's physical plan (exchange
+        // reuse, AQE shape) without spamming every round
+        System.err.println(next.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       val nextSig = signature(next)
       converged = nextSig == curSig
       handle.unpersist(blocking = false)
@@ -94,43 +100,51 @@ object GraphOps {
   }
 
   /** Large-star: every node connects its *larger* neighbors to the
-    * minimum of its closed neighborhood. One groupBy + one join, both
-    * keyed on the node id, so the exchange is reused. */
+    * minimum of its closed neighborhood.
+    *
+    * The per-key minimum rides a window (`first` over the key-sorted
+    * partition), NOT groupBy+join: a groupBy plants a partial
+    * aggregate under its exchange, so its exchange can never be
+    * reused by the join's probe side — the join shape pays two full
+    * exchanges of the edge stream per star. The window shape is one
+    * exchange + one in-partition sort, and the per-row min needs no
+    * join back. (A broadcast join is not an option at scale: the min
+    * table has one row per NODE.) */
   private def largeStar(e: DataFrame): DataFrame = {
-    // shuffle-hash, not broadcast: the groupBy below and this join
-    // then exchange the SAME sym subtree on the same key, so
-    // ReusedExchange evaluates it once per round (the d2b pattern)
     val sym = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
-      .hint("shuffle_hash")
-    val mins = sym.groupBy("a")
-      .agg(min(col("b")).as("mb"))
-      .select(col("a"), least(col("a"), col("mb")).as("m"))
-    sym.join(mins, "a")
+    val wo = Window.partitionBy(col("a")).orderBy(col("b"))
+    sym.select(col("a"), col("b"),
+        least(col("a"), first(col("b")).over(wo)).as("m"))
       .filter(col("b") > col("a"))
       // emitted edge {b, m} with m <= a < b is already canonical.
       // No distinct here: small-star's terminal distinct canonicalizes
-      // the round, and skipping it saves an exchange per round (the
-      // duplicate factor is bounded by the multiplicity already in sym).
+      // the round, and skipping it saves an exchange per round.
       .select(col("m").as("u"), col("b").as("v"))
   }
 
   /** Small-star: every node connects its *smaller* neighbors (and
     * itself) to the minimum of them. Input/output canonical (u < v);
-    * keyed on the larger endpoint. */
+    * keyed on the larger endpoint. Same window shape as large-star;
+    * both edge kinds — (min, neighbor) for every smaller neighbor and
+    * (min, key) once per key — emit from ONE windowed pass via
+    * explode, so the unpersisted large-star output is consumed
+    * exactly once. */
   private def smallStar(e: DataFrame): DataFrame = {
-    // e is the (unpersisted) large-star output, consumed twice; the
-    // shuffle-hash hint makes both consumers exchange it on v and
-    // ReusedExchange computes large-star once per round instead of
-    // twice (a broadcast of mins would re-derive e for the probe side)
-    val eh = e.hint("shuffle_hash")
-    val mins = eh.groupBy("v").agg(min(col("u")).as("m"))
-    val linked = eh.join(mins, "v")
-      // neighbor u >= m; u == m would be a self-loop
-      .filter(col("u") =!= col("m"))
-      .select(col("m").as("u"), col("u").as("v"))
-    val self = mins.select(col("m").as("u"), col("v"))
-    linked.union(self).filter(col("u") =!= col("v")).distinct()
+    val wo = Window.partitionBy(col("v")).orderBy(col("u"))
+    e.select(col("u"), col("v"),
+        first(col("u")).over(wo).as("m"),
+        row_number().over(wo).as("rn"))
+      .select(explode(array(
+          when(col("u") =!= col("m"),
+            struct(col("m").as("u"), col("u").as("v"))),
+          when(col("rn") === 1,
+            struct(col("m").as("u"), col("v").as("v")))))
+        .as("edge"))
+      .filter(col("edge").isNotNull)
+      .select(col("edge.u").as("u"), col("edge.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 
   /** Lineage-truncating view of a materialized (persisted) round: a
