@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, VectorDotProduct}
+import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, VectorDotProduct}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -27,6 +27,7 @@ import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHa
   *   sketch_bands(emb)        sign-LSH band-key strings of a vector
   *   edit_distance_bounded(a, b, k)  Myers bit-parallel levenshtein <= k
   *   sorted_intersect_count(a, b)    merge-scan |a ∩ b| of sorted arrays
+  *   ngram_generate(toks, n)  generator: streamed space-joined n-grams
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -75,10 +76,24 @@ object GraftExtensions {
       SortedIntersectCount(children.head, children(1))
     }): Builder)
 
+  private val ngramGen = (
+    FunctionIdentifier("ngram_generate"),
+    new ExpressionInfo(classOf[NgramGenerate].getName, "ngram_generate"),
+    ((children: Seq[Expression]) => {
+      require(children.length == 2, "ngram_generate takes exactly 2 arguments")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "ngram_generate window must be an INT literal")
+      }
+      NgramGenerate(children.head, n)
+    }): Builder)
+
   private val all = Seq(
     vecDot,
     editDistBounded,
     sortedIntersect,
+    ngramGen,
     unary("md5_hash32_array", classOf[Md5Hash32Array], Md5Hash32Array(_: Expression)),
     unary("minhash_signature", classOf[MinHashSignature], MinHashSignature(_: Expression)),
     unary("simhash60", classOf[SimHash60], SimHash60(_: Expression)),

@@ -618,11 +618,12 @@ object SparkEntry {
         .select(col("doc_id"), cleanTokens.as("toks"),
           (pmod(DedupOps.md5Hash32(col("doc_id").cast("string")), lit(10)) === 0)
             .as("is_test"))
+        // streamed generator — no per-doc gram array materialized
+        // (plans.NgramGenerate; the transform+slice spelling is its
+        // parity oracle in NgramGenerateSpec)
         .select(col("doc_id"), col("is_test"),
-          explode(when(size(col("toks")) >= 5,
-            transform(sequence(lit(1), size(col("toks")) - 4),
-              i => md5(concat_ws(" ", slice(col("toks"), i, lit(5))))))
-            .otherwise(array().cast("array<string>"))).as("gh"))
+          graft.plans.NgramGenerate.of(col("toks"), 5).as("ng"))
+        .select(col("doc_id"), col("is_test"), md5(col("ng")).as("gh"))
       val testGrams = grams.filter(col("is_test")).select(col("gh")).distinct()
       grams.filter(!col("is_test"))
         .join(broadcast(testGrams), "gh")
@@ -639,11 +640,7 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), cleanTokens.as("toks"))
       val bi = d.select(col("doc_id"),
-          explode(when(size(col("toks")) >= 2,
-            transform(sequence(lit(1), size(col("toks")) - 1),
-              i => concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1))))
-            .otherwise(array().cast("array<string>"))).as("bg"))
+          graft.plans.NgramGenerate.of(col("toks"), 2).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("doc_id"))
         .agg(max(col("cnt")).as("maxc"), sum(col("cnt")).as("sumc"))
@@ -670,10 +667,8 @@ object SparkEntry {
       val g = t(s, dir, "documents")
         .select(col("doc_id"), cleanTokens.as("toks"))
         .select(col("doc_id"),
-          explode(when(size(col("toks")) >= 8,
-            transform(sequence(lit(1), size(col("toks")) - 7),
-              i => md5(concat_ws(" ", slice(col("toks"), i, lit(8))))))
-            .otherwise(array().cast("array<string>"))).as("gh"))
+          graft.plans.NgramGenerate.of(col("toks"), 8).as("ng"))
+        .select(col("doc_id"), md5(col("ng")).as("gh"))
       val gd = g.groupBy(col("gh")).agg(count_distinct(col("doc_id")).as("nd"))
       g.join(gd, "gh")
         .groupBy(col("doc_id"))
