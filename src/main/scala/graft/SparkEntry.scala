@@ -554,6 +554,16 @@ object SparkEntry {
         numCentroids = 16, probes = 2, k = 3)
     }),
 
+    // product-quantization ANN top-3: 4 subspaces x 16-centroid
+    // codebooks (corpus-prefix codebook, like s3's quantizer),
+    // asymmetric distance over the code table
+    "s4_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.pqTopK(
+        e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", subspaces = 4, k = 3)
+    }),
+
     // corpus vocabulary + idf (training-side CountVectorizer/IDF twin)
     "m6_vocab" -> ((s, dir) =>
       CorpusOps.vocabularyWithIdf(
@@ -1160,7 +1170,38 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${OracleSql.hash32("text")} % 100 <
          |  CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
-         |    WHEN 'es' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END""".stripMargin
+         |    WHEN 'es' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END""".stripMargin,
+    "s4_ann_pq" -> {
+      val subDim = 16
+      def sub(e: String, m: Int) = s"$e[${m * subDim + 1}:${(m + 1) * subDim}]"
+      def d2(a: String, b: String, m: Int) = {
+        val (sa, sb) = (sub(a, m), sub(b, m))
+        s"(${OracleSql.dot(sa, sa)} - 2*${OracleSql.dot(sa, sb)} + ${OracleSql.dot(sb, sb)})"
+      }
+      def branches(src: String, idAs: String) = (0 until 4).map(m =>
+        s"SELECT $idAs, c_id, $m AS m, CAST(round(${d2("emb", "c_emb", m)}, 6) AS DECIMAL(18,6)) AS d FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16),
+         |vbase AS (SELECT e.vec_id AS v_id, e.embedding AS emb, c.c_id, c.c_emb
+         |  FROM embeddings e CROSS JOIN cents c),
+         |qbase AS (SELECT e.vec_id AS q_id, e.embedding AS emb, c.c_id, c.c_emb
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10),
+         |vd AS (${branches("vbase", "v_id")}),
+         |qd AS (${branches("qbase", "q_id")}),
+         |codes AS (SELECT v_id, m, c_id AS code FROM (
+         |  SELECT v_id, m, c_id,
+         |    row_number() OVER (PARTITION BY v_id, m ORDER BY d, c_id) AS rn
+         |  FROM vd) WHERE rn = 1),
+         |adc AS (SELECT q_id, v_id, sum(qd.d) AS s
+         |  FROM codes JOIN qd ON qd.m = codes.m AND qd.c_id = codes.code
+         |  WHERE v_id != q_id GROUP BY q_id, v_id)
+         |SELECT q_id, v_id AS vec_id, CAST(s AS DOUBLE) AS adist, rn FROM (
+         |  SELECT q_id, v_id, s,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY s, v_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 3""".stripMargin
+    }
   )
 }
 

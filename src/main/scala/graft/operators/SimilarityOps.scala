@@ -264,6 +264,70 @@ object SimilarityOps {
     ivfTopKImpl(corpus, queries, idCol, embCol, cents, probes, k)
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split each vector
+    * into `subspaces` contiguous subvectors, encode each subvector as
+    * its nearest centroid id from a per-subspace codebook, and answer
+    * queries by asymmetric distance computation — the query's exact
+    * per-(subspace, centroid) distance table is summed over a
+    * vector's codes, so scoring a pair is `subspaces` table lookups
+    * instead of a full-dimension scan.
+    *
+    * 100 TB shape: encoding is one broadcast-codebook pass over the
+    * corpus (the codes table is the compressed index — 4 small ints
+    * per vector here vs 64 floats); the query distance table is tiny
+    * (|Q| x subspaces x centroids) and broadcast; the ADC scan
+    * shuffles only (q, vec, partial-distance) rows into the per-query
+    * top-k. Compose with IVF cells (s3) for the standard IVF-PQ
+    * layout — this operator is the PQ half.
+    *
+    * Determinism/oracle parity: subspace distances expand to three
+    * fixed-fold dot products (d2 = <a,a> - 2<a,b> + <b,b>, the
+    * codegen [[graft.plans.VectorDotProduct]]), are rounded to 6 dp
+    * and quantized to DECIMAL(18,6), so code assignment (argmin with
+    * centroid-id tie-break) and ADC sums are exact and order-free on
+    * both engines. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             idCol: String, embCol: String, subspaces: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(EmbedDim % subspaces == 0, s"$subspaces must divide $EmbedDim")
+    val subDim = EmbedDim / subspaces
+    def sub(c: Column, m: Int): Column = slice(c, m * subDim + 1, subDim)
+    def d2(a: Column, b: Column, m: Int): Column = {
+      val (sa, sb) = (sub(a, m), sub(b, m))
+      dotD(sa, sa) - lit(2.0) * dotD(sa, sb) + dotD(sb, sb)
+    }
+    val cents = broadcast(
+      centroids.select(col(idCol).as("c_id"), col(embCol).as("c_emb")))
+    // per-(vector, centroid, subspace) quantized squared distance
+    def distTable(side: DataFrame, sideId: String): DataFrame =
+      side.crossJoin(cents)
+        .select(col(sideId), col("c_id"),
+          posexplode(array((0 until subspaces).map(m =>
+            round(d2(col("emb"), col("c_emb"), m), 6)
+              .cast("decimal(18,6)")): _*)).as(Seq("m", "d")))
+
+    val codes = distTable(
+        corpus.select(col(idCol).as("v_id"), col(embCol).as("emb")), "v_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("v_id"), col("m")).orderBy(col("d"), col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("v_id"), col("m"), col("c_id").as("code"))
+    val qtab = broadcast(distTable(
+        queries.select(col(idCol).as("q_id"), col(embCol).as("emb")), "q_id")
+      .select(col("q_id"), col("m").as("qm"), col("c_id"), col("d")))
+
+    codes.join(qtab, col("qm") === col("m") && col("c_id") === col("code"))
+      .filter(col("v_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("v_id"))
+      .agg(sum(col("d")).as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s"), col("v_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("v_id").as("vec_id"),
+        col("s").cast("double").as("adist"), col("rn"))
+  }
+
   /** Near-duplicate pairs by embedding cosine: sign-LSH banding for
     * candidates, exact cosine filter at `threshold`. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
