@@ -67,6 +67,11 @@ class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("empty and self-loop-only edge sets yield no labels") {
+    assert(components(Seq.empty) == Map.empty)
+    assert(components(Seq((7L, 7L))) == Map.empty)
+  }
+
   test("releasable variant leaves no cached blocks after release") {
     import spark.implicits._
     spark.catalog.clearCache() // drop any residue from sibling suites
