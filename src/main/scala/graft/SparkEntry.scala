@@ -688,6 +688,13 @@ object SparkEntry {
           (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
     }),
 
+    // end-to-end corpus dedup (the d4+d7 capstone): verified near-dup
+    // pairs → cluster closure → one representative per cluster
+    "d10_dedup_keep" -> ((s, dir) =>
+      DedupOps.deduplicateCorpus(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id"), col("lang"))),
+
     // stratified deterministic sampling: per-language keep rates via
     // hash residues — downsample the dominant language, keep the
     // rare ones (training-mix balancing). Reproducible across runs
@@ -1171,6 +1178,35 @@ object SparkEntry {
          |WHERE ${OracleSql.hash32("text")} % 100 <
          |  CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
          |    WHEN 'es' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END""".stripMargin,
+    // d4's verified pairs + d7's reachability closure + anti-join;
+    // MATERIALIZED again load-bearing for the recursion
+    "d10_dedup_keep" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |tt AS (SELECT doc_id, list_distinct(hs) AS tgh,
+         |    len(list_distinct(hs)) AS ntg
+         |  FROM hsrc),
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
+         |  FROM cand JOIN tt a ON doc_a = a.doc_id JOIN tt b ON doc_b = b.doc_id)
+         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
+         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node != cluster)""".stripMargin
+    },
     "s4_ann_pq" -> {
       val subDim = 16
       def sub(e: String, m: Int) = s"$e[${m * subDim + 1}:${(m + 1) * subDim}]"

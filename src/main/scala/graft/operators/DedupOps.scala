@@ -273,6 +273,29 @@ object DedupOps {
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
+  /** End-to-end corpus deduplication — the call a pipeline actually
+    * makes: MinHash-LSH candidates → exact trigram-Jaccard verify at
+    * `threshold` → transitive closure of the verified pairs
+    * ([[GraphOps.connectedComponents]]) → keep exactly one
+    * representative (the min id) per near-dup cluster, all other
+    * cluster members anti-joined away. Untouched documents pass
+    * through. Composes the d4 and d7 shapes; every stage is the
+    * LSH-bounded / O(log^2 n)-round machinery documented there. */
+  def deduplicateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val (pairs, release) = nearDuplicatePairsReleasable(docs, idCol, textCol, threshold)
+    val labels = GraphOps.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    // connectedComponents materialized its edge set eagerly, so the
+    // verify stage's trigram persist can be released before the
+    // caller's action
+    release()
+    docs.join(
+      labels.filter(col("node") =!= col("component"))
+        .select(col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
     * band buckets; with b bands the corpus is scanned once and
