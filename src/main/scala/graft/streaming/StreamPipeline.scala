@@ -315,6 +315,35 @@ object StreamPipeline {
     * the batch d2b semantics) needs flatMapGroupsWithState keyed per
     * band; at stream scale that is b state entries per doc —
     * signature-exact is the right default. */
+  /** Streaming decontamination (the d8 batch operator's serving-path
+    * twin): drop streamed documents that share any word n-gram with a
+    * static held-out gram set — a STREAM-STATIC left anti join, the
+    * join class the engine had not yet exercised (stream-stream and
+    * stateful ops are elsewhere). Stateless: no watermark, no state
+    * store; the static side is re-planned per micro-batch and
+    * broadcast (a benchmark gram set is small by construction), and
+    * the join condition is `array_contains(doc grams, static gram)`,
+    * so a document survives iff NO static gram occurs in it — exactly
+    * d8's flag set, row-local on the stream side. (An exploded
+    * semi-join spelling would need a doc-level re-aggregation =
+    * streaming state; the gram array stays inside the row instead.)
+    * Gram hashes match d8 (md5 of space-joined windows), so a
+    * batch-built benchmark gram table plugs in directly. */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          testGramHashes: DataFrame, n: Int): DataFrame = {
+    val toks = graft.functions.TextOps.cleanTokens(col(textCol))
+    val ghs = when(size(toks) >= n,
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val static = broadcast(
+      testGramHashes.select(col(testGramHashes.columns.head).as("__gh")))
+    docs.withColumn("__ghs", ghs)
+      .join(static, array_contains(col("__ghs"), col("__gh")), "left_anti")
+      .drop("__ghs")
+  }
+
   def minhashDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                                   watermark: String): DataFrame = {
     df.withColumn("__hs", graft.plans.HashedTrigrams32(col(textCol)))

@@ -44,6 +44,33 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
     assert(byMsg.values.forall(p => p == 0.0 || p == 1.0))
   }
 
+  test("stream-static decontamination drops docs sharing a gram with the held-out set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // held-out benchmark doc → its 3-gram hashes, built with the d8
+    // batch spelling (generator + md5)
+    val benchmark = Seq("the quick brown fox jumps high").toDF("text")
+      .select(graft.functions.TextOps.cleanTokens(col("text")).as("toks"))
+      .select(graft.plans.NgramGenerate.of(col("toks"), 3).as("ng"))
+      .select(md5(col("ng")).as("gh")).distinct()
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, "totally unrelated text with different words entirely"),
+      (2L, "i saw the quick brown fox yesterday evening"), // shares "the quick brown"
+      (3L, "short one"))                                   // < 3 tokens → kept
+    val q = StreamPipeline
+      .decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "text", benchmark, n = 3)
+      .writeStream.format("memory").queryName("decon_mem")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decon_mem").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("as-written mode prefixes the constant 'message' token (SURVEY §2g)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
