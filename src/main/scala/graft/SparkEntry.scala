@@ -564,6 +564,15 @@ object SparkEntry {
         "vec_id", "embedding", subspaces = 4, k = 3)
     }),
 
+    // IVF-PQ composition: coarse cells (full distance = sum of
+    // subspace distances) + ADC over codes, probed cells only
+    "s5_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopK(
+        e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", subspaces = 4, probes = 2, k = 3)
+    }),
+
     // corpus vocabulary + idf (training-side CountVectorizer/IDF twin)
     "m6_vocab" -> ((s, dir) =>
       CorpusOps.vocabularyWithIdf(
@@ -1232,6 +1241,52 @@ object SparkEntry {
          |adc AS (SELECT q_id, v_id, sum(qd.d) AS s
          |  FROM codes JOIN qd ON qd.m = codes.m AND qd.c_id = codes.code
          |  WHERE v_id != q_id GROUP BY q_id, v_id)
+         |SELECT q_id, v_id AS vec_id, CAST(s AS DOUBLE) AS adist, rn FROM (
+         |  SELECT q_id, v_id, s,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY s, v_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 3""".stripMargin
+    },
+    // IVF-PQ: cells and codes both derive from the same per-subspace
+    // distance table (full L2 = sum of subspace distances)
+    "s5_ann_ivfpq" -> {
+      val subDim = 16
+      def sub(e: String, m: Int) = s"$e[${m * subDim + 1}:${(m + 1) * subDim}]"
+      def d2(a: String, b: String, m: Int) = {
+        val (sa, sb) = (sub(a, m), sub(b, m))
+        s"(${OracleSql.dot(sa, sa)} - 2*${OracleSql.dot(sa, sb)} + ${OracleSql.dot(sb, sb)})"
+      }
+      def branches(src: String, idAs: String) = (0 until 4).map(m =>
+        s"SELECT $idAs, c_id, $m AS m, CAST(round(${d2("emb", "c_emb", m)}, 6) AS DECIMAL(18,6)) AS d FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16),
+         |vbase AS (SELECT e.vec_id AS v_id, e.embedding AS emb, c.c_id, c.c_emb
+         |  FROM embeddings e CROSS JOIN cents c),
+         |qbase AS (SELECT e.vec_id AS q_id, e.embedding AS emb, c.c_id, c.c_emb
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10),
+         |vd AS (${branches("vbase", "v_id")}),
+         |qd AS (${branches("qbase", "q_id")}),
+         |cells AS (SELECT v_id, cell FROM (
+         |  SELECT v_id, c_id AS cell,
+         |    row_number() OVER (PARTITION BY v_id ORDER BY fd, c_id) AS rn
+         |  FROM (SELECT v_id, c_id, sum(d) AS fd FROM vd GROUP BY v_id, c_id))
+         |  WHERE rn = 1),
+         |codes AS (SELECT v_id, m, c_id AS code FROM (
+         |  SELECT v_id, m, c_id,
+         |    row_number() OVER (PARTITION BY v_id, m ORDER BY d, c_id) AS rn
+         |  FROM vd) WHERE rn = 1),
+         |qcells AS (SELECT q_id, cell FROM (
+         |  SELECT q_id, c_id AS cell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY fd, c_id) AS rn
+         |  FROM (SELECT q_id, c_id, sum(d) AS fd FROM qd GROUP BY q_id, c_id))
+         |  WHERE rn <= 2),
+         |cand AS (SELECT q_id, v_id FROM qcells JOIN cells USING (cell)
+         |  WHERE v_id != q_id),
+         |adc AS (SELECT c.q_id, c.v_id, sum(qd.d) AS s
+         |  FROM cand c JOIN codes ON codes.v_id = c.v_id
+         |  JOIN qd ON qd.q_id = c.q_id AND qd.m = codes.m AND qd.c_id = codes.code
+         |  GROUP BY c.q_id, c.v_id)
          |SELECT q_id, v_id AS vec_id, CAST(s AS DOUBLE) AS adist, rn FROM (
          |  SELECT q_id, v_id, s,
          |    row_number() OVER (PARTITION BY q_id ORDER BY s, v_id) AS rn

@@ -297,28 +297,94 @@ object SimilarityOps {
       val (sa, sb) = (sub(a, m), sub(b, m))
       dotD(sa, sa) - lit(2.0) * dotD(sa, sb) + dotD(sb, sb)
     }
-    val cents = broadcast(
-      centroids.select(col(idCol).as("c_id"), col(embCol).as("c_emb")))
-    // per-(vector, centroid, subspace) quantized squared distance
-    def distTable(side: DataFrame, sideId: String): DataFrame =
-      side.crossJoin(cents)
-        .select(col(sideId), col("c_id"),
-          posexplode(array((0 until subspaces).map(m =>
-            round(d2(col("emb"), col("c_emb"), m), 6)
-              .cast("decimal(18,6)")): _*)).as(Seq("m", "d")))
-
-    val codes = distTable(
-        corpus.select(col(idCol).as("v_id"), col(embCol).as("emb")), "v_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("v_id"), col("m")).orderBy(col("d"), col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("v_id"), col("m"), col("c_id").as("code"))
-    val qtab = broadcast(distTable(
-        queries.select(col(idCol).as("q_id"), col(embCol).as("emb")), "q_id")
-      .select(col("q_id"), col("m").as("qm"), col("c_id"), col("d")))
+    val codes = pqCodes(
+      pqDistTable(corpus, centroids, idCol, embCol, subspaces, "v_id"))
+    val qtab = broadcast(
+      pqDistTable(queries, centroids, idCol, embCol, subspaces, "q_id")
+        .select(col("q_id"), col("m").as("qm"), col("c_id"), col("d")))
 
     codes.join(qtab, col("qm") === col("m") && col("c_id") === col("code"))
       .filter(col("v_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("v_id"))
+      .agg(sum(col("d")).as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s"), col("v_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("v_id").as("vec_id"),
+        col("s").cast("double").as("adist"), col("rn"))
+  }
+
+  /** Per-(vector, centroid, subspace) quantized squared distance table
+    * — the shared substrate of [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqDistTable(side: DataFrame, centroids: DataFrame,
+                          idCol: String, embCol: String, subspaces: Int,
+                          sideId: String): DataFrame = {
+    val subDim = EmbedDim / subspaces
+    def sub(c: Column, m: Int): Column = slice(c, m * subDim + 1, subDim)
+    def d2(a: Column, b: Column, m: Int): Column = {
+      val (sa, sb) = (sub(a, m), sub(b, m))
+      dotD(sa, sa) - lit(2.0) * dotD(sa, sb) + dotD(sb, sb)
+    }
+    val cents = broadcast(
+      centroids.select(col(idCol).as("c_id"), col(embCol).as("c_emb")))
+    side.select(col(idCol).as(sideId), col(embCol).as("emb"))
+      .crossJoin(cents)
+      .select(col(sideId), col("c_id"),
+        posexplode(array((0 until subspaces).map(m =>
+          round(d2(col("emb"), col("c_emb"), m), 6)
+            .cast("decimal(18,6)")): _*)).as(Seq("m", "d")))
+  }
+
+  /** Per-subspace argmin over a [[pqDistTable]] → (v_id, m, code). */
+  private def pqCodes(vd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vd.withColumn("rn", row_number().over(
+        Window.partitionBy(col("v_id"), col("m")).orderBy(col("d"), col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("v_id"), col("m"), col("c_id").as("code"))
+  }
+
+  /** IVF-PQ: the standard memory-bound ANN layout — coarse inverted
+    * cells (s3's shape) composed with PQ codes (s4's shape). The
+    * composition is free of new math: the FULL squared L2 distance is
+    * the sum of the per-subspace quantized distances, so cell
+    * assignment (argmin over summed distances), PQ codes (argmin per
+    * subspace), and query cell probes all derive from the one
+    * [[pqDistTable]]. Candidates are only the vectors in the query's
+    * `probes` nearest cells; ADC scores just those.
+    *
+    * 100 TB: the cells table is the inverted index (shuffle key =
+    * cell id), the codes table is the compressed storage, the query
+    * table is broadcast — the corpus full-vector column is touched
+    * only by the one encode pass. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                idCol: String, embCol: String, subspaces: Int,
+                probes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = pqDistTable(corpus, centroids, idCol, embCol, subspaces, "v_id")
+    val cells = vd.groupBy(col("v_id"), col("c_id"))
+      .agg(sum(col("d")).as("fd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("v_id")).orderBy(col("fd"), col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("v_id"), col("c_id").as("cell"))
+    val codes = pqCodes(vd)
+    val qd = broadcast(
+      pqDistTable(queries, centroids, idCol, embCol, subspaces, "q_id"))
+    val qcells = qd.groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d")).as("fd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("fd"), col("c_id"))))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("c_id").as("cell"))
+    val cand = cells.join(broadcast(qcells), "cell")
+      .filter(col("v_id") =!= col("q_id"))
+      .select(col("q_id"), col("v_id"))
+    cand.join(codes, "v_id")
+      .join(qd.select(col("q_id").as("qq"), col("m").as("qm"),
+          col("c_id"), col("d")),
+        col("qq") === col("q_id") && col("qm") === col("m") &&
+          col("c_id") === col("code"))
       .groupBy(col("q_id"), col("v_id"))
       .agg(sum(col("d")).as("s"))
       .withColumn("rn", row_number().over(
