@@ -7,10 +7,11 @@ import scala.collection.JavaConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -75,10 +76,11 @@ private[sources] class EnvelopeTable(path: String) extends Table with SupportsRe
 
 private[sources] class EnvelopeScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = EnvelopeSourceV2.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -92,7 +94,57 @@ private[sources] class EnvelopeScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EnvelopeScan(path, required, pushed)
+  /** Global COUNT(*) answers from per-file line counts without ever
+    * materializing a row. Partial pushdown: each partition returns
+    * its count and Spark's final aggregate sums them — so multi-file
+    * parallelism is kept. (Spark only offers an aggregate for
+    * pushdown when every filter was fully consumed by the source, so
+    * this never bypasses a residual predicate.) */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val onlyCountStar = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (onlyCountStar) countPushed = true
+    countPushed
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false // partial: per-partition counts, summed by Spark's final agg
+
+  override def build(): Scan =
+    if (countPushed) new EnvelopeCountScan(path) else
+      new EnvelopeScan(path, required, pushed)
+}
+
+/** COUNT(*)-pushed scan: one long per file (its line count). */
+private[sources] class EnvelopeCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-envelope $path PushedAggregation: [COUNT(*)]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    new EnvelopeScan(path, EnvelopeSourceV2.Schema).planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val file = partition.asInstanceOf[EnvelopeInputPartition].file
+      new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = !done
+        override def get(): InternalRow = {
+          done = true
+          var n = 0L
+          val reader = java.nio.file.Files.newBufferedReader(
+            java.nio.file.Paths.get(file))
+          try { while (reader.readLine() != null) n += 1 }
+          finally reader.close()
+          InternalRow(n)
+        }
+        override def close(): Unit = ()
+      }
+    }
 }
 
 private[sources] object EnvelopeScan {

@@ -79,6 +79,23 @@ class EnvelopeSourceV2Spec extends AnyFunSuite with SparkSessionFixture {
     assert(residual.rdd.getNumPartitions == 3 && residual.count() == 1)
   }
 
+  test("COUNT(*) pushdown answers from per-file line counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("env_v2c").toString
+    EnvelopeFeed.publishWave(Seq("a", "b").toDF("t"), "t", dir)
+    EnvelopeFeed.publishWave(Seq("c").toDF("t"), "t", dir)
+
+    val df = spark.read.format("graft-envelope").load(dir)
+    val counted = df.groupBy().count()
+    val leaf = counted.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PushedAggregation"), leaf)
+    assert(counted.head().getLong(0) == 3)
+    assert(df.count() == 3)
+    // a filtered count is NOT pushed (filters stay residual) but is
+    // still correct through the row scan
+    assert(df.filter(col("value").contains("c")).count() == 1)
+  }
+
   test("micro-batch stream: incremental batches and checkpoint restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("env_v2s").toString
