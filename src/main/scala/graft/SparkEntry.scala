@@ -717,7 +717,59 @@ object SparkEntry {
             .when(col("lang") === "es", 50)
             .when(col("lang") === "fr", 80)
             .otherwise(100))
-        .select(col("doc_id"), col("lang"), col("source")))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // quality-policy dedup (d10's practical variant): per near-dup
+    // cluster keep the LONGEST member, not the min id — the "keep the
+    // best copy" policy real corpus pipelines use
+    "d11_dedup_keepbest" -> ((s, dir) =>
+      DedupOps.deduplicateCorpusKeepBest(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.6,
+          quality = col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // character-entropy quality signal (low-entropy docs are boiler-
+    // plate/garbage): unigram char entropy from exact counts. Explode
+    // is positional (substring probe), both aggregations key on
+    // doc_id so the second reuses the window's exchange; entropy
+    // terms quantized to DECIMAL so the per-doc sum is order-free.
+    "t11_char_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id"))
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")))).as("i"))
+        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(w))
+        .select(col("doc_id"), col("n"),
+          (col("c") * round(log(col("c").cast("double") / col("n")), 6)
+            .cast("decimal(18,6)")).as("term"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(col("term")).as("st"))
+        .select(col("doc_id"), col("n").as("n_scored_chars"),
+          (lit(0.0) - (col("st").cast("double") / col("n"))).as("char_entropy"))
+    }),
+
+    // distributed re-fit of the reference's LogisticRegression stage
+    // (full-batch gradient descent, 3 steps at lr 0.5; quality
+    // features -> is-English target). One map-reduce pass per step;
+    // only k gradient cells reach the driver. Deterministic to the
+    // bit across engines and cluster sizes (see logisticFitWeights).
+    "m7_lr_fit" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("xb"),
+        (size(cleanTokens).cast("double") / lit(100.0)).as("x1"),
+        coalesce(size(array_distinct(cleanTokens)).cast("double") /
+          nullif(size(cleanTokens), lit(0)), lit(0.0)).as("x2"),
+        (col("n_chars").cast("double") / lit(1000.0)).as("x3"))
+      val w = CorpusOps.logisticFitWeights(
+        feats, "y", Seq("xb", "x1", "x2", "x3"), iters = 3, lr = 0.5)
+      import s.implicits._
+      Seq(("bias", w(0)), ("x1", w(1)), ("x2", w(2)), ("x3", w(3)))
+        .toDF("feature", "weight")
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1215,6 +1267,85 @@ object SparkEntry {
          |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node != cluster)""".stripMargin
+    },
+    // same closure as d10, but keep the longest member per cluster
+    // (n_chars DESC, id tiebreak) instead of the min id
+    "d11_dedup_keepbest" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |tt AS (SELECT doc_id, list_distinct(hs) AS tgh,
+         |    len(list_distinct(hs)) AS ntg
+         |  FROM hsrc),
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
+         |  FROM cand JOIN tt a ON doc_a = a.doc_id JOIN tt b ON doc_b = b.doc_id)
+         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
+         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id, lang, n_chars FROM (
+         |  SELECT d.doc_id, d.lang, d.n_chars,
+         |    row_number() OVER (
+         |      PARTITION BY coalesce(l.cluster, d.doc_id)
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+         |WHERE rn = 1""".stripMargin
+    },
+    "t11_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(text) + 1),
+        |      i -> substr(text, CAST(i AS INT), 1))) AS ch
+        |  FROM documents WHERE len(text) >= 1),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (SELECT c.doc_id, nn.n,
+        |    c.c * CAST(round(ln(CAST(c.c AS DOUBLE) / nn.n), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM c JOIN nn USING (doc_id))
+        |SELECT doc_id, n AS n_scored_chars,
+        |  0.0 - (CAST(sum(term) AS DOUBLE) / n) AS char_entropy
+        |FROM t GROUP BY doc_id, n""".stripMargin,
+    "m7_lr_fit" -> {
+      val fs = Seq("xb", "x1", "x2", "x3")
+      def step(i: Int): String = {
+        val p = s"p$i"
+        val z = fs.map(f => s"$p.w_$f * d.$f").mkString(" + ")
+        val err = s"(round(1.0 / (1.0 + exp(-($z))), 6) - d.y)"
+        val ws = fs.map(f =>
+          s"$p.w_$f - 0.5 * (CAST(sum(CAST($err * d.$f AS DECIMAL(28,12))) AS DOUBLE) / count(*)) AS w_$f")
+          .mkString(",\n    ")
+        s"""w$i AS (SELECT
+           |    $ws
+           |  FROM d CROSS JOIN w${i - 1} $p
+           |  GROUP BY ${fs.map(f => s"$p.w_$f").mkString(", ")})""".stripMargin
+      }
+      val out = Seq("bias" -> "xb", "x1" -> "x1", "x2" -> "x2", "x3" -> "x3")
+        .map { case (n, f) => s"SELECT '$n' AS feature, w_$f AS weight FROM w3" }
+        .mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT
+         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+         |    CAST(1 AS DOUBLE) AS xb,
+         |    CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
+         |    coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / nullif(len(toks), 0), CAST(0 AS DOUBLE)) AS x2,
+         |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x3
+         |  FROM (SELECT $sqlToks AS toks, lang, n_chars FROM documents)),
+         |w0 AS (SELECT ${fs.map(f => s"CAST(0 AS DOUBLE) AS w_$f").mkString(", ")}),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |$out""".stripMargin
     },
     "s4_ann_pq" -> {
       val subDim = 16

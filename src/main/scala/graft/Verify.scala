@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // same opt-in subset knob as Bench — lets a single query's dump be
+    // re-run in isolation while iterating on its oracle
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_(n)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         // repartition(1), NOT coalesce(1): coalesce would collapse the

@@ -85,4 +85,58 @@ object CorpusOps {
       .select(col(idCol), col("n_bigrams"),
         (col("sl").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
+
+  /** Distributed logistic-regression fit by full-batch gradient
+    * descent — the training side of the reference's frozen
+    * LogisticRegressionModel (`model_training.ipynb` trains offline;
+    * SentimentModel only *scores*). Closes the re-fit loop the same
+    * way [[vocabularyWithIdf]] does for CountVectorizer/IDF.
+    *
+    * Scale shape: the feature table is persisted once; each iteration
+    * is ONE map-reduce pass — every row computes its error against the
+    * broadcast-as-literals current weights, and only k+1 aggregate
+    * cells (k gradient sums + the row count, computed once) ever reach
+    * the driver. No per-row data leaves the executors, no lineage
+    * growth (each pass re-plans from the persisted leaf), so the loop
+    * runs identically on a 1000-executor corpus.
+    *
+    * Determinism (oracle parity): the sigmoid is rounded to 6 dp (the
+    * t10 `round(ln ,6)` recipe — masks libm ULP differences), each
+    * per-row gradient contribution is quantized to DECIMAL(28,12)
+    * (exact, order-independent sums — the k-means recipe), and the
+    * weight update is plain double arithmetic on identical inputs, so
+    * every iteration's weights are bit-identical across engines and
+    * cluster sizes.
+    *
+    * `features` must contain `labelCol` (0.0/1.0 double) and the
+    * `featureCols` (doubles; include an explicit bias column of 1.0).
+    * Returns the weight per featureCol after `iters` steps at rate
+    * `lr`, starting from all-zeros. */
+  def logisticFitWeights(features: DataFrame, labelCol: String,
+                         featureCols: Seq[String], iters: Int,
+                         lr: Double): Array[Double] = {
+    val feats = features
+      .select((labelCol +: featureCols).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = Array.fill(featureCols.size)(0.0)
+      var n = -1L
+      for (_ <- 0 until iters) {
+        val z = featureCols.zip(w)
+          .map { case (c, wi) => lit(wi) * col(c) }
+          .reduceLeft(_ + _)
+        val p6 = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+        val err = p6 - col(labelCol)
+        val sums = featureCols.zipWithIndex.map { case (c, i) =>
+          sum((err * col(c)).cast("decimal(28,12)")).cast("double").as(s"g$i")
+        }
+        val row = feats.agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*).head()
+        if (n < 0) n = row.getLong(featureCols.size)
+        w = w.zipWithIndex.map { case (wi, i) =>
+          wi - lr * (row.getDouble(i) / n)
+        }
+      }
+      w
+    } finally { feats.unpersist(blocking = false); () }
+  }
 }

@@ -296,6 +296,38 @@ object DedupOps {
       Seq(idCol), "left_anti")
   }
 
+  /** [[deduplicateCorpus]] with a *quality* keep policy: instead of
+    * the min-id representative, keep the cluster member maximizing
+    * `quality` (id-ascending tiebreak) — the policy real pipelines
+    * want ("of these near-identical pages, keep the longest / highest
+    * scoring one", cf. CCNet's per-shard quality ordering).
+    *
+    * Scale shape: the cluster labels cover only documents that appear
+    * in a verified pair (a small fraction of the corpus), so the
+    * label join is an ordinary hash join on the id; untouched
+    * documents fall into singleton clusters via coalesce. The argmax
+    * is a window keyed on the cluster label — one exchange, and each
+    * window partition is one near-dup cluster (bounded, typically a
+    * handful of rows), so no skewed giant partition can form unless
+    * the corpus genuinely contains that many copies of one document.
+    */
+  def deduplicateCorpusKeepBest(docs: DataFrame, idCol: String,
+                                textCol: String, threshold: Double,
+                                quality: Column): DataFrame = {
+    val (pairs, release) = nearDuplicatePairsReleasable(docs, idCol, textCol, threshold)
+    val labels = GraphOps.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    release()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cluster")).orderBy(quality.desc, col(idCol))
+    docs.join(
+        labels.select(col("node").as(idCol), col("component")), Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("component"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("component", "__cluster", "__rn")
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
     * band buckets; with b bands the corpus is scanned once and

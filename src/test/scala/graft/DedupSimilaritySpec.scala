@@ -46,6 +46,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
       p._3 == DetParams.MinhashBands.toLong))
   }
 
+  test("deduplicateCorpusKeepBest: keeps the highest-quality cluster member") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, 0.2),  // exact dup of 2 (collides in every band), low quality
+      (2L, base, 0.9),  // the copy a quality policy must keep
+      (3L, "an entirely unrelated document about query planners", 0.5))
+      .toDF("doc_id", "text", "score")
+    val kept = DedupOps.deduplicateCorpusKeepBest(
+        docs, "doc_id", "text", threshold = 0.6, quality = col("score"))
+      .select("doc_id").as[Long].collect().sorted
+    // min-id policy would keep 1; the quality policy keeps 2
+    assert(kept.toSeq == Seq(2L, 3L))
+    // sanity: the min-id variant keeps 1 on the same corpus
+    val minId = DedupOps.deduplicateCorpus(docs, "doc_id", "text", 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    assert(minId.toSeq == Seq(1L, 3L))
+    // both leave the CC fixpoint persisted by design (harness contract)
+    spark.catalog.clearCache()
+  }
+
   test("simhash: deterministic, identical inputs → identical fingerprints") {
     import spark.implicits._
     val df = Seq(

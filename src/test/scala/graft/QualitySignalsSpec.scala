@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Specs for the corpus-quality training signals: the distributed
+  * logistic-regression fit (m7) and the char-entropy query (t11). */
+class QualitySignalsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  /** Driver-side reference of logisticFitWeights' documented contract:
+    * sigmoid rounded HALF_UP at 6 dp, per-row gradient contribution
+    * quantized HALF_UP to 12 dp, exact decimal sums, plain double
+    * weight updates. Must match the distributed fit to the BIT. */
+  private def refFit(rows: Seq[(Double, Array[Double])], iters: Int,
+                     lr: Double): Array[Double] = {
+    val k = rows.head._2.length
+    var w = Array.fill(k)(0.0)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(BigDecimal(0))
+      rows.foreach { case (y, x) =>
+        val z = x.zip(w).map { case (xi, wi) => wi * xi }.reduceLeft(_ + _)
+        val p6 = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        for (j <- 0 until k)
+          sums(j) += BigDecimal((p6 - y) * x(j))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      w = w.zipWithIndex.map { case (wi, j) =>
+        wi - lr * (sums(j).toDouble / rows.size)
+      }
+    }
+    w
+  }
+
+  test("logisticFitWeights: bit-identical to the scalar reference") {
+    import spark.implicits._
+    val rows = (0 until 64).map { i =>
+      val x1 = (i % 7) / 3.0; val x2 = (i % 5) / 2.0
+      val y = if (x1 - x2 > 0.2) 1.0 else 0.0
+      (y, Array(1.0, x1, x2))
+    }
+    val df = rows.map { case (y, x) => (y, x(0), x(1), x(2)) }
+      .toDF("y", "xb", "x1", "x2")
+    val got = CorpusOps.logisticFitWeights(
+      df, "y", Seq("xb", "x1", "x2"), iters = 3, lr = 0.5)
+    val want = refFit(rows, iters = 3, lr = 0.5)
+    assert(got.toSeq == want.toSeq) // exact ==, not tolerance
+  }
+
+  test("logisticFitWeights: learns the separating direction") {
+    import spark.implicits._
+    // y = 1 iff x1 large: w_x1 must come out positive, bias negative
+    val df = (0 until 200).map { i =>
+      val x1 = i / 200.0
+      (if (x1 > 0.5) 1.0 else 0.0, 1.0, x1)
+    }.toDF("y", "xb", "x1")
+    val w = CorpusOps.logisticFitWeights(df, "y", Seq("xb", "x1"), 10, 1.0)
+    assert(w(1) > 0.0)
+    assert(w(1) > w(0)) // slope dominates bias for this split
+  }
+
+  test("t11 char entropy: uniform and constant strings hit closed forms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t11docs").toString
+    Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t11_char_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    assert(!(1.0 / got(1L)._2 < 0))          // +0.0, not -0.0
+    assert(got(2L) == ((4L, 0.693147)))      // ln 2 quantized at 6 dp
+    assert(got(3L) == ((4L, 1.386294)))      // ln 4 quantized at 6 dp
+    assert(!got.contains(4L))                // empty text dropped
+  }
+}
