@@ -303,13 +303,16 @@ object DedupOps {
     * scoring one", cf. CCNet's per-shard quality ordering).
     *
     * Scale shape: the cluster labels cover only documents that appear
-    * in a verified pair (a small fraction of the corpus), so the
-    * label join is an ordinary hash join on the id; untouched
-    * documents fall into singleton clusters via coalesce. The argmax
-    * is a window keyed on the cluster label — one exchange, and each
-    * window partition is one near-dup cluster (bounded, typically a
-    * handful of rows), so no skewed giant partition can form unless
-    * the corpus genuinely contains that many copies of one document.
+    * in a verified pair (a tiny fraction of the corpus at scale), so
+    * ONLY those members ever enter the argmax window — an inner join
+    * restricts to them, the per-cluster argmax picks each winner, and
+    * the losers are removed from the full corpus with the same
+    * anti-join [[deduplicateCorpus]] uses. Untouched documents never
+    * shuffle at all (the anti-join's probe side is the tiny loser
+    * set, which AQE broadcasts), and each window partition is one
+    * near-dup cluster — bounded, so no skewed giant partition can
+    * form unless the corpus genuinely contains that many copies of
+    * one document.
     */
   def deduplicateCorpusKeepBest(docs: DataFrame, idCol: String,
                                 textCol: String, threshold: Double,
@@ -319,13 +322,13 @@ object DedupOps {
       pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
     release()
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__cluster")).orderBy(quality.desc, col(idCol))
-    docs.join(
-        labels.select(col("node").as(idCol), col("component")), Seq(idCol), "left")
-      .withColumn("__cluster", coalesce(col("component"), col(idCol)))
+      .partitionBy(col("component")).orderBy(quality.desc, col(idCol))
+    val losers = docs
+      .join(labels.select(col("node").as(idCol), col("component")), Seq(idCol))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("component", "__cluster", "__rn")
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
