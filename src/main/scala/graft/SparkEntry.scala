@@ -769,7 +769,15 @@ object SparkEntry {
       import s.implicits._
       Seq(("bias", w(0)), ("x1", w(1)), ("x2", w(2)), ("x3", w(3)))
         .toDF("feature", "weight")
-    })
+    }),
+
+    // multinomial Naive Bayes fit over the token stream (class =
+    // lang): add-one-smoothed conditionals + class priors, top-10
+    // terms per class. All key-partitioned aggs with map-side
+    // combine; class totals fold from the (class, term) counts.
+    "m8_nb_fit" -> ((s, dir) =>
+      CorpusOps.naiveBayesModel(
+        t(s, dir, "documents"), "lang", cleanTokens, topK = 10))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1302,6 +1310,22 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
          |WHERE rn = 1""".stripMargin
     },
+    "m8_nb_fit" ->
+      s"""WITH d AS (SELECT lang, unnest($sqlToks) AS term FROM documents),
+         |c2 AS (SELECT lang, term, count(*) AS c2 FROM d GROUP BY 1, 2),
+         |c1 AS (SELECT lang, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT term) AS v FROM d),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |nc AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),
+         |top AS (SELECT lang, term, c2,
+         |    row_number() OVER (PARTITION BY lang ORDER BY c2 DESC, term) AS rn
+         |  FROM c2)
+         |SELECT t.lang, t.term,
+         |  round(ln(CAST(t.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS logp,
+         |  round(ln(CAST(nc.nc AS DOUBLE) / nd.nd), 6) AS log_prior
+         |FROM top t JOIN c1 USING (lang) JOIN nc USING (lang)
+         |  CROSS JOIN v CROSS JOIN nd
+         |WHERE t.rn <= 10""".stripMargin,
     "t11_char_entropy" ->
       """WITH ch AS (SELECT doc_id,
         |    unnest(list_transform(range(1, len(text) + 1),

@@ -86,6 +86,42 @@ object CorpusOps {
         (col("sl").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
 
+  /** Multinomial Naive Bayes fit — class priors and add-one-smoothed
+    * per-term conditional log-probabilities, the other classic
+    * text-classifier training pass (sklearn MultinomialNB over the
+    * reference's CountVectorizer features). Returns the `topK`
+    * highest-count terms per class (count-desc, term tiebreak):
+    * (class, term, logp, log_prior).
+    *
+    * Scale shape: one explode over the token stream feeding a
+    * (class, term) count — partial aggregation bounds the shuffle by
+    * per-partition-distinct pairs, Zipf-small — then the class totals
+    * FOLD from those counts (no second corpus pass, the t10 c1-from-c2
+    * trick), and the doc/vocab totals are broadcast 1-row aggregates.
+    * The top-k cut is a window over (class) — partitions are classes,
+    * tiny. Nothing corpus-sized ever reaches the driver.
+    *
+    * Oracle parity: probabilities are one double division and
+    * `round(ln(·), 6)` from exact integer counts (the m6/t10 recipe). */
+  def naiveBayesModel(docs: DataFrame, classCol: String, tokens: Column,
+                      topK: Int): DataFrame = {
+    val d = docs.select(col(classCol), explode(tokens).as("term"))
+    val c2 = d.groupBy(col(classCol), col("term")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col(classCol)).agg(sum(col("c2")).as("c1"))
+    val v = broadcast(d.agg(count_distinct(col("term")).as("v")))
+    val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val nc = docs.groupBy(col(classCol)).agg(count(lit(1)).as("nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("c2").desc, col("term"))
+    c2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .join(c1, classCol).join(nc, classCol).crossJoin(v).crossJoin(nd)
+      .select(col(classCol), col("term"),
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          .as("logp"),
+        round(log(col("nc").cast("double") / col("nd")), 6).as("log_prior"))
+  }
+
   /** Distributed logistic-regression fit by full-batch gradient
     * descent — the training side of the reference's frozen
     * LogisticRegressionModel (`model_training.ipynb` trains offline;

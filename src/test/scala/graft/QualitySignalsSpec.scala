@@ -61,6 +61,24 @@ class QualitySignalsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(w(1) > w(0)) // slope dominates bias for this split
   }
 
+  test("naiveBayesModel: closed-form counts on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(("en", "a b a"), ("en", "a"), ("de", "c c"))
+      .toDF("lang", "text")
+    val got = CorpusOps.naiveBayesModel(
+        docs, "lang", split(col("text"), " "), topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // V = {a,b,c}; en: a=3 b=1 (c1=4), de: c=2 (c1=2); nd=3
+    assert(got(("en", "a")) == ((r6(math.log(4.0 / 7)), r6(math.log(2.0 / 3)))))
+    assert(got(("en", "b")) == ((r6(math.log(2.0 / 7)), r6(math.log(2.0 / 3)))))
+    assert(got(("de", "c")) == ((r6(math.log(3.0 / 5)), r6(math.log(1.0 / 3)))))
+    assert(got.size == 3)
+  }
+
   test("t11 char entropy: uniform and constant strings hit closed forms") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t11docs").toString
