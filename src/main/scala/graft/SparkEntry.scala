@@ -1314,7 +1314,7 @@ object SparkEntry {
       s"""WITH d AS (SELECT lang, unnest($sqlToks) AS term FROM documents),
          |c2 AS (SELECT lang, term, count(*) AS c2 FROM d GROUP BY 1, 2),
          |c1 AS (SELECT lang, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-         |v AS (SELECT count(DISTINCT term) AS v FROM d),
+         |v AS (SELECT count(DISTINCT term) AS v FROM c2),
          |nd AS (SELECT count(*) AS nd FROM documents),
          |nc AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),
          |top AS (SELECT lang, term, c2,

@@ -105,10 +105,20 @@ object CorpusOps {
     * `round(ln(·), 6)` from exact integer counts (the m6/t10 recipe). */
   def naiveBayesModel(docs: DataFrame, classCol: String, tokens: Column,
                       topK: Int): DataFrame = {
-    val d = docs.select(col(classCol), explode(tokens).as("term"))
+    // explicit null-class drop: the later joins on classCol imply it
+    // anyway, and having it on the SHARED stream keeps every branch's
+    // scan subtree identical so the exchange-reuse below can fire
+    val d = docs.filter(col(classCol).isNotNull)
+      .select(col(classCol), explode(tokens).as("term"))
     val c2 = d.groupBy(col(classCol), col("term")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col(classCol)).agg(sum(col("c2")).as("c1"))
-    val v = broadcast(d.agg(count_distinct(col("term")).as("v")))
+    // vocab folds from the (class, term) counts too — every branch of
+    // the plan sits above the SAME partial-agg exchange, so the token
+    // stream is exploded/shuffled once and AQE reuses it three ways
+    // The trivially-true filter references c2 so RemoveRedundantAggregates
+    // cannot collapse the fold back into a second corpus-wide explode.
+    val v = broadcast(c2.filter(col("c2") >= 1)
+      .agg(count_distinct(col("term")).as("v")))
     val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
     val nc = docs.groupBy(col(classCol)).agg(count(lit(1)).as("nc"))
     val w = org.apache.spark.sql.expressions.Window
