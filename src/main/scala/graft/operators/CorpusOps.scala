@@ -65,6 +65,13 @@ object CorpusOps {
           i => struct(element_at(col("toks"), i).as("p"),
             element_at(col("toks"), i + 1).as("w")))).as("b"))
       .select(col(idCol), col("b.p").as("p"), col("b.w").as("w"))
+      // explicit not-null (vacuously true for tokenized text): the
+      // scoring join implies isnotnull(p, w) on its branches but the
+      // c1 fold alone implies only isnotnull(p) — stating both on the
+      // SHARED stream keeps the c2 exchange subtree canonical-equal
+      // across branches, so AQE reuses the bigram-count shuffle
+      // instead of re-exploding the corpus for the prefix totals
+      .filter(col("p").isNotNull && col("w").isNotNull)
     val c2 = bb.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
     // c(p,.) folds from c(p,w) — no second pass over the bigram stream
     val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
