@@ -777,7 +777,30 @@ object SparkEntry {
     // combine; class totals fold from the (class, term) counts.
     "m8_nb_fit" -> ((s, dir) =>
       CorpusOps.naiveBayesModel(
-        t(s, dir, "documents"), "lang", cleanTokens, topK = 10))
+        t(s, dir, "documents"), "lang", cleanTokens, topK = 10)),
+
+    // ordered event funnel: first view, first click AFTER it, first
+    // purchase after that, per user. Each step is a type-pushed scan
+    // (PushedFilters: event_type = ...) joined on user_id against the
+    // shrinking previous step, then a key-partitioned min — the
+    // standard distributed funnel; nothing per-user ever collects.
+    "q26_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_timestamp(col("t_view")).as("view_s"),
+          unix_timestamp(col("t_click")).as("click_s"),
+          unix_timestamp(col("t_purchase")).as("purchase_s"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1447,7 +1470,27 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id ORDER BY s, v_id) AS rn
          |  FROM adc)
          |WHERE rn <= 3""".stripMargin
-    }
+    },
+    // CAST(ts AS TIMESTAMP) truncates ns→us like the Spark-side read;
+    // step comparisons then run at identical precision on both engines.
+    "q26_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT v.user_id,
+        |  CAST(epoch(date_trunc('second', v.t_view)) AS BIGINT) AS view_s,
+        |  CAST(epoch(date_trunc('second', c.t_click)) AS BIGINT) AS click_s,
+        |  CAST(epoch(date_trunc('second', p.t_purchase)) AS BIGINT)
+        |    AS purchase_s
+        |FROM v LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin
   )
 }
 
