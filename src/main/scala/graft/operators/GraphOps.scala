@@ -67,8 +67,8 @@ object GraphOps {
     // (At cluster scale a reliable checkpoint() adds fault tolerance;
     // local/cached truncation is the single-job equivalent.)
     var handle = init.persist(StorageLevel.MEMORY_AND_DISK)
-    var curSig = signature(handle)
-    var cur = truncated(handle)
+    var (curRdd, curSig) = materializeAndSign(handle)
+    var cur = truncated(handle, curRdd)
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -82,12 +82,12 @@ object GraphOps {
         // reuse, AQE shape) without spamming every round
         System.err.println(next.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-      val nextSig = signature(next)
+      val (nextRdd, nextSig) = materializeAndSign(next)
       converged = nextSig == curSig
       handle.unpersist(blocking = false)
       handle = next
       curSig = nextSig
-      cur = truncated(next)
+      cur = truncated(next, nextRdd)
       System.err.println(f"[cc] round $rounds edges=${nextSig._1} " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
@@ -152,17 +152,65 @@ object GraphOps {
     * cached rows, so round N+1's analysis does not re-walk rounds
     * 1..N. The Row round-trip is O(edges) per round and only on the
     * already-shuffled edge set. */
-  private def truncated(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+  private def truncated(df: DataFrame,
+                        rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
+      : DataFrame =
+    df.sparkSession.createDataFrame(rdd, df.schema)
 
-  /** Cheap order-insensitive edge-set fingerprint for the convergence
-    * test: row count + xor of per-edge 64-bit hashes (xor cannot
-    * overflow, unlike a sum under ANSI arithmetic). */
-  private def signature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
-      .head()
-    (r.getLong(0), r.getLong(1))
+  /** Materialize a persisted round into cache and fingerprint it in
+    * the SAME single-stage job: a foreachPartition scan populates the
+    * InMemoryRelation while accumulators fold (row count, xor of
+    * per-edge mixed hashes) — an order-insensitive convergence
+    * signature with no second job and no aggregation shuffle. (The
+    * previous shape ran a count+bit_xor agg as the materializing
+    * action: one extra exchange + final stage per round, pure
+    * scheduling overhead in a loop whose per-round cost is
+    * latency-bound.) Accumulator updates inside an action are applied
+    * exactly once per task, so the signature is stable under task
+    * retries. Returns the scanned RDD for reuse as the next round's
+    * lineage-truncation leaf. */
+  private def materializeAndSign(df: DataFrame)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], (Long, Long)) = {
+    val sc = df.sparkSession.sparkContext
+    val cnt = sc.longAccumulator("cc.edges")
+    val xor = new XorAccumulator
+    sc.register(xor, "cc.xor")
+    val rdd = df.rdd
+    rdd.foreachPartition { it =>
+      var n = 0L
+      var x = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        n += 1
+        x ^= mix64(r.getLong(0) * 0x9e3779b97f4a7c15L + r.getLong(1))
+      }
+      cnt.add(n)
+      xor.add(x)
+    }
+    (rdd, (cnt.value, xor.value))
   }
+
+  /** splitmix64 finalizer — avalanches the (u, v) fold so xor over
+    * edges doesn't cancel structured id patterns. */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Commutative xor-fold accumulator for the CC convergence signature. */
+private[operators] class XorAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var acc = 0L
+  override def isZero: Boolean = acc == 0L
+  override def copy(): XorAccumulator = {
+    val c = new XorAccumulator; c.acc = acc; c
+  }
+  override def reset(): Unit = acc = 0L
+  override def add(v: Long): Unit = acc ^= v
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long])
+      : Unit = acc ^= other.value
+  override def value: Long = acc
 }
