@@ -393,7 +393,7 @@ object StreamPipeline {
         col(textCol).cast("string").as("__text"))
       .withWatermark("__ts", s"$watermarkMs milliseconds")
       .withColumn("__rid",
-        md5(concat_ws(" ", col("__text"), col("__ts").cast("string"))))
+        md5(concat_ws("\u0000", col("__text"), col("__ts").cast("string"))))
       .withColumn("__hs", graft.plans.HashedTrigrams32(col("__text")))
       .withColumn("__sig", graft.plans.MinHashSignature(col("__hs")))
       .withColumn("__bkey", explode(array(
