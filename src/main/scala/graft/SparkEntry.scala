@@ -800,6 +800,103 @@ object SparkEntry {
           unix_timestamp(col("t_view")).as("view_s"),
           unix_timestamp(col("t_click")).as("click_s"),
           unix_timestamp(col("t_purchase")).as("purchase_s"))
+    }),
+
+    // unpivot/melt: the inverse of q19's pivot — wide per-flag measure
+    // columns back to long (measure, value) rows. The unpivot is a
+    // local Expand over the (tiny) aggregate output; no extra shuffle
+    // beyond the aggregation's own.
+    "q27_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"),
+          sum(col("l_tax").cast("decimal(18,4)")).cast("double").as("sum_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
+          "measure", "value")),
+
+    // rolling time-range frame: per event, the same user's trailing-
+    // hour event count and value sum (RANGE on epoch seconds, so ties
+    // within a second share one frame — order-insensitive). The frame
+    // state is per-user and streams with the partition sort; there is
+    // never a global sort. Value sums ride DECIMAL so the frame-slide
+    // arithmetic is exact and order-free.
+    "q28_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es")).rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("es"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .select(col("event_id"), col("user_id"), col("es"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("v")).over(w).cast("double").as("v_1h"))
+    }),
+
+    // per-group quantile ranks: balance decile / percent_rank /
+    // cume_dist within each nation. partitionBy keeps every frame
+    // per-nation — never the single-partition global window an
+    // unpartitioned ntile would force — and (acctbal desc, custkey)
+    // is a total order, so bucket assignment is deterministic.
+    "q29_decile_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          ntile(10).over(w).as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    }),
+
+    // corpus bigram PMI (collocation mining): pointwise mutual
+    // information from exact unigram/bigram counts, min support 5,
+    // top 50. Both count passes are key-partitioned aggs with map-side
+    // combine over the streamed n-gram generator; the unigram table
+    // joins back on the word key (broadcast at this SF, shuffle-hash at
+    // corpus scale); corpus totals ride 1-row broadcasts. The top-k is
+    // orderBy+limit → TakeOrderedAndProject, never a global sort.
+    "t12_pmi" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(cleanTokens.as("toks"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bi = toks.select(graft.plans.NgramGenerate.of(col("toks"), 2).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val totU = uni.agg(sum(col("cw")).as("n_uni"))
+      val totB = bi.agg(sum(col("cb")).as("n_bi"))
+      bi.filter(col("cb") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        // identical spelling on the oracle side: one double division of
+        // two left-assoc triple products, then ln, then 6-dp round
+        .select(col("bg"), col("cb"),
+          round(log(col("cb").cast("double") * col("n_uni") * col("n_uni") /
+            (col("n_bi").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(50)
+    }),
+
+    // cross-source contamination matrix (corpus governance): how many
+    // near-dup candidate pairs span each (source, source) combination.
+    // Rides the d2b LSH band-bucket candidates — never all-pairs; the
+    // source lookup joins the 2-column doc→source projection; the
+    // final matrix aggregate is |sources|² rows.
+    "d12_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      DedupOps.minhashCandidatePairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+        .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+          greatest(col("sa.source"), col("sb.source")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -1490,7 +1587,73 @@ object SparkEntry {
         |  CAST(epoch(date_trunc('second', p.t_purchase)) AS BIGINT)
         |    AS purchase_s
         |FROM v LEFT JOIN c USING (user_id)
-        |  LEFT JOIN p USING (user_id)""".stripMargin
+        |  LEFT JOIN p USING (user_id)""".stripMargin,
+    "q27_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM wide""".stripMargin,
+    "q28_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events)
+        |SELECT event_id, user_id, es,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS v_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q29_decile_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "t12_pmi" ->
+      s"""WITH d AS (SELECT $sqlToks AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS w FROM d),
+         |uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+         |b AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE []::VARCHAR[] END) AS bg FROM d),
+         |bc AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+         |tot AS (SELECT (SELECT sum(cw) FROM uc) AS n_uni,
+         |  (SELECT sum(cb) FROM bc) AS n_bi)
+         |SELECT bg, cb,
+         |  round(ln(CAST(cb AS DOUBLE) * n_uni * n_uni /
+         |    (CAST(n_bi AS DOUBLE) * c1.cw * c2.cw)), 6) AS pmi
+         |FROM bc
+         |JOIN uc c1 ON c1.w = string_split(bg, ' ')[1]
+         |JOIN uc c2 ON c2.w = string_split(bg, ' ')[2]
+         |CROSS JOIN tot
+         |WHERE cb >= 5
+         |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin,
+    "d12_source_overlap" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte},
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS src_a,
+         |  greatest(sa.source, sb.source) AS src_b,
+         |  count(*) AS n_pairs
+         |FROM cand JOIN s sa ON doc_a = sa.doc_id
+         |JOIN s sb ON doc_b = sb.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    }
   )
 }
 
