@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextOps
 import graft.ml.{ModelLoader, SentimentModel, SentimentScorer}
-import graft.operators.{CorpusOps, DedupOps, DetParams, GraphOps, SimilarityOps}
+import graft.operators.{CorpusOps, DedupOps, DetParams, GraphOps, SimilarityOps, SketchOps}
 
 /** Driver contract — flagship entry, per-operator query inventory, and
   * the DuckDB oracle SQL for each SQL-expressible query.
@@ -897,6 +897,58 @@ object SparkEntry {
           greatest(col("sa.source"), col("sb.source")).as("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // constant-state frequency probe (the 100 TB replacement for a
+    // full token groupBy when only a known vocabulary matters): one
+    // count-min sketch aggregate — mergeable width×depth counter
+    // state, built-in codegen'd update — then the probe loop runs on
+    // the driver against the collected sketch (bounded: ~1.6 MB, the
+    // same constant-size-collect pattern as the k-means centroids).
+    // Width (2/eps = 20k) ≫ this corpus's vocabulary, so estimates
+    // are collision-free here and hash-match the exact-count oracle;
+    // at real vocabularies the same query is the documented
+    // overcount-≤-eps·N approximate path.
+    "q30_sketch_counts" -> ((s, dir) =>
+      SketchOps.cmsTokenCounts(
+        t(s, dir, "documents"), cleanTokens,
+        LangMarkers.en ++ LangMarkers.de ++ LangMarkers.es ++ LangMarkers.fr)),
+
+    // class-indicative keywords (χ² feature selection over the doc-
+    // frequency contingency table): for each (lang, term) with support
+    // ≥ 5, the χ² statistic of term-presence vs class, top 5 terms per
+    // class. All four contingency cells derive from three key-
+    // partitioned aggregations (term×class, term, class) plus a 1-row
+    // doc total riding a broadcast — nothing is ever per-pair. The
+    // per-class top-k is a class-keyed window, and χ² is rounded to
+    // 6 dp before the ordering so the selection is engine-stable.
+    "m9_chi2_keywords" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), array_distinct(cleanTokens).as("toks"))
+      val pres = d.select(col("lang"), explode(col("toks")).as("w"))
+      val tc = pres.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("a"))
+      val tt = tc.groupBy(col("w")).agg(sum(col("a")).as("t"))
+      val ct = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val nn = d.agg(count(lit(1)).as("n"))
+      // dev = a*d - b*c of the 2x2 table, spelled identically in the
+      // oracle: double * long products, left-assoc
+      val dev = col("a").cast("double") *
+          (col("n") - col("c") - col("t") + col("a")) -
+        (col("c") - col("a")).cast("double") * (col("t") - col("a"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("chi2").desc, col("w"))
+      tc.filter(col("a") >= 5)
+        .join(tt, "w").join(broadcast(ct), "lang").crossJoin(broadcast(nn))
+        // a term present in EVERY doc has a degenerate 2x2 table
+        // (n - t = 0 → 0/0): drop it, identically in the oracle
+        .filter(col("t") < col("n"))
+        .select(col("lang"), col("w"), col("a"),
+          round(col("n").cast("double") * dev * dev /
+            (col("c").cast("double") * (col("n") - col("c")) *
+              col("t") * (col("n") - col("t"))), 6).as("chi2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("w"), col("a"), col("chi2"))
     })
   )
 
@@ -1653,7 +1705,40 @@ object SparkEntry {
          |FROM cand JOIN s sa ON doc_a = sa.doc_id
          |JOIN s sb ON doc_b = sb.doc_id
          |GROUP BY 1, 2""".stripMargin
-    }
+    },
+    // oracle is the exact count — valid because the sketch width is
+    // collision-free at this vocabulary (see the query comment)
+    "q30_sketch_counts" -> {
+      val probeVals =
+        (LangMarkers.en ++ LangMarkers.de ++ LangMarkers.es ++ LangMarkers.fr)
+          .distinct.sorted.map(w => s"(${sqlQuote(w)})").mkString(", ")
+      s"""WITH probes(w) AS (VALUES $probeVals),
+         |toks AS (SELECT unnest($sqlToks) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+         |SELECT probes.w, coalesce(cnt, 0) AS est_count
+         |FROM probes LEFT JOIN c ON probes.w = c.w""".stripMargin
+    },
+    "m9_chi2_keywords" ->
+      s"""WITH d AS (SELECT lang, list_distinct($sqlToks) AS toks FROM documents),
+         |pres AS (SELECT lang, unnest(toks) AS w FROM d),
+         |tc AS (SELECT lang, w, count(*) AS a FROM pres GROUP BY 1, 2),
+         |tt AS (SELECT w, CAST(sum(a) AS BIGINT) AS t FROM tc GROUP BY 1),
+         |ct AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |x AS (SELECT lang, tc.w, a,
+         |    round(CAST(n AS DOUBLE) *
+         |      (CAST(a AS DOUBLE) * (n - c - t + a) -
+         |        CAST(c - a AS DOUBLE) * (t - a)) *
+         |      (CAST(a AS DOUBLE) * (n - c - t + a) -
+         |        CAST(c - a AS DOUBLE) * (t - a)) /
+         |      (CAST(c AS DOUBLE) * (n - c) * t * (n - t)), 6) AS chi2
+         |  FROM tc JOIN tt ON tc.w = tt.w JOIN ct USING (lang) CROSS JOIN nn
+         |  WHERE a >= 5 AND t < n)
+         |SELECT lang, w, a, chi2 FROM (
+         |  SELECT lang, w, a, chi2,
+         |    row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, w) AS rn
+         |  FROM x)
+         |WHERE rn <= 5""".stripMargin
   )
 }
 

@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Sketch-based aggregates for corpus-scale statistics.
+  *
+  * The exact-count path (explode → groupBy token) shuffles the whole
+  * token stream; at 100 TB that is the single largest shuffle a corpus
+  * statistics job can take. When only a *known vocabulary* needs
+  * counting (stop-word densities, marker-word profiles, contamination
+  * probes), a count-min sketch replaces it with a constant-size,
+  * OR-mergeable state per partition — the same trade
+  * [[graft.plans.BitmapDistinctCount]] makes for distinct counting.
+  */
+object SketchOps {
+
+  /** Estimated occurrence counts for a fixed probe vocabulary via one
+    * count-min sketch pass over the token stream.
+    *
+    * 100 TB shape: the sketch is Spark's built-in `count_min_sketch`
+    * aggregate (spark-sketch, codegen'd update path) — each task folds
+    * its tokens into a local width×depth counter table, merges are
+    * element-wise adds, and exactly ONE constant-size row reaches the
+    * driver (width 2/eps doubles × depth ln(1/(1-confidence))/ln 2 —
+    * ~1.6 MB at the defaults here), where the probe loop runs. The
+    * probe list is library input, never derived from the data, so
+    * nothing unbounded ever collects.
+    *
+    * Accuracy: estimates are exact while the corpus vocabulary stays
+    * ≪ width (no cell is shared in every depth row); beyond that the
+    * classic CMS guarantee applies — overcount ≤ eps·N with
+    * probability ≥ confidence, never an undercount. Deterministic for
+    * a fixed seed either way, so results are reproducible across
+    * cluster sizes.
+    */
+  def cmsTokenCounts(docs: DataFrame, tokens: Column, probes: Seq[String],
+                     eps: Double = 1e-4, confidence: Double = 0.999,
+                     seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    val skBytes = docs
+      .select(explode(tokens).as("w"))
+      .agg(expr(s"count_min_sketch(w, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new ByteArrayInputStream(skBytes))
+    import spark.implicits._
+    probes.distinct.sorted
+      .map(w => (w, cms.estimateCount(w)))
+      .toDF("w", "est_count")
+  }
+}
