@@ -864,14 +864,18 @@ object SparkEntry {
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
       val bi = toks.select(graft.plans.NgramGenerate.of(col("toks"), 2).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-      val totU = uni.agg(sum(col("cw")).as("n_uni"))
-      val totB = bi.agg(sum(col("cb")).as("n_bi"))
+      // corpus totals from ONE narrow pass over per-doc token counts —
+      // n_uni = Σ len, n_bi = Σ max(len-1, 0) — map-side partials
+      // only, instead of re-aggregating the (word|bigram) count tables
+      val tots = toks.select(size(col("toks")).as("l"))
+        .agg(sum(col("l")).as("n_uni"),
+          sum(greatest(col("l") - 1, lit(0))).as("n_bi"))
       bi.filter(col("cb") >= 5)
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .withColumn("w2", split(col("bg"), " ").getItem(1))
         .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
         .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
-        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .crossJoin(broadcast(tots))
         // identical spelling on the oracle side: one double division of
         // two left-assoc triple products, then ln, then 6-dp round
         .select(col("bg"), col("cb"),
