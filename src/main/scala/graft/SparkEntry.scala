@@ -953,7 +953,39 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("lang"), col("w"), col("a"), col("chi2"))
-    })
+    }),
+
+    // full outer join: per-nation customer vs supplier counts, both
+    // sides preserved (nations with only one side surface with a 0).
+    // Two key-partitioned pre-aggregations shrink each side to
+    // |nations| rows BEFORE the join — the aggregate-then-join shape
+    // that keeps a full outer join cheap at any scale.
+    "q31_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // grouped collection surface: per-user sorted event-type array +
+    // array predicates. sort_array makes collect_list order-free (the
+    // unordered collect is engine/partition-dependent); the array stays
+    // bounded by the per-user event count, never a corpus-wide state.
+    "q32_collect_types" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("event_type"))).as("types_arr"))
+        .select(col("user_id"),
+          concat_ws(" ", col("types_arr")).as("types"),
+          size(col("types_arr")).as("n_events"),
+          array_contains(col("types_arr"), "purchase").as("has_purchase"),
+          size(array_distinct(col("types_arr"))).as("n_distinct_types")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1742,7 +1774,22 @@ object SparkEntry {
          |  SELECT lang, w, a, chi2,
          |    row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, w) AS rn
          |  FROM x)
-         |WHERE rn <= 5""".stripMargin
+         |WHERE rn <= 5""".stripMargin,
+    "q31_full_outer" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    count(*) AS n_cust FROM customer GROUP BY 1),
+        |su AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |    count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nationkey, su.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN su ON c.nationkey = su.nationkey""".stripMargin,
+    "q32_collect_types" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(event_type)), ' ') AS types,
+        |  len(list(event_type)) AS n_events,
+        |  list_contains(list(event_type), 'purchase') AS has_purchase,
+        |  len(list_distinct(list(event_type))) AS n_distinct_types
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }
 
