@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, VectorDotProduct}
+import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, VectorDotProduct, ZValue}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -28,6 +28,7 @@ import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHa
   *   edit_distance_bounded(a, b, k)  Myers bit-parallel levenshtein <= k
   *   sorted_intersect_count(a, b)    merge-scan |a ∩ b| of sorted arrays
   *   ngram_generate(toks, n)  generator: streamed space-joined n-grams
+  *   z_value(bits, d1, d2, ...)      Morton interleave of binned dims
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -89,11 +90,25 @@ object GraftExtensions {
       NgramGenerate(children.head, n)
     }): Builder)
 
+  private val zValue = (
+    FunctionIdentifier("z_value"),
+    new ExpressionInfo(classOf[ZValue].getName, "z_value"),
+    ((children: Seq[Expression]) => {
+      require(children.length >= 2, "z_value takes (bits, dim1[, dim2...])")
+      val bits = children.head match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "z_value bits must be an INT literal")
+      }
+      ZValue(children.tail, bits)
+    }): Builder)
+
   private val all = Seq(
     vecDot,
     editDistBounded,
     sortedIntersect,
     ngramGen,
+    zValue,
     unary("md5_hash32_array", classOf[Md5Hash32Array], Md5Hash32Array(_: Expression)),
     unary("minhash_signature", classOf[MinHashSignature], MinHashSignature(_: Expression)),
     unary("simhash60", classOf[SimHash60], SimHash60(_: Expression)),

@@ -65,4 +65,29 @@ object WriteOps {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Write parquet clustered in Morton (z-) order over `dims` — the
+    * multi-column data-skipping layout: `repartitionByRange` + in-task
+    * sort on the interleaved key ([[graft.plans.ZValue]]) places rows
+    * close in EVERY dimension into the same files, so parquet min/max
+    * stats prune reads filtered on ANY dim combination, where
+    * [[partitionedSorted]]'s lexicographic sort only serves its leading
+    * column. `dims` are pre-binned long columns in `[0, 2^bits)` —
+    * bin width is a domain decision the caller owns.
+    *
+    * 100 TB shape: one range exchange on the z key (sampled bounds,
+    * `numFiles` balanced output tasks) + per-task sort; the z key
+    * itself is a codegen'd narrow expression and is dropped before
+    * writing, so the layout costs nothing in the files themselves. */
+  def zOrderedParquet(df: DataFrame, path: String,
+                      dims: Seq[org.apache.spark.sql.Column],
+                      bits: Int, numFiles: Int): Unit = {
+    df.withColumn("__z", graft.plans.ZValue.of(bits, dims: _*))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 }
