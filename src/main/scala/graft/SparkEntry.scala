@@ -66,6 +66,51 @@ object SparkEntry {
     """list_filter(string_split_regex(regexp_replace(lower(trim(text)), '[^A-Za-z\n ]|(http\S+)|(www.\S+)', '', 'g'), '\s+'), t -> len(t) > 0)"""
 
   private def sqlQuote(w: String): String = "'" + w.replace("'", "''") + "'"
+
+  /** Feature projection shared by the LR re-fit family (m7 fit,
+    * m10 AUC evaluation): is-English target, bias, scaled token count,
+    * type/token ratio, scaled char count. */
+  private val LrFitCols = Seq("xb", "x1", "x2", "x3")
+  private def lrFitFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("xb"),
+      (size(cleanTokens).cast("double") / lit(100.0)).as("x1"),
+      coalesce(size(array_distinct(cleanTokens)).cast("double") /
+        nullif(size(cleanTokens), lit(0)), lit(0.0)).as("x2"),
+      (col("n_chars").cast("double") / lit(1000.0)).as("x3"))
+
+  /** DuckDB WITH-prefix shared by the m7/m10 oracles: the feature CTE
+    * `d` plus the 3 unrolled gradient-descent steps ending in `w3` —
+    * the same DECIMAL-exact, 6-dp-sigmoid arithmetic as
+    * [[CorpusOps.logisticFitWeights]]. */
+  private lazy val lrFitCtePrefix: String = {
+    val fs = LrFitCols
+    def step(i: Int): String = {
+      val p = s"p$i"
+      val z = fs.map(f => s"$p.w_$f * d.$f").mkString(" + ")
+      val err = s"(round(1.0 / (1.0 + exp(-($z))), 6) - d.y)"
+      val ws = fs.map(f =>
+        s"$p.w_$f - 0.5 * (CAST(sum(CAST($err * d.$f AS DECIMAL(28,12))) AS DOUBLE) / count(*)) AS w_$f")
+        .mkString(",\n    ")
+      s"""w$i AS (SELECT
+         |    $ws
+         |  FROM d CROSS JOIN w${i - 1} $p
+         |  GROUP BY ${fs.map(f => s"$p.w_$f").mkString(", ")})""".stripMargin
+    }
+    s"""d AS (SELECT
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+       |    CAST(1 AS DOUBLE) AS xb,
+       |    CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
+       |    coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / nullif(len(toks), 0), CAST(0 AS DOUBLE)) AS x2,
+       |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x3
+       |  FROM (SELECT $sqlToks AS toks, lang, n_chars FROM documents)),
+       |w0 AS (SELECT ${fs.map(f => s"CAST(0 AS DOUBLE) AS w_$f").mkString(", ")}),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}""".stripMargin
+  }
   private lazy val sqlStopList: String =
     TextOps.englishStopWords.map(_.toLowerCase).distinct.sorted
       .map(sqlQuote).mkString("[", ", ", "]")
@@ -757,18 +802,41 @@ object SparkEntry {
     // only k gradient cells reach the driver. Deterministic to the
     // bit across engines and cluster sizes (see logisticFitWeights).
     "m7_lr_fit" -> ((s, dir) => {
-      val feats = t(s, dir, "documents").select(
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-        lit(1.0).as("xb"),
-        (size(cleanTokens).cast("double") / lit(100.0)).as("x1"),
-        coalesce(size(array_distinct(cleanTokens)).cast("double") /
-          nullif(size(cleanTokens), lit(0)), lit(0.0)).as("x2"),
-        (col("n_chars").cast("double") / lit(1000.0)).as("x3"))
       val w = CorpusOps.logisticFitWeights(
-        feats, "y", Seq("xb", "x1", "x2", "x3"), iters = 3, lr = 0.5)
+        lrFitFeatures(s, dir), "y", LrFitCols, iters = 3, lr = 0.5)
       import s.implicits._
       Seq(("bias", w(0)), ("x1", w(1)), ("x2", w(2)), ("x3", w(3)))
         .toDF("feature", "weight")
+    }),
+
+    // exact ROC-AUC of the m7-fit classifier WITHOUT a global row
+    // sort: scores quantize to 6 dp, so the rank pass runs over the
+    // score HISTOGRAM — distinct scores are bounded by quantization
+    // (≤ 1e6 + 1 rows) at ANY corpus size, so the ordered window here
+    // is a bounded constant, not an unpartitioned-window scale hazard.
+    // AUC = P(score₊ > score₋) + P(tie)/2 via the Mann–Whitney U
+    // statistic; the numerator stays integer (2·U) until one final
+    // division, so the value is bit-deterministic across engines and
+    // cluster sizes.
+    "m10_auc" -> ((s, dir) => {
+      val feats = lrFitFeatures(s, dir)
+      val w = CorpusOps.logisticFitWeights(feats, "y", LrFitCols,
+        iters = 3, lr = 0.5)
+      val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+        .reduceLeft(_ + _)
+      val hist = feats
+        .select(col("y"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+        .groupBy(col("p"))
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val cum = Window.orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cumneg", sum(col("nn")).over(cum) - col("nn"))
+        .agg(sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("u2"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+        .select((col("u2") / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
+          col("n_pos"), col("n_neg"))
     }),
 
     // multinomial Naive Bayes fit over the token stream (class =
@@ -1549,35 +1617,32 @@ object SparkEntry {
         |  0.0 - (CAST(sum(term) AS DOUBLE) / n) AS char_entropy
         |FROM t GROUP BY doc_id, n""".stripMargin,
     "m7_lr_fit" -> {
-      val fs = Seq("xb", "x1", "x2", "x3")
-      def step(i: Int): String = {
-        val p = s"p$i"
-        val z = fs.map(f => s"$p.w_$f * d.$f").mkString(" + ")
-        val err = s"(round(1.0 / (1.0 + exp(-($z))), 6) - d.y)"
-        val ws = fs.map(f =>
-          s"$p.w_$f - 0.5 * (CAST(sum(CAST($err * d.$f AS DECIMAL(28,12))) AS DOUBLE) / count(*)) AS w_$f")
-          .mkString(",\n    ")
-        s"""w$i AS (SELECT
-           |    $ws
-           |  FROM d CROSS JOIN w${i - 1} $p
-           |  GROUP BY ${fs.map(f => s"$p.w_$f").mkString(", ")})""".stripMargin
-      }
       val out = Seq("bias" -> "xb", "x1" -> "x1", "x2" -> "x2", "x3" -> "x3")
         .map { case (n, f) => s"SELECT '$n' AS feature, w_$f AS weight FROM w3" }
         .mkString(" UNION ALL ")
-      s"""WITH d AS (SELECT
-         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
-         |    CAST(1 AS DOUBLE) AS xb,
-         |    CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
-         |    coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
-         |      / nullif(len(toks), 0), CAST(0 AS DOUBLE)) AS x2,
-         |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x3
-         |  FROM (SELECT $sqlToks AS toks, lang, n_chars FROM documents)),
-         |w0 AS (SELECT ${fs.map(f => s"CAST(0 AS DOUBLE) AS w_$f").mkString(", ")}),
-         |${step(1)},
-         |${step(2)},
-         |${step(3)}
+      s"""WITH $lrFitCtePrefix
          |$out""".stripMargin
+    },
+    "m10_auc" -> {
+      val z = LrFitCols.map(f => s"w3.w_$f * d.$f").mkString(" + ")
+      s"""WITH $lrFitCtePrefix,
+         |scored AS (SELECT d.y,
+         |    round(1.0 / (1.0 + exp(-($z))), 6) AS p
+         |  FROM d CROSS JOIN w3),
+         |hist AS (SELECT p,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM scored GROUP BY p),
+         |c AS (SELECT np, nn,
+         |    CAST(sum(nn) OVER (ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - nn AS cumneg
+         |  FROM hist),
+         |tt AS (SELECT CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS u2,
+         |    CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(nn) AS BIGINT) AS n_neg
+         |  FROM c)
+         |SELECT u2 / (2.0 * n_pos * n_neg) AS auc, n_pos, n_neg FROM tt""".stripMargin
     },
     "s4_ann_pq" -> {
       val subDim = 16
