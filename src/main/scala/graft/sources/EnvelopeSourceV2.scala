@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -35,6 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    partition-directory pruning. Pruning is conservative: every
   *    filter is also returned as residual, so Spark re-applies it and
   *    an unpushable shape costs correctness nothing;
+  *  - LIMIT pushes into the reader (`SupportsPushDownLimit`, partial):
+  *    each file reader stops after n lines instead of scanning to EOF,
+  *    and Spark's global limit finishes — the parquet-reader contract;
   *  - readers stream lines, never buffering a file in memory;
   *  - `readStream.format("graft-envelope")` runs the same scan as a
   *    micro-batch stream (`MicroBatchStream`): offsets are explicit
@@ -76,11 +79,13 @@ private[sources] class EnvelopeTable(path: String) extends Table with SupportsRe
 
 private[sources] class EnvelopeScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters with SupportsPushDownAggregates {
+  with SupportsPushDownFilters with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private var required: StructType = EnvelopeSourceV2.Schema
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -111,9 +116,20 @@ private[sources] class EnvelopeScanBuilder(path: String)
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     false // partial: per-partition counts, summed by Spark's final agg
 
+  /** LIMIT n stops each file reader after n lines instead of scanning
+    * to EOF (Spark only offers the limit when no residual filter sits
+    * between scan and limit, so truncation is always sound). Partial
+    * push — the default `isPartiallyPushed` stays true: every
+    * partition may emit up to n rows and Spark's own global limit
+    * finishes the job, exactly the parquet-reader contract. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+
   override def build(): Scan =
     if (countPushed) new EnvelopeCountScan(path) else
-      new EnvelopeScan(path, required, pushed)
+      new EnvelopeScan(path, required, pushed, limit)
 }
 
 /** COUNT(*)-pushed scan: one long per file (its line count). */
@@ -168,14 +184,16 @@ private[sources] object EnvelopeScan {
 }
 
 private[sources] class EnvelopeScan(path: String, required: StructType,
-                                    pushed: Array[Filter] = Array.empty)
+                                    pushed: Array[Filter] = Array.empty,
+                                    limit: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-envelope $path ${required.fieldNames.mkString("[", ",", "]")}" +
-      (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]"))
+      (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]")) +
+      limit.fold("")(l => s" PushedLimit: $l")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -202,7 +220,7 @@ private[sources] class EnvelopeScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EnvelopeReaderFactory(required.fieldNames)
+    new EnvelopeReaderFactory(required.fieldNames, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new EnvelopeMicroBatchStream(path, required.fieldNames)
@@ -272,18 +290,27 @@ private[sources] class EnvelopeMicroBatchStream(path: String,
 
 private[sources] case class EnvelopeInputPartition(file: String) extends InputPartition
 
-private[sources] class EnvelopeReaderFactory(fields: Array[String])
+private[sources] class EnvelopeReaderFactory(fields: Array[String],
+                                             limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[EnvelopeInputPartition].file
+    val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
       private val reader = java.nio.file.Files.newBufferedReader(
         java.nio.file.Paths.get(file))
       private val fileUtf8 = UTF8String.fromString(file)
       private var line: String = _
+      private var emitted = 0
 
-      override def next(): Boolean = { line = reader.readLine(); line != null }
+      override def next(): Boolean = {
+        // pushed-limit cap: stop reading, don't scan to EOF
+        if (emitted >= cap) { line = null; return false }
+        line = reader.readLine()
+        if (line != null) emitted += 1
+        line != null
+      }
 
       override def get(): InternalRow = {
         val values = fields.map {

@@ -96,6 +96,24 @@ class EnvelopeSourceV2Spec extends AnyFunSuite with SparkSessionFixture {
     assert(df.filter(col("value").contains("c")).count() == 1)
   }
 
+  test("LIMIT pushdown caps the reader instead of scanning to EOF") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("env_v2l").toString
+    EnvelopeFeed.publishWave((1 to 100).map(i => s"line $i").toDF("t"), "t", dir)
+
+    val limited = spark.read.format("graft-envelope").load(dir).limit(3)
+    val leaf = limited.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PushedLimit: 3"), leaf)
+    assert(limited.count() == 3)
+    // a residual filter between scan and limit blocks the push (Spark
+    // never offers it), and the result is still correct
+    val filtered = spark.read.format("graft-envelope").load(dir)
+      .filter(col("value").contains("line 9")).limit(2)
+    val fLeaf = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!fLeaf.contains("PushedLimit"), fLeaf)
+    assert(filtered.count() == 2) // "line 9", "line 90"-"line 99" capped at 2
+  }
+
   test("micro-batch stream: incremental batches and checkpoint restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("env_v2s").toString
