@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
 import graft.functions.TextOps
 import graft.ml.{ModelLoader, SentimentModel, SentimentScorer}
@@ -1053,7 +1054,20 @@ object SparkEntry {
           concat_ws(" ", col("types_arr")).as("types"),
           size(col("types_arr")).as("n_events"),
           array_contains(col("types_arr"), "purchase").as("has_purchase"),
-          size(array_distinct(col("types_arr"))).as("n_distinct_types")))
+          size(array_distinct(col("types_arr"))).as("n_distinct_types"))),
+
+    // map-typed JSON surface: decode props to MAP, explode to
+    // (key, value) rows, aggregate per key. Dynamic keys (no schema
+    // pinned per key) — the semi-structured path p2's fixed-field
+    // get_json_object can't express; explode(map) is a narrow
+    // generator, the only shuffle is the per-key aggregate.
+    "q33_map_ops" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(explode(from_json(col("props"), MapType(StringType, LongType)))
+          .as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1854,7 +1868,14 @@ object SparkEntry {
         |  len(list(event_type)) AS n_events,
         |  list_contains(list(event_type), 'purchase') AS has_purchase,
         |  len(list_distinct(list(event_type))) AS n_distinct_types
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q33_map_ops" ->
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events)
+        |SELECT k, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  min(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS min_v,
+        |  max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v
+        |FROM kv GROUP BY k""".stripMargin
   )
 }
 
