@@ -52,4 +52,45 @@ object SketchOps {
       .map(w => (w, cms.estimateCount(w)))
       .toDF("w", "est_count")
   }
+
+  /** Streaming twin of [[cmsTokenCounts]]: a running sketch that
+    * absorbs one constant-size partial per micro-batch.
+    *
+    * Each batch folds its token stream into the same distributed
+    * `count_min_sketch` aggregate (so per-batch cost is one narrow
+    * agg, and only ~width×depth longs reach the driver), and the
+    * per-batch sketches MERGE element-wise into the running one —
+    * sketch mergeability is exactly what makes frequency tracking
+    * over an unbounded stream possible with bounded state. Probe at
+    * any time with [[RunningCms.estimate]]; same accuracy contract as
+    * the batch path (exact while vocabulary ≪ width, overcount
+    * ≤ eps·N with probability ≥ confidence beyond, never an
+    * undercount). The seed must stay fixed across batches or the
+    * merge would add misaligned counter tables. */
+  final class RunningCms(eps: Double = 1e-4, confidence: Double = 0.999,
+                         seed: Int = 42) {
+    @volatile private var sketch: CountMinSketch = _
+
+    /** foreachBatch hook: absorb `tokens` of one micro-batch. */
+    def absorb(batch: DataFrame, tokens: Column): Unit = {
+      val skBytes = batch
+        .select(explode(tokens).as("w"))
+        .agg(expr(s"count_min_sketch(w, CAST($eps AS DOUBLE), " +
+          s"CAST($confidence AS DOUBLE), $seed)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      // an empty batch aggregates to a null sketch — nothing to merge
+      if (skBytes != null) {
+        val part = CountMinSketch.readFrom(new ByteArrayInputStream(skBytes))
+        synchronized {
+          if (sketch == null) sketch = part else sketch.mergeInPlace(part)
+        }
+      }
+    }
+
+    /** Estimated count of `key` across every absorbed batch. */
+    def estimate(key: String): Long = {
+      val s = sketch
+      if (s == null) 0L else s.estimateCount(key)
+    }
+  }
 }

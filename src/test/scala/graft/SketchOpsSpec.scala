@@ -33,6 +33,30 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(a.map(_.getString(0)) == Seq("w0", "w12", "w3")) // distinct+sorted
   }
 
+  test("RunningCms absorbs micro-batches and matches exact stream counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val cms = new SketchOps.RunningCms()
+    val q = in.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        cms.absorb(batch, split(col("value"), " "))
+      }
+      .start()
+    try {
+      in.addData("a b a", "c b")
+      q.processAllAvailable()
+      assert(cms.estimate("a") == 2L && cms.estimate("b") == 2L)
+      in.addData("a c c") // second batch merges into the running sketch
+      q.processAllAvailable()
+      assert(cms.estimate("a") == 3L)
+      assert(cms.estimate("c") == 3L)
+      assert(cms.estimate("never") == 0L)
+    } finally q.stop()
+  }
+
   test("cms estimates never undercount, even at adversarially small width") {
     import spark.implicits._
     // width 2/eps = 4 cells with 50 distinct tokens: collisions are
