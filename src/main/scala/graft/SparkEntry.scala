@@ -996,7 +996,13 @@ object SparkEntry {
     // per-class top-k is a class-keyed window, and χ² is rounded to
     // 6 dp before the ordering so the selection is engine-stable.
     "m9_chi2_keywords" -> ((s, dir) => {
+      // the lang-key join pushes isnotnull(lang) into ITS copy of the
+      // token scan; filtering here puts the same predicate on every
+      // consumer, so the (lang, term) exchange stays canonically equal
+      // across the tt branch and the join branch and AQE reuses it
+      // (one tokenize pass instead of two)
       val d = t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
         .select(col("lang"), array_distinct(cleanTokens).as("toks"))
       val pres = d.select(col("lang"), explode(col("toks")).as("w"))
       val tc = pres.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("a"))
