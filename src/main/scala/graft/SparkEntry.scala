@@ -1073,7 +1073,44 @@ object SparkEntry {
           .as(Seq("k", "v")))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
-          min(col("v")).as("min_v"), max(col("v")).as("max_v")))
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))),
+
+    // deterministic k-per-group sample: rank by content hash within
+    // each language, keep 3 — the "random but reproducible" per-class
+    // subsample training mixes use (same rows on any cluster size or
+    // rerun, unlike rand()). WindowGroupLimit prunes to k per group
+    // map-side before the single key-partitioned window.
+    "q34_group_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // calibration curve (reliability diagram) of the m7-fit
+    // classifier: bucket predictions by percent, compare mean predicted
+    // probability to the observed positive rate. One key-partitioned
+    // aggregate over the scored stream; DECIMAL sums keep the means
+    // order-free. The eval twin of m10's discrimination measure.
+    "m11_calibration" -> ((s, dir) => {
+      val feats = lrFitFeatures(s, dir)
+      val w = CorpusOps.logisticFitWeights(feats, "y", LrFitCols,
+        iters = 3, lr = 0.5)
+      val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+        .reduceLeft(_ + _)
+      feats
+        .select(col("y"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+        .withColumn("bucket",
+          least(floor(col("p") * 100).cast("long"), lit(99L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("p").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_pred"),
+          (sum(col("y").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("pos_rate"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1881,7 +1918,25 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v,
         |  min(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS min_v,
         |  max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v
-        |FROM kv GROUP BY k""".stripMargin
+        |FROM kv GROUP BY k""".stripMargin,
+    "q34_group_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
+    "m11_calibration" -> {
+      val z = LrFitCols.map(f => s"w3.w_$f * d.$f").mkString(" + ")
+      s"""WITH $lrFitCtePrefix,
+         |scored AS (SELECT d.y,
+         |    round(1.0 / (1.0 + exp(-($z))), 6) AS p
+         |  FROM d CROSS JOIN w3)
+         |SELECT least(CAST(floor(p * 100) AS BIGINT), 99) AS bucket,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_pred,
+         |  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS pos_rate
+         |FROM scored GROUP BY 1""".stripMargin
+    }
   )
 }
 
