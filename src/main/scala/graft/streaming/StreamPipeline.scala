@@ -303,6 +303,67 @@ object StreamPipeline {
       .toDF("user", "sess_start_ms", "n_events")
   }
 
+  /** Streaming ordered funnel with custom state — batch q26's
+    * streaming twin: per user, the state machine view →
+    * click-after-view → purchase-after-click advances as events
+    * arrive; a completed funnel emits (user, view_ms, click_ms,
+    * purchase_ms) in the same micro-batch and the machine resets.
+    * State is two longs per active user, evicted by event-time
+    * timeout `horizonMs` past the user's last event, so abandoned
+    * funnels cost nothing beyond the horizon.
+    *
+    * Ordering: within a batch, events process in event-time order
+    * (strict `>` between stages, like q26); a late event inside the
+    * watermark can only advance the machine, never retro-replace an
+    * earlier stage — the stream-shaped approximation every production
+    * funnel makes, where batch q26 computes the exact global minima. */
+  def funnelWithState(events: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, horizonMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col(userCol).cast("long").as("user"),
+        col(typeCol).cast("string").as("et"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .as[(Long, String, java.sql.Timestamp)]
+
+    def fn(user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+           state: GroupState[(Long, Long)]) // (viewMs, clickMs); -1 = unset
+        : Iterator[(Long, Long, Long, Long)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val evs = rows.map(r => (r._2, r._3.getTime)).toSeq
+          .sortBy { case (et, t) => (t, et) }
+        var (view, click) = state.getOption.getOrElse((-1L, -1L))
+        var out = List.empty[(Long, Long, Long, Long)]
+        evs.foreach { case (et, t) =>
+          et match {
+            case "view" if view < 0 => view = t
+            case "click" if view >= 0 && click < 0 && t > view => click = t
+            case "purchase" if click >= 0 && t > click =>
+              out = (user, view, click, t) :: out
+              view = -1L; click = -1L // completed: next funnel starts fresh
+            case _ => ()
+          }
+        }
+        state.update((view, click))
+        // GC horizon past this user's newest event; must stay ahead of
+        // the current watermark or Spark rejects the timestamp
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs() + 1,
+            evs.map(_._2).max + horizonMs))
+        out.reverseIterator
+      }
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OM.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF("user", "view_ms", "click_ms", "purchase_ms")
+  }
+
   /** Streaming MinHash near-dup suppression with bounded state — the
     * streaming twin of batch d2: per-document signature is the same
     * narrow codegen pass (trigrams → md5 batch hash → one-loop K

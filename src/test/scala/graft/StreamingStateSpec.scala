@@ -262,4 +262,36 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     // the pre-fix code closed a bogus session at 10:16
     assert(rows == Set((ts(5).getTime, 3L)), rows.toString)
   }
+
+  test("streaming funnel: view -> click -> purchase emits once, order enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val funnels = StreamPipeline.funnelWithState(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "user_id", "event_type", "ts", horizonMs = 60 * 60 * 1000)
+    val q = funnels.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+
+    // user 7 progresses across BATCHES; user 8's purchase precedes its
+    // click (order violated → never completes); user 9 never purchases
+    input.addData((ts(1), 7L, "view"), (ts(2), 7L, "click"),
+      (ts(1), 8L, "view"), (ts(2), 8L, "purchase"),
+      (ts(1), 9L, "view"), (ts(3), 9L, "click"))
+    q.processAllAvailable()
+    assert(spark.table("funnel_out").count() == 0) // nothing completed yet
+    input.addData((ts(5), 7L, "purchase"), (ts(3), 8L, "click"))
+    q.processAllAvailable()
+    // user 7 completed once; a SECOND purchase without a fresh
+    // view+click must not emit again (machine reset on completion)
+    input.addData((ts(8), 7L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_out")
+      .select("user", "view_ms", "click_ms", "purchase_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set((7L, ts(1).getTime, ts(2).getTime, ts(5).getTime)),
+      rows.toString)
+  }
 }
