@@ -1110,7 +1110,30 @@ object SparkEntry {
             count(lit(1))).as("mean_pred"),
           (sum(col("y").cast("decimal(18,6)")).cast("double") /
             count(lit(1))).as("pos_rate"))
-    })
+    }),
+
+    // grouping() indicators on a rollup: a NULL group key from the
+    // DATA is indistinguishable from a subtotal row without
+    // grouping_id — the disambiguation every BI layer on top of a
+    // rollup needs. Single Expand + hash aggregate, same shape as q12.
+    "q35_grouping_id" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"))),
+
+    // calendar heatmap shape: events bucketed by day-of-week x
+    // hour-of-day — one narrow projection of the timestamp plus a
+    // single 7x24-key aggregate; the session timezone is pinned UTC
+    // on both engines so the bucket math agrees.
+    "q36_time_heatmap" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"),
+          col("value"))
+        .groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1936,7 +1959,19 @@ object SparkEntry {
          |  CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_pred,
          |  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS pos_rate
          |FROM scored GROUP BY 1""".stripMargin
-    }
+    },
+    "q35_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  GROUPING(o_orderstatus) AS g_status,
+        |  GROUPING(o_orderpriority) AS g_prio
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    // DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+    "q36_time_heatmap" ->
+      """SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |  hour(CAST(ts AS TIMESTAMP)) AS hod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
 
