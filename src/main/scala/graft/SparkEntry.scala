@@ -1133,7 +1133,19 @@ object SparkEntry {
           col("value"))
         .groupBy(col("dow"), col("hod"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+
+    // fixed-bound histogram per event type: width_bucket puts each
+    // value in one of 10 equal bins over [0, 500) (SQL-standard edge
+    // semantics: 0 below, n+1 at/above the bound — identical in both
+    // engines). One narrow projection + one (type, bucket) aggregate —
+    // the distributed histogram every profiling pass starts with.
+    "q37_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          width_bucket(col("value"), lit(0.0), lit(500.0), lit(10L)).as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1971,6 +1983,15 @@ object SparkEntry {
         |  hour(CAST(ts AS TIMESTAMP)) AS hod,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // DuckDB has no width_bucket; the CASE spells the SQL-standard
+    // semantics (0 below range, n+1 at/above the upper bound)
+    "q37_histogram" ->
+      """SELECT event_type,
+        |  CAST(CASE WHEN value < 0.0 THEN 0
+        |            WHEN value >= 500.0 THEN 11
+        |            ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
