@@ -1145,7 +1145,31 @@ object SparkEntry {
         .select(col("event_type"),
           width_bucket(col("value"), lit(0.0), lit(500.0), lit(10L)).as("bucket"))
         .groupBy(col("event_type"), col("bucket"))
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"))),
+
+    // z-score outlier detection: per-type mean/stddev from one
+    // key-partitioned aggregate (DECIMAL sums of value and value², so
+    // the moments are order-free), stats broadcast back onto the
+    // stream, flag |z| beyond 3σ. The anomaly-flagging pass every
+    // telemetry pipeline runs; at 100 TB the stats table stays one
+    // row per type and the probe side never shuffles. The z-score is
+    // 6-dp-rounded BEFORE the threshold compare so the kept set is
+    // engine-stable at the boundary.
+    "q39_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val mean = col("s1") / col("n")
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(28,8)"))
+            .cast("double").as("s2"))
+        .select(col("event_type"), mean.as("mean"),
+          sqrt(col("s2") / col("n") - mean * mean).as("sd"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+        .filter(abs(col("z")) > 3.0)
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1992,7 +2016,18 @@ object SparkEntry {
         |            WHEN value >= 500.0 THEN 11
         |            ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
         |  COUNT(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q39_outliers" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT event_type, s1 / n AS mean,
+        |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM s)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - mean) / sd, 6) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs(round((value - mean) / sd, 6)) > 3.0""".stripMargin
   )
 }
 
