@@ -1169,6 +1169,29 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("mean")) / col("sd"), 6).as("z"))
         .filter(abs(col("z")) > 3.0)
+    }),
+
+    // PageRank over the supplier↔customer trade graph (suppliers at
+    // even node ids, customers odd; edges symmetrized so the
+    // bipartite graph has no dangling mass). 5 fixed iterations of
+    // GraphOps.pageRank — per-iteration keyed join + keyed agg, all
+    // rank mass in bit-exact 1e-12 fixed point — checked against a
+    // 5-step unrolled-CTE oracle. Top-20 by rank keeps the result
+    // stable and small; the double view divides once at the edge.
+    "q38_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_suppkey").cast("long") * 2).as("src"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"),
+          (col("o_custkey").cast("long") * 2 + 1).as("dst"))
+      val base = li.join(o, Seq("ok")).select(col("src"), col("dst")).distinct()
+      val sym = base.union(base.select(col("dst"), col("src")))
+      GraphOps.pageRank(sym, "src", "dst", iters = 5)
+        .select(col("node"),
+          (col("pr_fp").cast("double") / lit(1.0e12)).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
     })
   )
 
@@ -2027,7 +2050,36 @@ object SparkEntry {
         |SELECT event_id, e.event_type, value,
         |  round((value - mean) / sd, 6) AS z
         |FROM events e JOIN st ON e.event_type = st.event_type
-        |WHERE abs(round((value - mean) / sd, 6)) > 3.0""".stripMargin
+        |WHERE abs(round((value - mean) / sd, 6)) > 3.0""".stripMargin,
+    // 5 unrolled PageRank steps, same 1e-12 fixed-point integer
+    // arithmetic as GraphOps.pageRank (see its Scaladoc for why
+    // integer `div`, not float rounding: engine-stable by
+    // construction). DuckDB `//` is floor division — identical to
+    // Spark's `div` on the all-positive mass here.
+    "q38_pagerank" -> {
+      def step(i: Int): String =
+        s"""p$i AS (SELECT nd.node,
+           |    (1000000000000 * (100 - 85)) // (100 * nn.n)
+           |      + (85 * coalesce(s.s, 0)) // 100 AS pr_fp
+           |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+           |    SELECT sym.dst AS node, sum(p.pr_fp // deg.outdeg) AS s
+           |    FROM sym JOIN p${i - 1} p ON sym.src = p.node
+           |    JOIN deg ON sym.src = deg.src
+           |    GROUP BY sym.dst) s ON nd.node = s.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
+         |    CAST(o_custkey AS BIGINT) * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |p0 AS (SELECT node, 1000000000000 // nn.n AS pr_fp
+         |  FROM nodes CROSS JOIN nn),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT node, CAST(pr_fp AS DOUBLE) / 1000000000000.0 AS pr
+         |FROM p5 ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    }
   )
 }
 

@@ -99,6 +99,70 @@ object GraphOps {
     (labels, () => { fixed.unpersist(blocking = true); () })
   }
 
+  /** Fixed-iteration PageRank over a directed edge list — the
+    * authority-scoring companion to [[connectedComponents]] (corpus
+    * governance: rank sources/URLs by link structure before sampling
+    * a training mix from them).
+    *
+    * 100 TB shape: each iteration is one join of the (persisted,
+    * degree-annotated) edge list with the current rank vector on the
+    * source key plus one destination-keyed aggregation — both
+    * key-partitioned, nothing driver-side but the node count. The
+    * rank vector is one row per node, never an adjacency list; edge
+    * state is read-only across iterations so its cached partitioning
+    * is reused every round.
+    *
+    * Determinism: ranks are FIXED-POINT — BIGINT mass in units of
+    * 1e-12 (`Scale`), damping as the rational 85/100, every division
+    * an integer `div`. Float quantization (round(x, k) / double→
+    * decimal casts) is NOT engine-stable at exact ties — Spark
+    * rounds the shortest decimal repr HALF_UP while DuckDB rounds
+    * through a scaled double multiply, and a 5-iteration rank vector
+    * reliably manufactures at least one tie — whereas integer
+    * arithmetic is bit-identical on any engine and any cluster size
+    * by construction. The ≤1e-12-per-edge mass leak from floor
+    * division is documented, not hidden. Dangling nodes (no
+    * out-edges) leak their mass — the classic simplified
+    * formulation; symmetrize the edge list if every node should
+    * retain rank.
+    *
+    * Returns (node, pr_fp) with pr_fp = rank · 1e12 as BIGINT;
+    * divide by 1e12 at the edge of the pipeline for a double view.
+    */
+  val PageRankScale: Long = 1000000000000L // 1e-12 fixed-point units
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 5, dampNum: Int = 85, dampDen: Int = 100)
+      : DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // consumed once per iteration: cache the degree-annotated edges
+    // (released by the caller's clearCache / session teardown — the
+    // loop below is the only consumer)
+    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()  // bounded driver scalar, like the CMS probe
+    val base = (PageRankScale * (dampDen - dampNum)) / (dampDen * n)
+    var pr = nodes.select(col("node"), lit(PageRankScale / n).as("pr_fp"))
+    for (_ <- 1 to iters) {
+      val sums = ed.join(pr, ed("src") === pr("node"))
+        .select(col("dst"), expr("pr_fp div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      pr = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr_fp"))
+    }
+    pr
+  }
+
   /** Large-star: every node connects its *larger* neighbors to the
     * minimum of its closed neighborhood.
     *

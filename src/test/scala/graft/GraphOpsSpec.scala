@@ -72,6 +72,67 @@ class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(components(Seq((7L, 7L))) == Map.empty)
   }
 
+  // ---- pageRank ------------------------------------------------------
+
+  /** Driver-side scalar reference with the IDENTICAL fixed-point
+    * integer arithmetic (1e-12 units, 85/100 damping, truncating
+    * division) — the distributed result must match bit-for-bit. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val dedup = edges.distinct
+    val outdeg = dedup.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = (dedup.map(_._1) ++ dedup.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val base = (GraphOps.PageRankScale * 15L) / (100L * n)
+    var pr = nodes.map(_ -> GraphOps.PageRankScale / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- dedup) sums(d) += pr(s) / outdeg(s)
+      pr = nodes.map(v => v -> (base + 85L * sums(v) / 100L)).toMap
+    }
+    pr
+  }
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 5)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank on a symmetric triangle is uniform") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L))
+    val got = ranks(tri)
+    // fully symmetric graph: every node holds exactly 1/3 of the mass
+    // (up to the deterministic fixed-point floor)
+    assert(got.values.toSet.size == 1)
+    assert(math.abs(got(1L) - GraphOps.PageRankScale / 3) <= 10)
+  }
+
+  test("pageRank random graphs match the scalar fixed-point reference") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val nNodes = 20 + trial * 15
+      val edges = Seq.fill(nNodes * 3) {
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }
+      assert(ranks(edges) == refPageRank(edges, 5), s"trial $trial")
+    }
+  }
+
+  test("pageRank mass is conserved up to the documented floor leak") {
+    val rnd = new scala.util.Random(11)
+    val one = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    // symmetrized: no dangling nodes, so the only loss is floor leak
+    val edges = one ++ one.map(_.swap)
+    val total = ranks(edges, iters = 3).values.sum
+    // each div floors away <1 unit per edge per round, plus the
+    // damping div per node per round; bound is loose but sub-ppm
+    assert(total <= GraphOps.PageRankScale)
+    assert(total > GraphOps.PageRankScale - 100000L)
+  }
+
   test("releasable variant leaves no cached blocks after release") {
     import spark.implicits._
     spark.catalog.clearCache() // drop any residue from sibling suites
