@@ -619,6 +619,23 @@ object SparkEntry {
         "vec_id", "embedding", subspaces = 4, probes = 2, k = 3)
     }),
 
+    // sparse-vector similarity: TF-IDF cosine pairs through an
+    // inverted-index join (CorpusOps.tfidfCosinePairs) — documents
+    // meet only through shared terms, Σ df² bounded by the maxDf
+    // vocabulary cut, never all-pairs. Word-BIGRAM vocabulary (the
+    // unigram vocab of the synthetic corpus is 31 terms — too coarse
+    // to discriminate); sequence() is guarded because Spark's
+    // sequence(1, 0) DESCENDS where DuckDB's range(1, 1) is empty.
+    "s6_tfidf_pairs" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents").select(col("doc_id"), cleanTokens.as("toks"))
+      val bigrams = when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i]))"))
+        .otherwise(array().cast("array<string>"))
+      CorpusOps.tfidfCosinePairs(d0, "doc_id", bigrams,
+        maxDf = 100L, minCos = 0.3)
+    }),
+
     // corpus vocabulary + idf (training-side CountVectorizer/IDF twin)
     "m6_vocab" -> ((s, dir) =>
       CorpusOps.vocabularyWithIdf(
@@ -2079,7 +2096,31 @@ object SparkEntry {
          |${(1 to 5).map(step).mkString(",\n")}
          |SELECT node, CAST(pr_fp AS DOUBLE) / 1000000000000.0 AS pr
          |FROM p5 ORDER BY pr DESC, node LIMIT 20""".stripMargin
-    }
+    },
+    // same arithmetic as CorpusOps.tfidfCosinePairs: m6's idf recipe,
+    // DECIMAL(28,12) norm/dot sums, 6-dp cosine before the threshold
+    "s6_tfidf_pairs" ->
+      s"""WITH d0 AS (SELECT doc_id AS doc, $sqlToks AS toks FROM documents),
+         |tok AS (SELECT doc, unnest(CASE WHEN len(toks) >= 2 THEN
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE []::VARCHAR[] END) AS term FROM d0),
+         |tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term),
+         |nn AS (SELECT count(*) AS nd FROM documents),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+         |  HAVING count(*) <= 100),
+         |w AS (SELECT doc, tf.term, df,
+         |    tf * round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6) AS w
+         |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
+         |nrm AS (SELECT doc, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12)))
+         |    AS DOUBLE)) AS nrm FROM w GROUP BY doc),
+         |dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |    CAST(sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+         |  WHERE a.df >= 2 GROUP BY a.doc, b.doc)
+         |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |FROM dots JOIN nrm na ON dots.doc_a = na.doc
+         |JOIN nrm nb ON dots.doc_b = nb.doc
+         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin
   )
 }
 

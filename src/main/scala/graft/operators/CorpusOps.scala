@@ -192,4 +192,67 @@ object CorpusOps {
       w
     } finally { feats.unpersist(blocking = false); () }
   }
+
+  /** All document pairs with TF-IDF cosine similarity ≥ `minCos`,
+    * computed through an INVERTED-INDEX join — the sparse-vector
+    * similarity search every duplicate-question / related-document
+    * pass runs, and the third similarity family next to the
+    * shingle-hash (MinHash/SimHash) and embedding (sign-LSH/IVF)
+    * paths.
+    *
+    * 100 TB shape: never all-pairs. Documents meet ONLY through
+    * terms they share — the term-keyed self-join of the (doc, term,
+    * weight) postings list — so the pair stream is bounded by
+    * Σ_term df(term)², not n². That bound is enforced, not hoped
+    * for: terms with df > `maxDf` are dropped from the VOCABULARY
+    * (norms included, so the similarity stays an exact cosine over
+    * the capped vocab — the standard stop-term cut, since a term in
+    * half the corpus carries ~no signal but df² pairs); df = 1 terms
+    * are additionally pruned from the JOIN only (they cannot pair,
+    * so this is pure savings, no semantic change). Everything else
+    * is keyed aggregation: tf on (doc, term), df on term, norms on
+    * doc, dots on (doc_a, doc_b).
+    *
+    * Both self-join sides shuffle the SAME postings subtree on term
+    * (`shuffle_hash` hint, mirroring minhashCandidatePairs), so
+    * ReusedExchange computes the weighting pass once.
+    *
+    * Determinism: idf is the m6 recipe (`round(ln((N+1)/(df+1)), 6)`),
+    * norm² and dot sums go through DECIMAL(28,12) (order-free), and
+    * the cosine is 6-dp-rounded before the threshold compare so the
+    * kept set is engine-stable at the boundary. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, tokens: Column,
+                       maxDf: Long, minCos: Double): DataFrame = {
+    val total = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val tf = docs.select(col(idCol).as("doc"), explode(tokens).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(dfreq, "term").crossJoin(total)
+      .select(col("doc"), col("term"), col("df"),
+        (col("tf") *
+          round(log((col("nd") + 1).cast("double") / (col("df") + 1)), 6))
+          .as("w"))
+    val norms = w.groupBy(col("doc"))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)"))
+        .cast("double")).as("nrm"))
+    val postings = w.filter(col("df") >= 2)
+      .select(col("doc"), col("term"), col("w"))
+      .hint("shuffle_hash")
+    val dots = postings.as("a").join(postings.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum((col("a.w") * col("b.w")).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc").as("doc_a"), col("nrm").as("nrm_a")), "doc_a")
+      .join(norms.select(col("doc").as("doc_b"), col("nrm").as("nrm_b")), "doc_b")
+      // zero-norm guard: an all-zero-idf vector would make the cosine
+      // 0/0 = NaN, and Spark orders NaN ABOVE every threshold — drop
+      // degenerate vectors instead of emitting NaN pairs
+      .filter(col("nrm_a") > 0.0 && col("nrm_b") > 0.0)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

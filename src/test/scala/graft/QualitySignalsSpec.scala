@@ -93,4 +93,35 @@ class QualitySignalsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got(3L) == ((4L, 1.386294)))      // ln 4 quantized at 6 dp
     assert(!got.contains(4L))                // empty text dropped
   }
+
+  test("tfidfCosinePairs: maxDf cut, exact cosine, no NaN rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // c is corpus-wide (df=3 > maxDf=2) → cut from the vocabulary;
+    // docs 1 and 2 agree exactly on the surviving {x, y}, doc 3
+    // shares nothing below the cap
+    val docs = Seq(
+      (1L, Seq("x", "y", "c")),
+      (2L, Seq("x", "y", "c")),
+      (3L, Seq("c", "q"))).toDF("doc_id", "toks")
+    val got = graft.operators.CorpusOps
+      .tfidfCosinePairs(docs, "doc_id", col("toks"), maxDf = 2L, minCos = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("tfidfCosinePairs: all-shared vocabulary yields no pairs, not NaN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every term in every doc → idf = round(ln(1), 6) = 0 → zero
+    // norms; the 0/0 cosine must be dropped by the threshold, never
+    // emitted as NaN
+    val docs = Seq(
+      (1L, Seq("x", "y")),
+      (2L, Seq("x", "y"))).toDF("doc_id", "toks")
+    val got = graft.operators.CorpusOps
+      .tfidfCosinePairs(docs, "doc_id", col("toks"), maxDf = 10L, minCos = 0.0)
+      .collect()
+    assert(got.isEmpty)
+  }
 }
