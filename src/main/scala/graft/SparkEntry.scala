@@ -1209,6 +1209,20 @@ object SparkEntry {
           (col("pr_fp").cast("double") / lit(1.0e12)).as("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(20)
+    }),
+
+    // Bloom-pruned semi-join (SketchOps.bloomPrunedSemiJoin): the
+    // runtime-filter pattern as a library op — a 2^20-bit bitmap of
+    // the urgent-order keys built in one narrow pass, shipped as a
+    // plan literal, probed map-side in codegen so non-members never
+    // reach the join exchange; the exact semi-join then removes the
+    // false positives, so the oracle is the plain semi-join.
+    "q40_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      SketchOps.bloomPrunedSemiJoin(
+        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     })
   )
 
@@ -2120,7 +2134,13 @@ object SparkEntry {
          |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
          |FROM dots JOIN nrm na ON dots.doc_a = na.doc
          |JOIN nrm nb ON dots.doc_b = nb.doc
-         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin
+         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin,
+    // the Bloom prune is result-invisible (false positives removed by
+    // the exact semi-join), so the oracle is the plain semi-join
+    "q40_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')""".stripMargin
   )
 }
 

