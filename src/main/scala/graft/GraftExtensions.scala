@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, VectorDotProduct, ZValue}
+import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -29,6 +29,7 @@ import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHa
   *   sorted_intersect_count(a, b)    merge-scan |a ∩ b| of sorted arrays
   *   ngram_generate(toks, n)  generator: streamed space-joined n-grams
   *   z_value(bits, d1, d2, ...)      Morton interleave of binned dims
+  *   top_k_rows(ord, id, k)   aggregate: k best (ord desc, id asc) pairs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -103,8 +104,22 @@ object GraftExtensions {
       ZValue(children.tail, bits)
     }): Builder)
 
+  private val topKRows = (
+    FunctionIdentifier("top_k_rows"),
+    new ExpressionInfo(classOf[TopKRows].getName, "top_k_rows"),
+    ((children: Seq[Expression]) => {
+      require(children.length == 3, "top_k_rows takes (ord, id, k)")
+      val k = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "top_k_rows k must be an INT literal")
+      }
+      TopKRows(children.head, children(1), k)
+    }): Builder)
+
   private val all = Seq(
     vecDot,
+    topKRows,
     editDistBounded,
     sortedIntersect,
     ngramGen,

@@ -1223,7 +1223,21 @@ object SparkEntry {
       SketchOps.bloomPrunedSemiJoin(
         t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    })
+    }),
+
+    // top-k per group WITHOUT a sort: plans.TopKRows rides the
+    // ordinary hash-aggregate pipeline with a k-element buffer per
+    // (partition, group) — q6's window shape sorts group slices even
+    // under WindowGroupLimit; this is the constant-state aggregate
+    // twin. Deterministic (ord desc, id asc) total order matches the
+    // row_number oracle.
+    "q41_topk_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.plans.TopKRows.of(col("value"), col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("event_type"), (col("pos") + 1).as("rk"),
+          col("r.id").as("event_id"), col("r.ord").as("value")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -2140,7 +2154,14 @@ object SparkEntry {
     "q40_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-        |  WHERE o_orderpriority = '1-URGENT')""".stripMargin
+        |  WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q41_topk_agg" ->
+      """SELECT event_type, rk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 3""".stripMargin
   )
 }
 
