@@ -1237,7 +1237,33 @@ object SparkEntry {
         .agg(graft.plans.TopKRows.of(col("value"), col("event_id"), 3).as("top"))
         .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "r")))
         .select(col("event_type"), (col("pos") + 1).as("rk"),
-          col("r.id").as("event_id"), col("r.ord").as("value")))
+          col("r.id").as("event_id"), col("r.ord").as("value"))),
+
+    // weighted deterministic sampling: keep probability proportional
+    // to a quality weight (length-derived here), decided by comparing
+    // a content-hash residue against the per-row weight — an INTEGER
+    // compare, so the kept set is engine- and cluster-size-stable
+    // (t7's uniform sampler with importance weights: the training-mix
+    // upsampling/downsampling primitive). Narrow, no shuffle.
+    "q42_weighted_sample" -> ((s, dir) => {
+      val w1000 = least(greatest(expr("n_chars div 2"), lit(100L)), lit(900L))
+      t(s, dir, "documents")
+        .filter(pmod(DedupOps.md5Hash32(col("text")), lit(1000)) < w1000)
+        .select(col("doc_id"), col("lang"), w1000.as("w1000"))
+    }),
+
+    // left outer join + aggregate: every customer, including the
+    // order-less (count over the null-extended side = 0) — one
+    // keyed join + one keyed agg; DECIMAL sum, coalesced before the
+    // double cast so empty groups read 0.0 not NULL
+    "q43_left_outer" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0))
+            .cast("double").as("sum_price")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -2161,7 +2187,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events)
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+    "q42_weighted_sample" ->
+      s"""SELECT doc_id, lang,
+         |  least(greatest(n_chars // 2, 100), 900) AS w1000
+         |FROM documents
+         |WHERE ${OracleSql.hash32("text")} % 1000
+         |  < least(greatest(n_chars // 2, 100), 900)""".stripMargin,
+    "q43_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+        |    AS DOUBLE) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin
   )
 }
 
