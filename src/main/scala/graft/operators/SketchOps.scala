@@ -94,6 +94,48 @@ object SketchOps {
     }
   }
 
+  /** Per-group distinct-count estimate via the built-in DataSketches
+    * HLL aggregate — the UNBOUNDED-domain companion to
+    * [[graft.plans.BitmapDistinctCount]] (which is exact but needs a
+    * dense bounded id domain). State is 2^lgK registers per group
+    * regardless of cardinality; merges are register-wise max, so the
+    * estimate is a function of the coupon/register SET — identical on
+    * any partitioning or merge order (deterministic, unlike
+    * sample-based estimators). Relative error ~1.04/sqrt(2^lgK)
+    * (~0.8% at the default lgK 14). Returns (groupCol,
+    * n_distinct_est BIGINT — hll_sketch_estimate's rounded value). */
+  def hllDistinct(df: DataFrame, groupCol: String, value: Column,
+                  lgK: Int = 14): DataFrame =
+    df.select(col(groupCol), value.as("__hll_v"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(__hll_v, $lgK))")
+        .as("n_distinct_est"))
+
+  /** Streaming twin of [[hllDistinct]]: a running distinct-count
+    * sketch absorbing one constant-size partial per micro-batch, the
+    * distinct-count member of the [[RunningCms]] family. Per batch:
+    * one narrow `hll_sketch_agg` (2^lgK bytes reach the driver);
+    * running state: a DataSketches `Union` (register-wise max), so
+    * re-observing values from earlier batches never double-counts —
+    * the property a running `count(DISTINCT)` over an unbounded
+    * stream needs bounded state for. */
+  final class RunningHll(lgK: Int = 14) {
+    private val union = new org.apache.datasketches.hll.Union(lgK)
+
+    /** foreachBatch hook: absorb the `value` column of one batch. */
+    def absorb(batch: DataFrame, value: Column): Unit = {
+      val bytes = batch.select(value.as("__hll_v"))
+        .agg(expr(s"hll_sketch_agg(__hll_v, $lgK)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      if (bytes != null) synchronized {
+        union.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+      }
+    }
+
+    /** Current distinct estimate across every absorbed batch. */
+    def estimate: Double = synchronized { union.getResult.getEstimate }
+  }
+
   /** Exact semi-join of `fact` to the key set of `dim`, pre-pruned by
     * a broadcast Bloom bitmap — the runtime-filter pattern spelled as
     * a library operator.

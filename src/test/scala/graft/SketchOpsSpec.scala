@@ -69,6 +69,46 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
     probes.foreach { p => assert(est(p) >= 10L, s"undercount for $p") }
   }
 
+  test("hllDistinct: near-exact per group and partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0 until 20000).map(i => (s"g${i % 2}", (i % 3000).toLong))
+    def run(parts: Int): Map[String, Long] =
+      SketchOps.hllDistinct(
+        rows.toDF("g", "v").repartition(parts), "g", col("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = run(8)
+    // exact distinct per group: 1500 even / 1500 odd values
+    est.values.foreach(e => assert(math.abs(e - 1500.0) / 1500.0 < 0.05))
+    // register-max state ⇒ identical on any partitioning
+    assert(run(1) == est && run(32) == est)
+  }
+
+  test("RunningHll never double-counts values re-observed across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val hll = new SketchOps.RunningHll()
+    val q = in.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        hll.absorb(batch, col("value"))
+      }
+      .start()
+    try {
+      in.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      val first = hll.estimate
+      assert(math.abs(first - 500.0) / 500.0 < 0.05)
+      in.addData(1L to 500L: _*) // pure re-observation: no growth
+      q.processAllAvailable()
+      assert(hll.estimate == first)
+      in.addData(501L to 600L: _*) // genuinely new values do count
+      q.processAllAvailable()
+      assert(math.abs(hll.estimate - 600.0) / 600.0 < 0.05)
+    } finally q.stop()
+  }
+
   test("bloomPrunedSemiJoin is identical to the plain semi-join") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
