@@ -136,6 +136,53 @@ object SketchOps {
     def estimate: Double = synchronized { union.getResult.getEstimate }
   }
 
+  /** Streaming twin of [[graft.plans.TopKRows]]: a running leaderboard
+    * absorbing one k-element partial per micro-batch. Each batch runs
+    * the bounded-state `top_k_rows` aggregate (so only k rows reach
+    * the driver per batch, whatever the batch size), and the k-sets
+    * fold under the same (ord desc, id asc) total order — top-k is
+    * merge-decomposable, which is what lets an unbounded stream keep
+    * an exact running top-k in O(k) state. Re-observing a (ord, id)
+    * pair is idempotent by the strict total order. */
+  final class RunningTopK(k: Int) {
+    require(k > 0, s"k must be positive, got $k")
+    private val state =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+
+    @inline private def outranks(a: (Double, Long), b: (Double, Long))
+        : Boolean = a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    /** foreachBatch hook: fold one micro-batch's top-k into the
+      * running k-set. */
+    def absorb(batch: DataFrame, ord: Column, id: Column): Unit = {
+      val partial = batch.select(ord.as("__o"), id.as("__i"))
+        .agg(graft.plans.TopKRows.of(col("__o"), col("__i"), k).as("top"))
+        .select(explode(col("top")).as("r"))
+        .select(col("r.ord"), col("r.id"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      synchronized {
+        partial.foreach { p =>
+          if (!state.contains(p)) {
+            if (state.length < k) { state += p; () }
+            else {
+              var wk = 0
+              var j = 1
+              while (j < state.length) {
+                if (outranks(state(wk), state(j))) wk = j
+                j += 1
+              }
+              if (outranks(p, state(wk))) state(wk) = p
+            }
+          }
+        }
+      }
+    }
+
+    /** Current top-k as (ord, id), best first. */
+    def top: Seq[(Double, Long)] =
+      synchronized { state.sortWith(outranks).toSeq }
+  }
+
   /** Exact semi-join of `fact` to the key set of `dim`, pre-pruned by
     * a broadcast Bloom bitmap — the runtime-filter pattern spelled as
     * a library operator.

@@ -109,6 +109,29 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("RunningTopK: exact running top-k across micro-batches in O(k) state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Double, Long)]
+    val topk = new SketchOps.RunningTopK(3)
+    val q = in.toDF().toDF("v", "id").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        topk.absorb(batch, col("v"), col("id"))
+      }
+      .start()
+    try {
+      in.addData((5.0, 1L), (3.0, 2L), (9.0, 3L), (1.0, 4L))
+      q.processAllAvailable()
+      assert(topk.top == Seq((9.0, 3L), (5.0, 1L), (3.0, 2L)))
+      // later batch displaces the weakest; re-observation is idempotent
+      in.addData((7.0, 5L), (9.0, 3L), (0.5, 6L))
+      q.processAllAvailable()
+      assert(topk.top == Seq((9.0, 3L), (7.0, 5L), (5.0, 1L)))
+    } finally q.stop()
+  }
+
   test("bloomPrunedSemiJoin is identical to the plain semi-join") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
