@@ -434,6 +434,19 @@ object SparkEntry {
         .union(c.intersect(su).withColumn("op", lit("intersect")))
     }),
 
+    // set ops with BAG semantics (q20's distinct twins): EXCEPT ALL /
+    // INTERSECT ALL preserve multiplicities — Spark plans them as a
+    // count-balancing aggregate + generator replication, never a
+    // distinct — the dup-sensitive reconciliation shape (e.g. "events
+    // one shard has more copies of than another")
+    "q44_bag_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("user_id") % 2 === 0).select(col("event_type"))
+      val b = ev.filter(col("user_id") % 2 === 1).select(col("event_type"))
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .union(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+    }),
+
     // exact grouped percentiles (sort-based, linear interpolation)
     "q14_percentile" -> ((s, dir) =>
       t(s, dir, "events")
@@ -927,14 +940,19 @@ object SparkEntry {
     // per-nation — never the single-partition global window an
     // unpartitioned ntile would force — and (acctbal desc, custkey)
     // is a total order, so bucket assignment is deterministic.
+    // Quantized to micro-units via floor(x * 1e6) — pure IEEE ops,
+    // identical in every engine — NOT round(x, 6): rank/n hits exact
+    // 6-dp half-ties (e.g. 41/640 = .0640625) where Spark's HALF_UP
+    // and DuckDB's scaled-multiply rounding disagree (found by the
+    // sf0.1 oracle sweep; same lesson as q38's fixed-point ranks).
     "q29_decile_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
           ntile(10).over(w).as("decile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          floor(percent_rank().over(w) * lit(1.0e6)).as("pct_rank_u"),
+          floor(cume_dist().over(w) * lit(1.0e6)).as("cume_u"))
     }),
 
     // corpus bigram PMI (collocation mining): pointwise mutual
@@ -1976,8 +1994,8 @@ object SparkEntry {
     "q29_decile_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  ntile(10) OVER w AS decile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pct_rank_u,
+        |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cume_u
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
@@ -2199,7 +2217,15 @@ object SparkEntry {
         |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
         |    AS DOUBLE) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey""".stripMargin
+        |GROUP BY c_custkey""".stripMargin,
+    "q44_bag_set_ops" ->
+      """SELECT event_type, 'except_all' AS op FROM (
+        |  SELECT event_type FROM events WHERE user_id % 2 = 0
+        |  EXCEPT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)
+        |UNION ALL
+        |SELECT event_type, 'intersect_all' AS op FROM (
+        |  SELECT event_type FROM events WHERE user_id % 2 = 0
+        |  INTERSECT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)""".stripMargin
   )
 }
 
