@@ -134,10 +134,13 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, dampNum: Int = 85, dampDen: Int = 100)
       : DataFrame = {
+    // the canonical edge set feeds THREE consumers (degree agg, the
+    // per-iteration join, the node set) — cache it once
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // consumed once per iteration: cache the degree-annotated edges
     // (released by the caller's clearCache / session teardown — the
