@@ -649,6 +649,16 @@ object SparkEntry {
         maxDf = 100L, minCos = 0.3)
     }),
 
+    // SemDeDup (Abbas et al. 2023): nearest-cell assignment against
+    // broadcast coarse cells, within-cell cosine prune at 0.45 (this
+    // corpus's planted near-dup level, cf. d5), min-id kept — the
+    // cell bound is the explicit capacity/recall trade that keeps the
+    // pair stream finite at corpus scale
+    "s7_semantic_dedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCentroids = 16, minCos = 0.45)),
+
     // corpus vocabulary + idf (training-side CountVectorizer/IDF twin)
     "m6_vocab" -> ((s, dir) =>
       CorpusOps.vocabularyWithIdf(
@@ -2218,6 +2228,21 @@ object SparkEntry {
         |    AS DOUBLE) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+    // same assignment CTE as s3's oracle; greedy within-cell loser
+    // set, min-id representative kept via ANTI JOIN
+    "s7_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |losers AS (SELECT DISTINCT b.vec_id AS loser FROM asg a JOIN asg b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${OracleSql.cos6("a.embedding", "b.embedding")} >= 0.45)
+         |SELECT vec_id, cell FROM asg
+         |ANTI JOIN losers ON asg.vec_id = losers.loser""".stripMargin,
     "q44_bag_set_ops" ->
       """SELECT event_type, 'except_all' AS op FROM (
         |  SELECT event_type FROM events WHERE user_id % 2 = 0

@@ -418,4 +418,52 @@ object SimilarityOps {
       .filter(col("sim") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every embedding to its nearest coarse cell, prune within-cell
+    * near-duplicates at `minCos`, keep the min-id representative of
+    * each dup group.
+    *
+    * 100 TB shape: the quantizer is broadcast (corpus-prefix cells
+    * here, [[kmeansCentroids]] as the learned upgrade — same contract
+    * as [[ivfTopK]]); assignment is one narrow n×C pass; the pairwise
+    * cosine runs ONLY within a cell (cell-keyed self-join with
+    * `shuffle_hash` exchange reuse, never corpus-wide all-pairs) —
+    * the explicit capacity/recall trade SemDeDup makes: cross-cell
+    * near-dups are not examined, which is what bounds the pair stream
+    * at corpus scale. Loser selection (any vector with a smaller-id
+    * in-cell neighbor at ≥ `minCos`) is per-pair, not transitive —
+    * greedy within-cell pruning, matching the paper; compose
+    * [[graft.operators.GraphOps.connectedComponents]] over
+    * [[embeddingNearDupPairs]] (d10's shape) when full closure is
+    * wanted.
+    *
+    * Returns the KEPT rows as (idCol, cell). */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+                    numCentroids: Int, minCos: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .withColumn("c_nrm", l2norm(col("c_emb"))))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
+    val asg = corpus.select(col(idCol), col(embCol))
+      .withColumn("nrm", l2norm(col(embCol)))
+      .join(cents)
+      .select(col(idCol), col(embCol), col("nrm"), col("c_id"),
+        round(dotD(col(embCol), col("c_emb")) /
+          (col("nrm") * col("c_nrm")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(embCol), col("nrm"), col("c_id").as("cell"))
+      .hint("shuffle_hash")
+    val losers = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(round(dotD(col(s"a.$embCol"), col(s"b.$embCol")) /
+        (col("a.nrm") * col("b.nrm")), 6) >= minCos)
+      .select(col(s"b.$idCol").as("__sd_loser"))
+      .distinct()
+    asg.join(losers, col(idCol) === col("__sd_loser"), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
 }
