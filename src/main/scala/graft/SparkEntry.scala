@@ -521,6 +521,40 @@ object SparkEntry {
           .when(sEs === g, "es").otherwise("fr").as("pred_lang"))
     }),
 
+    // keep-latest-per-key compaction (the CDC/upsert read shape):
+    // newest event per (user, type) by (ts desc, event_id desc) —
+    // total order, deterministic survivor; WindowGroupLimit prunes to
+    // 1 per key map-side before the single keyed window
+    "q45_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"))
+    }),
+
+    // evaluation: confusion matrix of the t3 language-ID heuristic
+    // against the labeled lang column — one keyed aggregate over the
+    // (actual, predicted) pairs; the per-class quality readout every
+    // classifier eval starts with (m10/m11's categorical sibling)
+    "m12_confusion" -> ((s, dir) => {
+      val toks = cleanTokens
+      def score(words: Seq[String]): Column =
+        size(filter(toks, w => w.isInCollection(words)))
+      val sEn = score(LangMarkers.en); val sDe = score(LangMarkers.de)
+      val sEs = score(LangMarkers.es); val sFr = score(LangMarkers.fr)
+      val g = greatest(sEn, sDe, sEs, sFr)
+      t(s, dir, "documents").select(col("lang"),
+        when(g === 0, "und")
+          .when(sEn === g, "en").when(sDe === g, "de")
+          .when(sEs === g, "es").otherwise("fr").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // document fingerprinting: full-content hash + min-shingle hash
     "t4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2243,6 +2277,30 @@ object SparkEntry {
          |  WHERE ${OracleSql.cos6("a.embedding", "b.embedding")} >= 0.45)
          |SELECT vec_id, cell FROM asg
          |ANTI JOIN losers ON asg.vec_id = losers.loser""".stripMargin,
+    // CAST(ts AS TIMESTAMP) pins the window order to microseconds —
+    // Spark reads the nanos column micro-truncated, so ordering raw
+    // TIMESTAMP_NS here could pick a different same-micro survivor
+    "q45_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "m12_confusion" -> {
+      def sc(ws: Seq[String]) =
+        s"len(list_filter(toks, w -> list_contains(${ws.map(sqlQuote).mkString("[", ", ", "]")}, w)))"
+      val (en, de, es, fr) = (sc(LangMarkers.en), sc(LangMarkers.de),
+        sc(LangMarkers.es), sc(LangMarkers.fr))
+      s"""WITH p AS (SELECT lang,
+         |  CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
+         |       WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
+         |       WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
+         |       WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (SELECT lang, $sqlToks AS toks FROM documents))
+         |SELECT lang, pred_lang, count(*) AS n
+         |FROM p GROUP BY lang, pred_lang""".stripMargin
+    },
     "q44_bag_set_ops" ->
       """SELECT event_type, 'except_all' AS op FROM (
         |  SELECT event_type FROM events WHERE user_id % 2 = 0
