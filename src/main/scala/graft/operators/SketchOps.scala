@@ -208,30 +208,73 @@ object SketchOps {
   def bloomPrunedSemiJoin(fact: DataFrame, factKey: String,
                           dim: DataFrame, dimKey: String,
                           bits: Int = 1 << 20, hashes: Int = 3): DataFrame = {
-    require(bits >= 64 && Integer.bitCount(bits) == 1,
-      s"bits must be a power of two >= 64, got $bits")
+    val bitmap = bloomBitmap(dim, col(dimKey), bits, hashes)
+    fact.filter(bloomProbe(bitmap, col(factKey), hashes))
+      .join(dim.select(col(dimKey).as("__bloom_key")).distinct(),
+        col(factKey) === col("__bloom_key"), "left_semi")
+  }
+
+  private def bloomPositions(key: Column, bits: Int, hashes: Int)
+      : Seq[Column] =
+    (0 until hashes).map(i => pmod(xxhash64(lit(i), key), lit(bits.toLong)))
+
+  private def bloomMask(p: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{Literal, ShiftLeft}
-    def positions(key: Column): Seq[Column] =
-      (0 until hashes).map(i => pmod(xxhash64(lit(i), key), lit(bits.toLong)))
-    def mask(p: Column): Column =
-      ColumnBridge.column(ShiftLeft(Literal(1L),
-        ColumnBridge.expression((p % 64).cast("int"))))
+    ColumnBridge.column(ShiftLeft(Literal(1L),
+      ColumnBridge.expression((p % 64).cast("int"))))
+  }
+
+  /** Build the `bits`-wide Bloom bitmap of `key` over `dim` — one
+    * narrow pass, ≤ bits/64 (word, mask) rows OR-folded before the
+    * driver sees anything (constant size, like the CMS sketch). */
+  def bloomBitmap(dim: DataFrame, key: Column,
+                  bits: Int = 1 << 20, hashes: Int = 3): Array[Long] = {
+    require(bits >= 64 && Integer.bitCount(bits) == 1,
+      s"bits must be a power of two >= 64, got $bits")
     val rows = dim
-      .select(explode(array(positions(col(dimKey)): _*)).as("p"))
+      .select(explode(array(bloomPositions(key, bits, hashes): _*)).as("p"))
       .distinct()
-      .select((col("p") / 64).cast("int").as("wi"), mask(col("p")).as("m"))
+      .select((col("p") / 64).cast("int").as("wi"),
+        bloomMask(col("p")).as("m"))
       .groupBy(col("wi")).agg(expr("bit_or(m)").as("w"))
       .collect()
     val bitmap = new Array[Long](bits / 64)
     rows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    bitmap
+  }
+
+  /** Codegen membership probe against a [[bloomBitmap]]: true iff
+    * `key` is PROBABLY in the built set (never a false negative). The
+    * bitmap ships as a plan literal; the probe is xxhash64 + array
+    * index + bit test — all built-ins, map-side. */
+  def bloomProbe(bitmap: Array[Long], key: Column, hashes: Int = 3)
+      : Column = {
+    val bits = bitmap.length * 64
     val lut = typedlit(bitmap.toSeq)
-    val probablyMember = positions(col(factKey)).map { p =>
+    bloomPositions(key, bits, hashes).map { p =>
       (element_at(lut, (p / 64).cast("int") + 1)
-        .bitwiseAND(mask(p))) =!= lit(0L)
+        .bitwiseAND(bloomMask(p))) =!= lit(0L)
     }.reduce(_ && _)
-    fact.filter(probablyMember)
-      .join(dim.select(col(dimKey).as("__bloom_key")).distinct(),
-        col(factKey) === col("__bloom_key"), "left_semi")
+  }
+
+  /** Constant-memory STREAMING decontamination: drop stream rows whose
+    * `key` is probably in the static contamination set, without any
+    * stream-static join — the bitmap is built once from the static
+    * side and probed map-side in every micro-batch (no state store,
+    * no shuffle, bounded memory whatever the stream length).
+    *
+    * Bloom semantics make this CONSERVATIVE: true members always hit
+    * (no false negatives — nothing contaminated survives); a false
+    * positive drops a clean row with probability ~(k·n/bits)^k —
+    * size `bits` ≥ ~16× the contamination-set cardinality to keep
+    * that sub-1%. When exactness matters more than state, use the
+    * stream-static anti-join (StreamPipeline's decontaminate path). */
+  def bloomDecontaminateStream(stream: DataFrame, key: Column,
+                               contaminated: DataFrame, contamKey: Column,
+                               bits: Int = 1 << 20, hashes: Int = 3)
+      : DataFrame = {
+    val bitmap = bloomBitmap(contaminated, contamKey, bits, hashes)
+    stream.filter(!bloomProbe(bitmap, key, hashes))
   }
 }

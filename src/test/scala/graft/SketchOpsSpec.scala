@@ -132,6 +132,32 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("bloomDecontaminateStream drops every contaminated row map-side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val contaminated = (0L until 50L).map(_ * 3).toDF("bad")
+    val in = MemoryStream[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = SketchOps.bloomDecontaminateStream(
+        in.toDF(), col("value"), contaminated, col("bad"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= batch.collect().map(_.getLong(0)); () }
+      }
+      .start()
+    try {
+      in.addData(0L until 150L: _*)
+      q.processAllAvailable()
+      val survivors = out.toSet
+      // no false negatives: every multiple of 3 under 150 is gone
+      assert((0L until 150L by 3L).forall(!survivors.contains(_)))
+      // at 2^20 bits / 50 keys the FP probability is ~0: all clean
+      // rows survive in this test
+      assert(survivors == (0L until 150L).filterNot(_ % 3 == 0).toSet)
+    } finally q.stop()
+  }
+
   test("bloomPrunedSemiJoin is identical to the plain semi-join") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
