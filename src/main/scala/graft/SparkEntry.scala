@@ -116,6 +116,41 @@ object SparkEntry {
     TextOps.englishStopWords.map(_.toLowerCase).distinct.sorted
       .map(sqlQuote).mkString("[", ", ", "]")
 
+  /** DuckDB CTE pair `p` (per-doc predicted lang) + `cm` (confusion
+    * matrix), the oracle twin of [[langConfusion]]. */
+  private lazy val langConfusionCte: String = {
+    def sc(ws: Seq[String]) =
+      s"len(list_filter(toks, w -> list_contains(${ws.map(sqlQuote).mkString("[", ", ", "]")}, w)))"
+    val (en, de, es, fr) = (sc(LangMarkers.en), sc(LangMarkers.de),
+      sc(LangMarkers.es), sc(LangMarkers.fr))
+    s"""p AS (SELECT lang,
+       |  CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
+       |       WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
+       |       WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
+       |       WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM (SELECT lang, $sqlToks AS toks FROM documents)),
+       |cm AS (SELECT lang, pred_lang, count(*) AS n
+       |  FROM p GROUP BY lang, pred_lang)""".stripMargin
+  }
+
+  /** (actual, predicted, count) confusion matrix of the t3 lang-ID
+    * heuristic — shared by m12 (raw matrix) and m13 (per-class PRF). */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val toks = cleanTokens
+    def score(words: Seq[String]): Column =
+      size(filter(toks, w => w.isInCollection(words)))
+    val sEn = score(LangMarkers.en); val sDe = score(LangMarkers.de)
+    val sEs = score(LangMarkers.es); val sFr = score(LangMarkers.fr)
+    val g = greatest(sEn, sDe, sEs, sFr)
+    t(s, dir, "documents").select(col("lang"),
+      when(g === 0, "und")
+        .when(sEn === g, "en").when(sDe === g, "de")
+        .when(sEs === g, "es").otherwise("fr").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001):
     * scan documents → clean/tokenize → stop words → native 5-stage
     * sentiment scoring → aggregate sentiment mix per language. */
@@ -540,19 +575,32 @@ object SparkEntry {
     // against the labeled lang column — one keyed aggregate over the
     // (actual, predicted) pairs; the per-class quality readout every
     // classifier eval starts with (m10/m11's categorical sibling)
-    "m12_confusion" -> ((s, dir) => {
-      val toks = cleanTokens
-      def score(words: Seq[String]): Column =
-        size(filter(toks, w => w.isInCollection(words)))
-      val sEn = score(LangMarkers.en); val sDe = score(LangMarkers.de)
-      val sEs = score(LangMarkers.es); val sFr = score(LangMarkers.fr)
-      val g = greatest(sEn, sDe, sEs, sFr)
-      t(s, dir, "documents").select(col("lang"),
-        when(g === 0, "und")
-          .when(sEn === g, "en").when(sDe === g, "de")
-          .when(sEs === g, "es").otherwise("fr").as("pred_lang"))
-        .groupBy(col("lang"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"))
+    "m12_confusion" -> ((s, dir) => langConfusion(s, dir)),
+
+    // per-class precision / recall / F1 from the m12 matrix, as
+    // BIGINT micro-units via integer div — ratios of integer counts
+    // are exactly the tie-prone quantity float round(x, 6) mishandles
+    // (the q29 lesson), and integer arithmetic is engine-stable by
+    // construction. F1 spelled 2·tp div (n_pred + n_actual) since
+    // n_pred + n_actual = 2·tp + fp + fn.
+    "m13_prf" -> ((s, dir) => {
+      val cm = langConfusion(s, dir)
+      val act = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_actual"))
+      val prd = cm.groupBy(col("pred_lang")).agg(sum(col("n")).as("n_pred"))
+      val tp = cm.filter(col("lang") === col("pred_lang"))
+        .select(col("lang"), col("n").as("tp"))
+      act
+        .join(tp, Seq("lang"), "left_outer")
+        .join(prd.withColumnRenamed("pred_lang", "lang"), Seq("lang"), "left_outer")
+        .select(col("lang"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          col("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          expr("(1000000 * coalesce(tp, 0L)) div nullif(coalesce(n_pred, 0L), 0)")
+            .as("precision_u"),
+          expr("(1000000 * coalesce(tp, 0L)) div n_actual").as("recall_u"),
+          expr("(2000000 * coalesce(tp, 0L)) div (coalesce(n_pred, 0L) + n_actual)")
+            .as("f1_u"))
     }),
 
     // document fingerprinting: full-content hash + min-shingle hash
@@ -2286,21 +2334,25 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
-    "m12_confusion" -> {
-      def sc(ws: Seq[String]) =
-        s"len(list_filter(toks, w -> list_contains(${ws.map(sqlQuote).mkString("[", ", ", "]")}, w)))"
-      val (en, de, es, fr) = (sc(LangMarkers.en), sc(LangMarkers.de),
-        sc(LangMarkers.es), sc(LangMarkers.fr))
-      s"""WITH p AS (SELECT lang,
-         |  CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
-         |       WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
-         |       WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
-         |       WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
-         |       ELSE 'fr' END AS pred_lang
-         |FROM (SELECT lang, $sqlToks AS toks FROM documents))
-         |SELECT lang, pred_lang, count(*) AS n
-         |FROM p GROUP BY lang, pred_lang""".stripMargin
-    },
+    "m12_confusion" ->
+      s"""WITH $langConfusionCte
+         |SELECT lang, pred_lang, n FROM cm""".stripMargin,
+    // integer-div micro-unit ratios, mirroring the Spark spelling
+    "m13_prf" ->
+      s"""WITH $langConfusionCte,
+         |act AS (SELECT lang, sum(n) AS n_actual FROM cm GROUP BY lang),
+         |prd AS (SELECT pred_lang AS lang, sum(n) AS n_pred
+         |  FROM cm GROUP BY pred_lang),
+         |tp AS (SELECT lang, n AS tp FROM cm WHERE lang = pred_lang)
+         |SELECT act.lang, coalesce(tp.tp, 0) AS tp, act.n_actual,
+         |  coalesce(prd.n_pred, 0) AS n_pred,
+         |  (1000000 * coalesce(tp.tp, 0))
+         |    // nullif(coalesce(prd.n_pred, 0), 0) AS precision_u,
+         |  (1000000 * coalesce(tp.tp, 0)) // act.n_actual AS recall_u,
+         |  (2000000 * coalesce(tp.tp, 0))
+         |    // (coalesce(prd.n_pred, 0) + act.n_actual) AS f1_u
+         |FROM act LEFT JOIN tp ON act.lang = tp.lang
+         |LEFT JOIN prd ON act.lang = prd.lang""".stripMargin,
     "q44_bag_set_ops" ->
       """SELECT event_type, 'except_all' AS op FROM (
         |  SELECT event_type FROM events WHERE user_id % 2 = 0
