@@ -1027,6 +1027,23 @@ object SparkEntry {
           sum(col("v")).over(w).cast("double").as("v_1h"))
     }),
 
+    // ROWS-frame moving average (q28's RANGE sibling): trailing-4-row
+    // mean per user under a total order. The frame sum rides DECIMAL
+    // — DuckDB evaluates sliding windows with a segment tree, so a
+    // DOUBLE frame sum would re-associate float addition and drift
+    // from Spark's streaming accumulation; exact DECIMAL makes the
+    // slide order-free — and the mean is one final double division.
+    "q46_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .select(col("event_id"), col("user_id"),
+          (sum(col("v")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg_4"))
+    }),
+
     // per-group quantile ranks: balance decile / percent_rank /
     // cume_dist within each nation. partitionBy keeps every frame
     // per-nation — never the single-partition global window an
@@ -2353,6 +2370,15 @@ object SparkEntry {
          |    // (coalesce(prd.n_pred, 0) + act.n_actual) AS f1_u
          |FROM act LEFT JOIN tp ON act.lang = tp.lang
          |LEFT JOIN prd ON act.lang = prd.lang""".stripMargin,
+    // CAST(ts AS TIMESTAMP) pins frame order to micros (the q45 note)
+    "q46_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg_4
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q44_bag_set_ops" ->
       """SELECT event_type, 'except_all' AS op FROM (
         |  SELECT event_type FROM events WHERE user_id % 2 = 0
