@@ -1044,6 +1044,37 @@ object SparkEntry {
             count(lit(1)).over(w)).as("avg_4"))
     }),
 
+    // monthly revenue trend + month-over-month delta: date_trunc
+    // bucketing into a BOUNDED month table (one row per month, ever),
+    // so the global lag window is safe — the one case an
+    // unpartitioned window is the right call. DECIMAL revenue sums;
+    // months emit as epoch BIGINT per the oracle convention.
+    "q47_monthly_trend" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+      val w = Window.orderBy(col("mth"))
+      m.select(unix_timestamp(col("mth")).as("mth"),
+        col("n_orders"), col("revenue"),
+        (col("revenue") - coalesce(lag(col("revenue"), 1).over(w), lit(0.0)))
+          .as("delta"))
+    }),
+
+    // per-source corpus governance profile: the data-mix report every
+    // training-set review starts with — one keyed aggregate, DECIMAL
+    // order-free means, exact small-domain distinct
+    "t13_source_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("n_chars").cast("decimal(18,0)")).cast("double") /
+            count(lit(1))).as("avg_chars"),
+          (sum(size(cleanTokens).cast("decimal(18,0)")).cast("double") /
+            count(lit(1))).as("avg_tokens"))),
+
     // per-group quantile ranks: balance decile / percent_rank /
     // cume_dist within each nation. partitionBy keeps every frame
     // per-nation — never the single-partition global window an
@@ -2370,6 +2401,22 @@ object SparkEntry {
          |    // (coalesce(prd.n_pred, 0) + act.n_actual) AS f1_u
          |FROM act LEFT JOIN tp ON act.lang = tp.lang
          |LEFT JOIN prd ON act.lang = prd.lang""".stripMargin,
+    "q47_monthly_trend" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mth,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(epoch(mth) AS BIGINT) AS mth, n_orders, revenue,
+        |  revenue - coalesce(lag(revenue) OVER (ORDER BY mth), 0.0) AS delta
+        |FROM m""".stripMargin,
+    "t13_source_profile" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+         |    / count(*) AS avg_chars,
+         |  CAST(sum(CAST(len($sqlToks) AS DECIMAL(18,0))) AS DOUBLE)
+         |    / count(*) AS avg_tokens
+         |FROM documents GROUP BY source""".stripMargin,
     // CAST(ts AS TIMESTAMP) pins frame order to micros (the q45 note)
     "q46_moving_avg" ->
       """SELECT event_id, user_id,

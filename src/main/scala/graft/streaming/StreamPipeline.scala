@@ -187,6 +187,22 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col(keyCol), col("n"))
 
+  /** Event-time SESSION windows via the built-in `session_window`
+    * (dynamic-gap merging windows) — the declarative sibling of the
+    * `flatMapGroupsWithState` sessionizer below: state merges are
+    * handled by the engine's session-window state store, sessions
+    * finalize when the watermark passes their gap-extended end, and
+    * the whole thing stays an ordinary watermarked aggregation
+    * (update-compatible sinks, AQE-planned). Use the custom
+    * sessionizer when per-session logic goes beyond aggregates. */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, keyCol: String,
+                          gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col(keyCol), col("n"))
+
   /** Streaming exact dedup with bounded state: duplicates of `idCol`
     * arriving within the watermark horizon are dropped; state for
     * ids older than the watermark is evicted. The streaming twin of

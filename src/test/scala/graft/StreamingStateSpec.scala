@@ -43,6 +43,35 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!rows.exists(r => r._2 == "a" && r._3 == 3L))
   }
 
+  test("session_window merges gap-close events and finalizes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = StreamPipeline.sessionWindowCounts(
+      input.toDF().toDF("ts", "k"), "ts", "k", "5 minutes", "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try {
+      // 10:01 and 10:03 merge (gap < 5m); 10:20 starts a new session
+      input.addData((ts(1), "a"), (ts(3), "a"), (ts(20), "a"))
+      q.processAllAvailable()
+      // advance the watermark far past 10:08 so session 1 finalizes
+      input.addData((ts(40), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .select(col("s_start").cast("string"), col("s_end").cast("string"),
+          col("k"), col("n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      // merged session: [10:01, 10:08) (end = last event + gap), n = 2
+      assert(rows.contains(
+        ("2026-01-01 10:01:00", "2026-01-01 10:08:00", "a", 2L)), rows.toString)
+      // the 10:20 singleton is its own session once finalized
+      assert(rows.contains(
+        ("2026-01-01 10:20:00", "2026-01-01 10:25:00", "a", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark evicts dup ids inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
