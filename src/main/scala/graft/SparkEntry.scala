@@ -1044,6 +1044,28 @@ object SparkEntry {
             count(lit(1)).over(w)).as("avg_4"))
     }),
 
+    // capstone composition — the LLM data-prep pipeline END TO END in
+    // one declarative plan: length/token quality gate → exact dedup
+    // (min-id per content hash, WindowGroupLimit-pruned) →
+    // deterministic 50% hash-residue sample → per-language mix
+    // report. Every stage is an operator proven elsewhere (t2, d1,
+    // t7, q1-family); the point is that they COMPOSE into a single
+    // Catalyst plan with no materialization barriers between stages.
+    "p7_prep_pipeline" -> ((s, dir) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+          cleanTokens.as("toks"))
+        .filter(col("n_chars").between(100, 5000) && size(col("toks")) >= 10)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter(pmod(DedupOps.md5Hash32(col("text")), lit(2)) === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(size(col("toks")).cast("decimal(18,0)")).cast("double") /
+            count(lit(1))).as("avg_tokens"))
+    }),
+
     // monthly revenue trend + month-over-month delta: date_trunc
     // bucketing into a BOUNDED month table (one row per month, ever),
     // so the global lag window is safe — the one case an
@@ -2401,6 +2423,20 @@ object SparkEntry {
          |    // (coalesce(prd.n_pred, 0) + act.n_actual) AS f1_u
          |FROM act LEFT JOIN tp ON act.lang = tp.lang
          |LEFT JOIN prd ON act.lang = prd.lang""".stripMargin,
+    "p7_prep_pipeline" ->
+      s"""WITH f AS (SELECT doc_id, lang, text, toks FROM (
+         |    SELECT doc_id, lang, text, n_chars, $sqlToks AS toks
+         |    FROM documents)
+         |  WHERE n_chars BETWEEN 100 AND 5000 AND len(toks) >= 10),
+         |d AS (SELECT doc_id, lang, text, toks FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |      ORDER BY doc_id) AS rn FROM f) WHERE rn = 1),
+         |sm AS (SELECT * FROM d
+         |  WHERE ${OracleSql.hash32("text")} % 2 = 0)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CAST(len(toks) AS DECIMAL(18,0))) AS DOUBLE)
+         |    / count(*) AS avg_tokens
+         |FROM sm GROUP BY lang""".stripMargin,
     "q47_monthly_trend" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mth,
         |    count(*) AS n_orders,
