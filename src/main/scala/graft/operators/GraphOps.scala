@@ -153,15 +153,31 @@ object GraphOps {
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
     val base = (PageRankScale * (dampDen - dampNum)) / (dampDen * n)
     var pr = nodes.select(col("node"), lit(PageRankScale / n).as("pr_fp"))
-    for (_ <- 1 to iters) {
+    var prev: DataFrame = null
+    for (i <- 1 to iters) {
       val sums = ed.join(pr, ed("src") === pr("node"))
         .select(col("dst"), expr("pr_fp div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      pr = nodes.join(sums, nodes("node") === sums("dst"), "left")
+      val next = nodes.join(sums, nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr_fp"))
+      // lineage truncation between iterations (the CC lesson): without
+      // it the final plan nests iters x (join+agg+join) and AQE
+      // replans every stage against the whole remaining tree. The
+      // rank vector is one row per node — materializing it per round
+      // is a small job; the rewrapped LogicalRDD leaf keeps each
+      // round's plan three stages deep. The last iteration stays lazy
+      // so callers compose (top-k, joins) without an extra pass.
+      pr = if (i == iters) next else {
+        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        val rdd = p.rdd
+        rdd.count()
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = p
+        p.sparkSession.createDataFrame(rdd, p.schema)
+      }
     }
     pr
   }
