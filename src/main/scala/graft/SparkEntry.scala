@@ -584,7 +584,13 @@ object SparkEntry {
     // construction. F1 spelled 2·tp div (n_pred + n_actual) since
     // n_pred + n_actual = 2·tp + fp + fn.
     "m13_prf" -> ((s, dir) => {
+      // cm feeds three consumers (act/prd/tp) on DIFFERENT keys, so
+      // exchange reuse cannot cover them — persist the <=25-row
+      // matrix instead of tokenizing the corpus three times (the
+      // harness clearCache()s between queries; library callers hold
+      // the d4-style release discipline)
       val cm = langConfusion(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val act = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_actual"))
       val prd = cm.groupBy(col("pred_lang")).agg(sum(col("n")).as("n_pred"))
       val tp = cm.filter(col("lang") === col("pred_lang"))
