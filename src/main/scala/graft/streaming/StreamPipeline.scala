@@ -234,7 +234,22 @@ object StreamPipeline {
     * stream length). */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                         userCol: String, tsCol: String,
-                        horizon: String, watermark: String): DataFrame = {
+                        horizon: String, watermark: String): DataFrame =
+    clickPurchaseJoin(clicks, purchases, userCol, tsCol, horizon,
+      watermark, "inner")
+
+  /** As above with an explicit join type. `left_outer` adds the
+    * conversion-funnel "never purchased" rows: a click with no
+    * purchase in its horizon emits null-extended ONCE — but only when
+    * the watermark passes the horizon-extended click time, because
+    * until then a matching purchase could still arrive. The time-range
+    * predicate plus both-side watermarks is exactly what makes that
+    * finalization (and the bounded state eviction) possible; an outer
+    * stream-stream join without them is unplannable. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        userCol: String, tsCol: String,
+                        horizon: String, watermark: String,
+                        joinType: String): DataFrame = {
     // the join itself runs on __cpj_-prefixed internals, so key/time
     // columns named "user"/"click_ts"/etc. never collide; only a
     // *payload* click column carrying one of the reserved output names
@@ -257,7 +272,8 @@ object StreamPipeline {
     c.join(p,
       col("__cpj_user") === col("__cpj_p_user") &&
         col("__cpj_purchase_ts") >= col("__cpj_click_ts") - expr(s"INTERVAL $horizon") &&
-        col("__cpj_purchase_ts") <= col("__cpj_click_ts"))
+        col("__cpj_purchase_ts") <= col("__cpj_click_ts"),
+      joinType)
       .drop("__cpj_p_user")
       .withColumnRenamed("__cpj_user", "user")
       .withColumnRenamed("__cpj_click_ts", "click_ts")

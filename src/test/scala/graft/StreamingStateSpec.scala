@@ -144,6 +144,37 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows(0).getString(2) == "2026-01-01 10:01:00")
   }
 
+  test("left-outer stream-stream join emits null-extended rows post-watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val joined = StreamPipeline.clickPurchaseJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id"),
+      "user_id", "ts", horizon = "10 minutes", watermark = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_join_lo")
+      .outputMode("append").start()
+    try {
+      purchases.addData((ts(5), 7L))
+      clicks.addData((ts(8), 7L), (ts(8), 9L))   // user 9 never purchases
+      q.processAllAvailable()
+      // user 9's click cannot finalize yet — a purchase could still
+      // arrive until the watermark passes the horizon-extended click
+      // time; push both watermarks far past it
+      clicks.addData((ts(120), 1L))
+      purchases.addData((ts(120), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_lo")
+        .select(col("user"), col("purchase_ts").cast("string")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows.contains((7L, "2026-01-01 10:05:00")))   // matched
+      assert(rows.contains((9L, null)), rows.toString)     // null-extended once
+      assert(rows.count(_._1 == 9L) == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream join accepts inputs already named user/click_ts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
