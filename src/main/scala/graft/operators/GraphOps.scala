@@ -151,6 +151,13 @@ object GraphOps {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
+    if (n == 0) {
+      // empty (or all-null / all-self-loop-free… i.e. no valid) edge
+      // set: no nodes, no ranks — and no driver-side division by zero
+      ed.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      return nodes.select(col("node"), lit(0L).as("pr_fp")).limit(0)
+    }
     val base = (PageRankScale * (dampDen - dampNum)) / (dampDen * n)
     var pr = nodes.select(col("node"), lit(PageRankScale / n).as("pr_fp"))
     var prev: DataFrame = null

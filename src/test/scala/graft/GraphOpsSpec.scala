@@ -121,6 +121,16 @@ class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("pageRank on empty and null-only edge sets is empty, not a crash") {
+    import spark.implicits._
+    assert(ranks(Seq.empty) == Map.empty)
+    val nulls = Seq((Some(1L), Option.empty[Long]))
+      .toDF("src", "dst")
+    val got = GraphOps.pageRank(nulls, "src", "dst")
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq == Seq("node", "pr_fp"))
+  }
+
   test("pageRank mass is conserved up to the documented floor leak") {
     val rnd = new scala.util.Random(11)
     val one = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

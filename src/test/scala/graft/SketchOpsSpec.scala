@@ -183,6 +183,13 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got == (0L until 90L by 3L).toSeq)
   }
 
+  test("bloomPrunedSemiJoin with an empty dim yields an empty result") {
+    import spark.implicits._
+    val fact = (0L until 50L).map((_, 1)).toDF("k", "v")
+    val dim = Seq.empty[Long].toDF("dk")
+    assert(SketchOps.bloomPrunedSemiJoin(fact, "k", dim, "dk").count() == 0L)
+  }
+
   test("bloom probe prunes non-members before the join") {
     import spark.implicits._
     // disjoint key spaces: every fact row is a bloom miss, so the
