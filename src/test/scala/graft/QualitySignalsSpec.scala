@@ -110,6 +110,19 @@ class QualitySignalsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("tfidfCosinePairs: empty and single-doc corpora yield no pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Seq[String])].toDF("doc_id", "toks")
+    assert(graft.operators.CorpusOps
+      .tfidfCosinePairs(empty, "doc_id", col("toks"), 10L, 0.0)
+      .collect().isEmpty)
+    val one = Seq((1L, Seq("x", "y"))).toDF("doc_id", "toks")
+    assert(graft.operators.CorpusOps
+      .tfidfCosinePairs(one, "doc_id", col("toks"), 10L, 0.0)
+      .collect().isEmpty)
+  }
+
   test("tfidfCosinePairs: all-shared vocabulary yields no pairs, not NaN") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -57,6 +57,19 @@ class TopKRowsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got == Seq(1L, 4L))
   }
 
+  test("NaN ordering values fail loudly, never sort silently") {
+    import spark.implicits._
+    val df = Seq((Double.NaN, 1L), (1.0, 2L)).toDF("v", "id")
+    val e = intercept[Exception] {
+      df.groupBy(lit(1)).agg(TopKRows.of(col("v"), col("id"), 2).as("t"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NaN")), e.toString)
+  }
+
   test("SQL registration: top_k_rows usable from spark.sql") {
     import spark.implicits._
     GraftExtensions.register(spark)
