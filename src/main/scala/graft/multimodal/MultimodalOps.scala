@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,6 +43,28 @@ object MultimodalOps {
 
   /** Rows per decode batch — bounds peak decoder memory per task. */
   val DecodeBatchSize = 32
+
+  /** Container-format sniffing from magic bytes — the intake triage
+    * every media crawl runs BEFORE any decode, and the one media
+    * operator that needs no codec at all: an 8-byte prefix compare,
+    * spelled entirely in built-ins (substring + hex + when), so it
+    * runs inside whole-stage codegen on the scan with payloads never
+    * leaving their partition. Truncated/empty payloads classify as
+    * "unknown", never throw — intake data is exactly where garbage
+    * lives. MP4 is recognized by `ftyp` at byte offset 5 (the
+    * preceding 4 bytes are the box length, which varies). */
+  def sniffFormat(payload: Column): Column = {
+    val hex8 = upper(hex(substring(payload, 1, 8)))
+    when(hex8.startsWith("FFD8FF"), "jpeg")
+      .when(hex8.startsWith("89504E47"), "png")
+      .when(hex8.startsWith("47494638"), "gif")
+      .when(hex8.startsWith("52494646"), "riff") // wav/avi/webp container
+      .when(substring(hex8, 9, 8) === "66747970", "mp4")
+      .when(hex8.startsWith("494433"), "mp3")
+      .when(hex8.startsWith("25504446"), "pdf")
+      .when(hex8.startsWith("504B"), "zip")
+      .otherwise("unknown")
+  }
 
   final case class MediaRow(
       media_id: Long, kind: String, mime: String,

@@ -64,4 +64,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(f.length == 64)
     assert(f.forall(v => math.abs(v - 0.5f) < 1e-6))
   }
+
+  test("sniffFormat classifies magic bytes; garbage and stubs are unknown") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val rows = Seq(
+      ("jpeg", b(0xFF, 0xD8, 0xFF, 0xE0, 0, 0, 0, 0)),
+      ("png", b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)),
+      ("gif", "GIF89a__".getBytes("ISO-8859-1")),
+      ("riff", "RIFF....".getBytes("ISO-8859-1")),
+      ("mp4", b(0, 0, 0, 0x20) ++ "ftyp".getBytes("ISO-8859-1")),
+      ("mp3", "ID3....".getBytes("ISO-8859-1")),
+      ("pdf", "%PDF-1.7".getBytes("ISO-8859-1")),
+      ("zip", "PK....".getBytes("ISO-8859-1")),
+      ("unknown", b(0x01, 0x02, 0x03)),
+      ("unknown", Array.emptyByteArray),
+      ("unknown", b(0xFF))) // truncated jpeg prefix: no false positive
+    val got = rows.zipWithIndex
+      .map { case ((exp, p), i) => (i, exp, p) }
+      .toDF("i", "expect", "payload")
+      .select(col("expect"),
+        MultimodalOps.sniffFormat(col("payload")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
 }
