@@ -1072,6 +1072,33 @@ object SparkEntry {
             count(lit(1))).as("avg_tokens"))
     }),
 
+    // schema-drift union: two feeds with different column sets,
+    // aligned BY NAME with missing columns null-filled — the
+    // ingestion-time reality unionByPosition silently corrupts
+    // (DuckDB spells it UNION ALL BY NAME)
+    "q48_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val b = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
+    // null-safe equality join (<=>): NULL keys MATCH each other,
+    // where plain = drops them — the semantics reconciliation jobs
+    // need when "unknown" is a real group. Both sides aggregate
+    // first, so the null group joins 1:1, not cross-product.
+    // DuckDB spells the operator IS NOT DISTINCT FROM.
+    "q49_null_safe_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(nullif(col("event_type"), lit("click")).as("k"), col("value"))
+      val a = e.groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+      val b = e.groupBy(col("k").as("kb"))
+        .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_b"))
+      a.join(b, col("k") <=> col("kb"))
+        .select(col("k"), col("n_a"), col("sum_b"))
+    }),
+
     // monthly revenue trend + month-over-month delta: date_trunc
     // bucketing into a BOUNDED month table (one row per month, ever),
     // so the global lag window is safe — the one case an
@@ -2443,6 +2470,17 @@ object SparkEntry {
          |  CAST(sum(CAST(len(toks) AS DECIMAL(18,0))) AS DOUBLE)
          |    / count(*) AS avg_tokens
          |FROM sm GROUP BY lang""".stripMargin,
+    "q48_union_by_name" ->
+      """SELECT doc_id, lang, n_chars, NULL AS source FROM documents
+        |UNION ALL BY NAME
+        |SELECT doc_id, source, lang FROM documents""".stripMargin,
+    "q49_null_safe_join" ->
+      """WITH e AS (SELECT nullif(event_type, 'click') AS k, value FROM events),
+        |a AS (SELECT k, count(*) AS n_a FROM e GROUP BY k),
+        |b AS (SELECT k AS kb,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_b
+        |  FROM e GROUP BY k)
+        |SELECT k, n_a, sum_b FROM a JOIN b ON k IS NOT DISTINCT FROM kb""".stripMargin,
     "q47_monthly_trend" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mth,
         |    count(*) AS n_orders,
