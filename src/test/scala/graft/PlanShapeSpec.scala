@@ -54,6 +54,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(formatted("q45_latest_per_key").contains("WindowGroupLimit"))
   }
 
+  test("q41 top-k aggregate runs a map-side partial before the exchange") {
+    val plan = formatted("q41_topk_agg")
+    assert(plan.contains("partial_top_k_rows"),
+      "no map-side partial: every row would cross the shuffle")
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
   test("d2b banded self-join reuses one signature exchange") {
     assert(executed("d2b_minhash_pairs").contains("ReusedExchange"),
       "both self-join sides recomputed the signature pass")
