@@ -133,7 +133,19 @@ object GraphOps {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, dampNum: Int = 85, dampDen: Int = 100)
-      : DataFrame = {
+      : DataFrame =
+    pageRankReleasable(edges, srcCol, dstCol, iters, dampNum, dampDen)._1
+
+  /** [[pageRank]] plus an explicit release hook for the cached edge
+    * set, node set, and final materialized rank round — the
+    * connectedComponentsReleasable discipline: the Bench/Verify
+    * harness clearCache()s between queries, but a library caller
+    * running many queries in one session should release explicitly
+    * AFTER its action on the returned frame. */
+  def pageRankReleasable(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int = 5, dampNum: Int = 85,
+                         dampDen: Int = 100)
+      : (DataFrame, () => Unit) = {
     // the canonical edge set feeds THREE consumers (degree agg, the
     // per-iteration join, the node set) — cache it once
     val e = edges
@@ -156,7 +168,8 @@ object GraphOps {
       // set: no nodes, no ranks — and no driver-side division by zero
       ed.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
-      return nodes.select(col("node"), lit(0L).as("pr_fp")).limit(0)
+      return (nodes.select(col("node"), lit(0L).as("pr_fp")).limit(0),
+        () => ())
     }
     val base = (PageRankScale * (dampDen - dampNum)) / (dampDen * n)
     var pr = nodes.select(col("node"), lit(PageRankScale / n).as("pr_fp"))
@@ -186,7 +199,14 @@ object GraphOps {
         p.sparkSession.createDataFrame(rdd, p.schema)
       }
     }
-    pr
+    val lastRound = prev
+    (pr, () => {
+      e.unpersist(blocking = false)
+      ed.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      if (lastRound != null) lastRound.unpersist(blocking = true)
+      ()
+    })
   }
 
   /** Large-star: every node connects its *larger* neighbors to the

@@ -143,6 +143,17 @@ class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(total > GraphOps.PageRankScale - 100000L)
   }
 
+  test("pageRankReleasable leaves no cached blocks after release") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val (pr, release) = GraphOps.pageRankReleasable(edges, "src", "dst")
+    assert(pr.count() == 3)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("releasable variant leaves no cached blocks after release") {
     import spark.implicits._
     spark.catalog.clearCache() // drop any residue from sibling suites
