@@ -1072,6 +1072,32 @@ object SparkEntry {
             count(lit(1))).as("avg_tokens"))
     }),
 
+    // Pearson correlation from DECIMAL-exact sufficient statistics
+    // (n, Σx, Σy, Σx², Σy², Σxy): the built-in corr/covar aggregates
+    // accumulate running double moments — order-dependent, so
+    // engine-unstable — where the sufficient-statistics spelling is
+    // one keyed aggregate of exact sums (map-side partials, constant
+    // merge state) and the algebra runs once per group on identical
+    // doubles. Correlates value with hour-of-day per event type.
+    "q50_corr" -> ((s, dir) => {
+      val xy = t(s, dir, "events")
+        .select(col("event_type"), col("value").as("x"),
+          hour(col("ts")).cast("double").as("y"))
+      def d(c: Column): Column = c.cast("decimal(28,8)")
+      xy.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(d(col("x"))).cast("double").as("sx"),
+          sum(d(col("y"))).cast("double").as("sy"),
+          sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+          sum(d(col("y") * col("y"))).cast("double").as("syy"),
+          sum(d(col("x") * col("y"))).cast("double").as("sxy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_xy"))
+    }),
+
     // schema-drift union: two feeds with different column sets,
     // aligned BY NAME with missing columns null-filled — the
     // ingestion-time reality unionByPosition silently corrupts
@@ -2470,6 +2496,22 @@ object SparkEntry {
          |  CAST(sum(CAST(len(toks) AS DECIMAL(18,0))) AS DOUBLE)
          |    / count(*) AS avg_tokens
          |FROM sm GROUP BY lang""".stripMargin,
+    "q50_corr" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) *
+        |      CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(value * CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |      AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |FROM st""".stripMargin,
     "q48_union_by_name" ->
       """SELECT doc_id, lang, n_chars, NULL AS source FROM documents
         |UNION ALL BY NAME
