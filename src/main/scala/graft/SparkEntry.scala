@@ -134,22 +134,29 @@ object SparkEntry {
        |  FROM p GROUP BY lang, pred_lang)""".stripMargin
   }
 
-  /** (actual, predicted, count) confusion matrix of the t3 lang-ID
-    * heuristic — shared by m12 (raw matrix) and m13 (per-class PRF). */
-  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+  /** Marker-word language prediction over [[cleanTokens]] — THE
+    * heuristic; the single definition t3, m12, and m13 all consume
+    * (edit here and the CTE twin together, or the oracle parity of
+    * all three silently breaks). */
+  private lazy val langPredCol: Column = {
     val toks = cleanTokens
     def score(words: Seq[String]): Column =
       size(filter(toks, w => w.isInCollection(words)))
     val sEn = score(LangMarkers.en); val sDe = score(LangMarkers.de)
     val sEs = score(LangMarkers.es); val sFr = score(LangMarkers.fr)
     val g = greatest(sEn, sDe, sEs, sFr)
-    t(s, dir, "documents").select(col("lang"),
-      when(g === 0, "und")
-        .when(sEn === g, "en").when(sDe === g, "de")
-        .when(sEs === g, "es").otherwise("fr").as("pred_lang"))
+    when(g === 0, "und")
+      .when(sEn === g, "en").when(sDe === g, "de")
+      .when(sEs === g, "es").otherwise("fr")
+  }
+
+  /** (actual, predicted, count) confusion matrix of the t3 lang-ID
+    * heuristic — shared by m12 (raw matrix) and m13 (per-class PRF). */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), langPredCol.as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001):
     * scan documents → clean/tokenize → stop words → native 5-stage
@@ -542,19 +549,10 @@ object SparkEntry {
             nullif(size(col("toks")), lit(0))).as("avg_token_len"))),
 
     // language ID: marker-word scoring with deterministic argmax
-    "t3_lang_id" -> ((s, dir) => {
-      val toks = cleanTokens
-      def score(words: Seq[String]): Column =
-        size(filter(toks, w => w.isInCollection(words)))
-      val sEn = score(LangMarkers.en); val sDe = score(LangMarkers.de)
-      val sEs = score(LangMarkers.es); val sFr = score(LangMarkers.fr)
-      val g = greatest(sEn, sDe, sEs, sFr)
+    // (the single langPredCol definition m12/m13 also consume)
+    "t3_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"),
-        when(g === 0, "und")
-          .when(sEn === g, "en").when(sDe === g, "de")
-          .when(sEs === g, "es").otherwise("fr").as("pred_lang"))
-    }),
+        col("doc_id"), langPredCol.as("pred_lang"))),
 
     // keep-latest-per-key compaction (the CDC/upsert read shape):
     // newest event per (user, type) by (ts desc, event_id desc) —
@@ -1092,9 +1090,16 @@ object SparkEntry {
           sum(d(col("y") * col("y"))).cast("double").as("syy"),
           sum(d(col("x") * col("y"))).cast("double").as("sxy"))
         .select(col("event_type"), col("n"),
+          // greatest(·, 0) guards the q39 cancellation class (a
+          // zero-variance side would sqrt a tiny negative: NaN in
+          // Spark, hard error in DuckDB); nullif keeps the
+          // undefined-correlation case a NULL row on both engines
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            nullif(
+              sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"),
+                lit(0.0))) *
+              sqrt(greatest(col("n") * col("syy") - col("sy") * col("sy"),
+                lit(0.0))), lit(0.0)))
             .as("corr_xy"))
     }),
 
@@ -1414,13 +1419,20 @@ object SparkEntry {
     "q39_outliers" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val mean = col("s1") / col("n")
+      // greatest(var, 0): floating cancellation can push the variance
+      // of a CONSTANT-valued group to ~-1e-17, where Spark's sqrt
+      // returns NaN (which then SURVIVES the threshold — NaN orders
+      // above every number) and DuckDB hard-errors; the sd > 0 filter
+      // then drops zero-variance groups, which by definition have no
+      // outliers
       val stats = e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
           sum((col("value") * col("value")).cast("decimal(28,8)"))
             .cast("double").as("s2"))
         .select(col("event_type"), mean.as("mean"),
-          sqrt(col("s2") / col("n") - mean * mean).as("sd"))
+          sqrt(greatest(col("s2") / col("n") - mean * mean, lit(0.0))).as("sd"))
+        .filter(col("sd") > 0.0)
       e.join(broadcast(stats), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("mean")) / col("sd"), 6).as("z"))
@@ -2356,11 +2368,11 @@ object SparkEntry {
         |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
         |  FROM events GROUP BY event_type),
         |st AS (SELECT event_type, s1 / n AS mean,
-        |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM s)
+        |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd FROM s)
         |SELECT event_id, e.event_type, value,
         |  round((value - mean) / sd, 6) AS z
         |FROM events e JOIN st ON e.event_type = st.event_type
-        |WHERE abs(round((value - mean) / sd, 6)) > 3.0""".stripMargin,
+        |WHERE sd > 0.0 AND abs(round((value - mean) / sd, 6)) > 3.0""".stripMargin,
     // 5 unrolled PageRank steps, same 1e-12 fixed-point integer
     // arithmetic as GraphOps.pageRank (see its Scaladoc for why
     // integer `div`, not float rounding: engine-stable by
@@ -2510,7 +2522,8 @@ object SparkEntry {
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n,
         |  (n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |    nullif(sqrt(greatest(n * sxx - sx * sx, 0.0)) *
+        |      sqrt(greatest(n * syy - sy * sy, 0.0)), 0.0) AS corr_xy
         |FROM st""".stripMargin,
     "q48_union_by_name" ->
       """SELECT doc_id, lang, n_chars, NULL AS source FROM documents

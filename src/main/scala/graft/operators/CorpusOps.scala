@@ -228,11 +228,18 @@ object CorpusOps {
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    // persisted: the weighting pass feeds the doc-keyed norms
+    // aggregate AND the two term-keyed postings sides; exchange reuse
+    // covers the postings pair but not the norms branch (different
+    // key), which would otherwise re-run explode→tf→df→join from the
+    // scan. Harness clearCache()s per query; library callers hold the
+    // d4-style release discipline.
     val w = tf.join(dfreq, "term").crossJoin(total)
       .select(col("doc"), col("term"), col("df"),
         (col("tf") *
           round(log((col("nd") + 1).cast("double") / (col("df") + 1)), 6))
           .as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy(col("doc"))
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)"))
         .cast("double")).as("nrm"))

@@ -165,7 +165,10 @@ object GraphOps {
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
     if (n == 0) {
       // empty (or all-null / all-self-loop-free… i.e. no valid) edge
-      // set: no nodes, no ranks — and no driver-side division by zero
+      // set: no nodes, no ranks — and no driver-side division by
+      // zero. ALL three persists release here (e included — leaking
+      // it would contradict the release contract below).
+      e.unpersist(blocking = false)
       ed.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       return (nodes.select(col("node"), lit(0L).as("pr_fp")).limit(0),

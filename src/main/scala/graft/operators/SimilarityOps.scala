@@ -446,6 +446,12 @@ object SimilarityOps {
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
       .withColumn("c_nrm", l2norm(col("c_emb"))))
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
+    // persisted: the n×C assignment pass feeds THREE consumers — the
+    // two self-join sides (cell key; exchange reuse covers those) AND
+    // the final anti-join probe (id key, a different exchange the
+    // reuse cannot cover — without the cache the whole assignment
+    // recomputes from the scan). Harness clearCache()s per query;
+    // library callers hold the d4-style release discipline.
     val asg = corpus.select(col(idCol), col(embCol))
       .withColumn("nrm", l2norm(col(embCol)))
       .join(cents)
@@ -455,6 +461,7 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col(embCol), col("nrm"), col("c_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .hint("shuffle_hash")
     val losers = asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") &&
