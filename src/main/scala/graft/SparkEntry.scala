@@ -1468,6 +1468,9 @@ object SparkEntry {
     // plan literal, probed map-side in codegen so non-members never
     // reach the join exchange; the exact semi-join then removes the
     // false positives, so the oracle is the plain semi-join.
+    // NB the bitmap build is EAGER: constructing this DataFrame runs
+    // the narrow build job over orders (the literal must exist at
+    // plan time) — correctly charged to this query's bench slot.
     "q40_bloom_join" -> ((s, dir) => {
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -2452,15 +2455,19 @@ object SparkEntry {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
     // same assignment CTE as s3's oracle; greedy within-cell loser
-    // set, min-id representative kept via ANTI JOIN
+    // set, min-id representative kept via ANTI JOIN. The norm² > 0
+    // predicates mirror semanticDedup's zero-norm guard (degenerate
+    // vectors dropped on BOTH engines, never 0/0'd).
     "s7_semantic_dedup" ->
       s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id < 16),
+         |  FROM embeddings WHERE vec_id < 16
+         |  AND ${OracleSql.dot("embedding", "embedding")} > 0),
          |asg AS (SELECT vec_id, embedding, cell FROM (
          |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |  FROM embeddings e CROSS JOIN c
+         |  WHERE ${OracleSql.dot("e.embedding", "e.embedding")} > 0) WHERE rn = 1),
          |losers AS (SELECT DISTINCT b.vec_id AS loser FROM asg a JOIN asg b
          |  ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ${OracleSql.cos6("a.embedding", "b.embedding")} >= 0.45)

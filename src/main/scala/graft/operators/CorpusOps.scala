@@ -222,7 +222,17 @@ object CorpusOps {
     * the cosine is 6-dp-rounded before the threshold compare so the
     * kept set is engine-stable at the boundary. */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, tokens: Column,
-                       maxDf: Long, minCos: Double): DataFrame = {
+                       maxDf: Long, minCos: Double): DataFrame =
+    tfidfCosinePairsReleasable(docs, idCol, tokens, maxDf, minCos)._1
+
+  /** [[tfidfCosinePairs]] plus an explicit release hook for the
+    * persisted weighting table — the pageRankReleasable discipline:
+    * the Bench/Verify harness clearCache()s between queries, but a
+    * library caller running many queries in one session should
+    * release AFTER its action on the returned frame. */
+  def tfidfCosinePairsReleasable(docs: DataFrame, idCol: String,
+                                 tokens: Column, maxDf: Long,
+                                 minCos: Double): (DataFrame, () => Unit) = {
     val total = broadcast(docs.agg(count(lit(1)).as("nd")))
     val tf = docs.select(col(idCol).as("doc"), explode(tokens).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
@@ -232,8 +242,8 @@ object CorpusOps {
     // aggregate AND the two term-keyed postings sides; exchange reuse
     // covers the postings pair but not the norms branch (different
     // key), which would otherwise re-run explode→tf→df→join from the
-    // scan. Harness clearCache()s per query; library callers hold the
-    // d4-style release discipline.
+    // scan. Harness clearCache()s per query; library callers release
+    // via the returned hook.
     val w = tf.join(dfreq, "term").crossJoin(total)
       .select(col("doc"), col("term"), col("df"),
         (col("tf") *
@@ -251,7 +261,7 @@ object CorpusOps {
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(sum((col("a.w") * col("b.w")).cast("decimal(28,12)"))
         .cast("double").as("dot"))
-    dots
+    val pairs = dots
       .join(norms.select(col("doc").as("doc_a"), col("nrm").as("nrm_a")), "doc_a")
       .join(norms.select(col("doc").as("doc_b"), col("nrm").as("nrm_b")), "doc_b")
       // zero-norm guard: an all-zero-idf vector would make the cosine
@@ -261,5 +271,6 @@ object CorpusOps {
       .select(col("doc_a"), col("doc_b"),
         round(col("dot") / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
       .filter(col("cos") >= minCos)
+    (pairs, () => { w.unpersist(blocking = true); () })
   }
 }

@@ -440,20 +440,37 @@ object SimilarityOps {
     *
     * Returns the KEPT rows as (idCol, cell). */
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
-                    numCentroids: Int, minCos: Double): DataFrame = {
+                    numCentroids: Int, minCos: Double): DataFrame =
+    semanticDedupReleasable(corpus, idCol, embCol, numCentroids, minCos)._1
+
+  /** [[semanticDedup]] plus an explicit release hook for the persisted
+    * assignment table — the pageRankReleasable discipline: the
+    * Bench/Verify harness clearCache()s between queries, but a
+    * library caller running many queries in one session should
+    * release AFTER its action on the returned frame. */
+  def semanticDedupReleasable(corpus: DataFrame, idCol: String,
+                              embCol: String, numCentroids: Int,
+                              minCos: Double): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
+    // zero-norm guard (both sides): a degenerate all-zero embedding
+    // makes the cosine 0/0 — NULL in Spark (non-ANSI) but NaN/Inf in
+    // DuckDB (ieee mode), so cell assignment and the >= minCos prune
+    // would diverge from the oracle. Drop degenerate vectors up front,
+    // exactly as tfidfCosinePairs' nrm > 0 filter does.
     val cents = broadcast(corpus.filter(col(idCol) < numCentroids)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-      .withColumn("c_nrm", l2norm(col("c_emb"))))
+      .withColumn("c_nrm", l2norm(col("c_emb")))
+      .filter(col("c_nrm") > 0.0))
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
     // persisted: the n×C assignment pass feeds THREE consumers — the
     // two self-join sides (cell key; exchange reuse covers those) AND
     // the final anti-join probe (id key, a different exchange the
     // reuse cannot cover — without the cache the whole assignment
     // recomputes from the scan). Harness clearCache()s per query;
-    // library callers hold the d4-style release discipline.
+    // library callers release via the returned hook.
     val asg = corpus.select(col(idCol), col(embCol))
       .withColumn("nrm", l2norm(col(embCol)))
+      .filter(col("nrm") > 0.0)
       .join(cents)
       .select(col(idCol), col(embCol), col("nrm"), col("c_id"),
         round(dotD(col(embCol), col("c_emb")) /
@@ -470,7 +487,8 @@ object SimilarityOps {
         (col("a.nrm") * col("b.nrm")), 6) >= minCos)
       .select(col(s"b.$idCol").as("__sd_loser"))
       .distinct()
-    asg.join(losers, col(idCol) === col("__sd_loser"), "left_anti")
+    val kept = asg.join(losers, col(idCol) === col("__sd_loser"), "left_anti")
       .select(col(idCol), col("cell"))
+    (kept, () => { asg.unpersist(blocking = true); () })
   }
 }

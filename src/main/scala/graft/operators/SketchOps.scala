@@ -204,7 +204,14 @@ object SketchOps {
     * CMS probe. It ships to executors as a plan literal. Size `bits`
     * ≥ ~16× expected distinct keys for a sub-1% false-positive rate
     * at k = 3; an undersized filter only degrades pruning, never
-    * correctness. */
+    * correctness.
+    *
+    * NOTE: the bitmap build is EAGER — calling this method runs the
+    * narrow build job over `dim` immediately (the bitmap must exist
+    * as a plan literal before the returned frame can be constructed),
+    * unlike ordinary lazy DataFrame composition. Callers invoking the
+    * same prune repeatedly should build once via [[bloomBitmap]] +
+    * [[bloomProbe]] and reuse the bitmap. */
   def bloomPrunedSemiJoin(fact: DataFrame, factKey: String,
                           dim: DataFrame, dimKey: String,
                           bits: Int = 1 << 20, hashes: Int = 3): DataFrame = {
@@ -214,9 +221,20 @@ object SketchOps {
         col(factKey) === col("__bloom_key"), "left_semi")
   }
 
+  /** Bit positions for `key`. The key is canonicalized through its
+    * string rendering BEFORE hashing: xxhash64 hashes the physical
+    * representation, so an INT build side and a BIGINT probe side
+    * (same logical values) would otherwise set and test DIFFERENT
+    * positions — a silent false-NEGATIVE, breaking the "never drops a
+    * true member" contract that bloomPrunedSemiJoin and
+    * bloomDecontaminateStream rely on. String rendering makes every
+    * integer-typed spelling of the same value agree; callers mixing
+    * fractional/decimal types across sides must cast both sides to
+    * one type themselves (as a join would). */
   private def bloomPositions(key: Column, bits: Int, hashes: Int)
       : Seq[Column] =
-    (0 until hashes).map(i => pmod(xxhash64(lit(i), key), lit(bits.toLong)))
+    (0 until hashes).map(i =>
+      pmod(xxhash64(lit(i), key.cast("string")), lit(bits.toLong)))
 
   private def bloomMask(p: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -179,4 +179,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "trigram table still cached after release()")
   }
+
+  test("semanticDedupReleasable: release() leaves no cached blocks") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (kept, release) = SimilarityOps.semanticDedupReleasable(
+      e, "vec_id", "embedding", numCentroids = 8, minCos = 0.45)
+    assert(kept.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "assignment table still cached after release()")
+  }
+
+  test("tfidfCosinePairsReleasable: release() leaves no cached blocks") {
+    import graft.operators.CorpusOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (pairs, release) = CorpusOps.tfidfCosinePairsReleasable(
+      docs, "doc_id", split(lower(col("text")), "\\s+"),
+      maxDf = 100L, minCos = 0.3)
+    assert(pairs.count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "weighting table still cached after release()")
+  }
 }

@@ -190,6 +190,26 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(SketchOps.bloomPrunedSemiJoin(fact, "k", dim, "dk").count() == 0L)
   }
 
+  test("bloom build/probe agree across integer key types (INT vs BIGINT)") {
+    import spark.implicits._
+    // regression: xxhash64 hashes the PHYSICAL type, so an INT build
+    // side and BIGINT probe side used to set/test different positions
+    // — silent false negatives. bloomPositions now canonicalizes
+    // through the string rendering; members must always probe true.
+    val members = (0 until 200).toDF("dk") // INT build side
+    val bitmap = SketchOps.bloomBitmap(members, col("dk"))
+    val probe = (0L until 400L).toDF("k") // BIGINT probe side
+      .filter(SketchOps.bloomProbe(bitmap, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    // no false negative: every true member survives the probe
+    assert((0L until 200L).forall(probe.contains))
+    // and the pruned-join composition stays exact under the type mix
+    val fact = (0L until 400L).map(k => (k, k * 3)).toDF("k", "v")
+    val got = SketchOps.bloomPrunedSemiJoin(fact, "k", members, "dk")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 200L).toSeq)
+  }
+
   test("bloom probe prunes non-members before the join") {
     import spark.implicits._
     // disjoint key spaces: every fact row is a bloom miss, so the
