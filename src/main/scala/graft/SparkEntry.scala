@@ -1453,7 +1453,10 @@ object SparkEntry {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey").as("ok"),
           (col("o_custkey").cast("long") * 2 + 1).as("dst"))
-      val base = li.join(o, Seq("ok")).select(col("src"), col("dst")).distinct()
+      // no distinct here: pageRank canonicalizes (repartition + local
+      // dedup) anyway — a pre-distinct would add a full extra
+      // exchange of the edge stream for nothing
+      val base = li.join(o, Seq("ok")).select(col("src"), col("dst"))
       val sym = base.union(base.select(col("dst"), col("src")))
       GraphOps.pageRank(sym, "src", "dst", iters = 5)
         .select(col("node"),

@@ -66,9 +66,7 @@ object GraphOps {
     // the same reason GraphFrames checkpoints between Pregel steps.
     // (At cluster scale a reliable checkpoint() adds fault tolerance;
     // local/cached truncation is the single-job equivalent.)
-    var handle = init.persist(StorageLevel.MEMORY_AND_DISK)
-    var (curRdd, curSig) = materializeAndSign(handle)
-    var cur = truncated(handle, curRdd)
+    var (cur, curSig, curRelease) = materializeAndSign(init)
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -76,27 +74,27 @@ object GraphOps {
         s"connectedComponents did not converge within $maxRounds rounds")
       rounds += 1
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(cur)).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = smallStar(largeStar(cur))
       if (rounds == 1 && sys.env.contains("GRAFT_CC_EXPLAIN"))
         // plan-hygiene audit hook: one round's physical plan (exchange
         // reuse, AQE shape) without spamming every round
         System.err.println(next.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-      val (nextRdd, nextSig) = materializeAndSign(next)
+      val (nxt, nextSig, nextRelease) = materializeAndSign(next)
       converged = nextSig == curSig
-      handle.unpersist(blocking = false)
-      handle = next
+      curRelease()
+      curRelease = nextRelease
       curSig = nextSig
-      cur = truncated(next, nextRdd)
+      cur = nxt
       System.err.println(f"[cc] round $rounds edges=${nextSig._1} " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     // fixpoint: every edge is (componentMin, member); roots map to
     // themselves (they appear only on the u side)
-    val fixed = handle
+    val release = curRelease
     val labels = cur.select(col("v").as("node"), col("u").as("component"))
       .union(cur.select(col("u").as("node"), col("u").as("component")).distinct())
-    (labels, () => { fixed.unpersist(blocking = true); () })
+    (labels, release)
   }
 
   /** Fixed-iteration PageRank over a directed edge list — the
@@ -147,17 +145,37 @@ object GraphOps {
                          dampDen: Int = 100)
       : (DataFrame, () => Unit) = {
     // the canonical edge set feeds THREE consumers (degree agg, the
-    // per-iteration join, the node set) — cache it once
+    // per-iteration join, the node set) — cache it once, CLUSTERED BY
+    // src: distinct() leaves (src, dst) hash-partitioning, which
+    // satisfies neither the degree agg nor the per-iteration join, so
+    // every round would re-exchange the full edge stream. One
+    // repartition at build time makes the cached blocks src-clustered
+    // (InMemoryTableScan reports the cached plan's partitioning), and
+    // every src-keyed consumer — including all `iters` rank joins —
+    // reads them exchange-free. That, not data volume, was the wall
+    // time at small SF: each avoided exchange is an avoided AQE query
+    // stage, i.e. an avoided scheduled job per round.
+    // repartition FIRST, dedup second: HashPartitioning(src) is a
+    // valid clustering for (src, dst) — every copy of an edge lands
+    // in the same src partition — so dropDuplicates after the
+    // repartition runs partition-local with NO second exchange. The
+    // distinct().repartition() spelling pays two.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // consumed once per iteration: cache the degree-annotated edges
     // (released by the caller's clearCache / session teardown — the
-    // loop below is the only consumer)
+    // loop below is the only consumer). Both join children are
+    // src-clustered, so this builds — and caches — exchange-free.
     val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // union+distinct terminates in a node-keyed exchange, so the
+    // cached node set is already node-clustered — the per-round
+    // left join against rank sums needs no exchange on either side
+    // (sums comes out of its dst-keyed aggregation).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -176,38 +194,46 @@ object GraphOps {
     }
     val base = (PageRankScale * (dampDen - dampNum)) / (dampDen * n)
     var pr = nodes.select(col("node"), lit(PageRankScale / n).as("pr_fp"))
-    var prev: DataFrame = null
+    var prevRelease: () => Unit = null
     for (i <- 1 to iters) {
-      val sums = ed.join(pr, ed("src") === pr("node"))
+      // shuffle_hash on the rank side: sort-merge would re-sort the
+      // cached edge blocks every round (sorts aren't cached); a hash
+      // build of the O(nodes) rank vector probed by the clustered
+      // edge stream keeps the per-round work to ONE exchange of the
+      // rank vector — the edges never move after build time.
+      val sums = ed.join(pr.hint("shuffle_hash"), ed("src") === pr("node"))
         .select(col("dst"), expr("pr_fp div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      val next = nodes.join(sums, nodes("node") === sums("dst"), "left")
+      val next = nodes.join(sums.hint("shuffle_hash"),
+          nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr_fp"))
       // lineage truncation between iterations (the CC lesson): without
       // it the final plan nests iters x (join+agg+join) and AQE
       // replans every stage against the whole remaining tree. The
-      // rank vector is one row per node — materializing it per round
-      // is a small job; the rewrapped LogicalRDD leaf keeps each
-      // round's plan three stages deep. The last iteration stays lazy
-      // so callers compose (top-k, joins) without an extra pass.
+      // materialized leaf DECLARES node-clustering (the left-outer
+      // join above emits in the cached node set's layout), so the
+      // next round's edge join re-exchanges nothing: per round the
+      // only shuffle left is the O(nodes) rank-sum aggregation. Rows
+      // persist in Tungsten binary form — no Row decode/encode per
+      // round. The last iteration stays lazy so callers compose
+      // (top-k, joins) without an extra pass.
       pr = if (i == iters) next else {
-        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
-        val rdd = p.rdd
-        rdd.count()
-        if (prev != null) prev.unpersist(blocking = false)
-        prev = p
-        p.sparkSession.createDataFrame(rdd, p.schema)
+        val (p, release) = org.apache.spark.sql.graftbridge.DatasetBridge
+          .materializedHashPartitioned(next, Seq("node"))
+        if (prevRelease != null) prevRelease()
+        prevRelease = release
+        p
       }
     }
-    val lastRound = prev
+    val lastRelease = prevRelease
     (pr, () => {
       e.unpersist(blocking = false)
       ed.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
-      if (lastRound != null) lastRound.unpersist(blocking = true)
+      if (lastRelease != null) lastRelease()
       ()
     })
   }
@@ -260,47 +286,35 @@ object GraphOps {
       .distinct()
   }
 
-  /** Lineage-truncating view of a materialized (persisted) round: a
-    * fresh DataFrame whose plan is a single LogicalRDD leaf over the
-    * cached rows, so round N+1's analysis does not re-walk rounds
-    * 1..N. The Row round-trip is O(edges) per round and only on the
-    * already-shuffled edge set. */
-  private def truncated(df: DataFrame,
-                        rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
-      : DataFrame =
-    df.sparkSession.createDataFrame(rdd, df.schema)
-
-  /** Materialize a persisted round into cache and fingerprint it in
-    * the SAME single-stage job: a foreachPartition scan populates the
-    * InMemoryRelation while accumulators fold (row count, xor of
-    * per-edge mixed hashes) — an order-insensitive convergence
-    * signature with no second job and no aggregation shuffle. (The
-    * previous shape ran a count+bit_xor agg as the materializing
-    * action: one extra exchange + final stage per round, pure
-    * scheduling overhead in a loop whose per-round cost is
-    * latency-bound.) Accumulator updates inside an action are applied
-    * exactly once per task, so the signature is stable under task
-    * retries. Returns the scanned RDD for reuse as the next round's
-    * lineage-truncation leaf. */
+  /** Materialize a round into a persisted leaf and fingerprint it in
+    * the SAME single action: the partition scan populates the cache
+    * while accumulators fold (row count, xor of per-edge mixed
+    * hashes) — an order-insensitive convergence signature with no
+    * second job and no aggregation shuffle. Accumulator updates
+    * inside an action are applied exactly once per task, so the
+    * signature is stable under task retries. The returned DataFrame
+    * is a single LogicalRDD leaf over Tungsten-format rows (no
+    * Row decode/encode per round, and round N+1's analysis does not
+    * re-walk rounds 1..N); the hook releases the persisted blocks. */
   private def materializeAndSign(df: DataFrame)
-      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], (Long, Long)) = {
+      : (DataFrame, (Long, Long), () => Unit) = {
     val sc = df.sparkSession.sparkContext
     val cnt = sc.longAccumulator("cc.edges")
     val xor = new XorAccumulator
     sc.register(xor, "cc.xor")
-    val rdd = df.rdd
-    rdd.foreachPartition { it =>
-      var n = 0L
-      var x = 0L
-      while (it.hasNext) {
-        val r = it.next()
-        n += 1
-        x ^= mix64(r.getLong(0) * 0x9e3779b97f4a7c15L + r.getLong(1))
-      }
-      cnt.add(n)
-      xor.add(x)
-    }
-    (rdd, (cnt.value, xor.value))
+    val (out, release) =
+      org.apache.spark.sql.graftbridge.DatasetBridge.materialized(df, { it =>
+        var n = 0L
+        var x = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          n += 1
+          x ^= mix64(r.getLong(0) * 0x9e3779b97f4a7c15L + r.getLong(1))
+        }
+        cnt.add(n)
+        xor.add(x)
+      })
+    (out, (cnt.value, xor.value), release)
   }
 
   /** splitmix64 finalizer — avalanches the (u, v) fold so xor over
