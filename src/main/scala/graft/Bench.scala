@@ -41,27 +41,16 @@ object Bench {
       elapsed
     }
     val firstPass = selected.map { case (name, fn) => name -> runOnce(name, fn) }
-    // This VM's GC/steal noise hits one random query per run with a
-    // 10-100s spike (observed: the same rollup 3.3s vs 64.1s back to
-    // back). Retry outliers once and report the min — bounded extra
-    // wall-clock, and the reported figure is reproducible work, not
-    // collector luck. Retried queries are listed in the JSON.
-    val ok = firstPass.values.filter(_ >= 0).toSeq.sorted
-    val median = if (ok.isEmpty) 0.0 else ok(ok.size / 2)
-    // 5s floor, not 10: the VM also inflates mid-size queries 2-3x
-    // (q19 4.7s-vs-1.8s in r3, d4 8.0s-vs-2.5s in r4 runs); the
-    // retry-min bound is a handful of extra 5-10s slots per run
-    val cutoff = math.max(5.0, 3 * median)
-    // retry slow outliers (report the min) AND first-pass failures
-    // (a one-off environment hiccup shouldn't report a working query
-    // as failed; a real failure fails twice and stays -1.0)
+    // Retry policy (BenchPolicy, unit-tested in BenchPolicySpec):
+    // VM outliers re-run once and report the min (observed: the same
+    // rollup 3.3s vs 64.1s back to back — reproducible work, not
+    // collector luck); transient first-pass failures re-run once so a
+    // one-off hiccup doesn't report a working query as failed, while
+    // a real failure fails twice and stays -1.0. Retried queries are
+    // listed in the JSON.
+    val cutoff = BenchPolicy.outlierCutoff(firstPass.values)
     val results = firstPass.map { case (name, t) =>
-      if (t > cutoff) {
-        val retry = runOnce(name, selected(name))
-        name -> (if (retry >= 0) math.min(t, retry) else t)
-      } else if (t < 0) {
-        name -> runOnce(name, selected(name))
-      } else name -> t
+      name -> BenchPolicy.finalTime(t, cutoff, () => runOnce(name, selected(name)))
     }
     val retried = firstPass.collect { case (n, t) if t > cutoff => "\"" + n + "\"" }
       .mkString("[", ",", "]")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
+import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, QuantileSketchAgg, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -30,6 +30,8 @@ import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHa
   *   ngram_generate(toks, n)  generator: streamed space-joined n-grams
   *   z_value(bits, d1, d2, ...)      Morton interleave of binned dims
   *   top_k_rows(ord, id, k)   aggregate: k best (ord desc, id asc) pairs
+  *   quantile_sketch(v, k, phi...)  aggregate: mergeable KLL-style
+  *                            quantile sketch (n, rank bound, estimates)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -117,9 +119,31 @@ object GraftExtensions {
       TopKRows(children.head, children(1), k)
     }): Builder)
 
+  private val quantileSketch = (
+    FunctionIdentifier("quantile_sketch"),
+    new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+    ((children: Seq[Expression]) => {
+      require(children.length >= 3,
+        "quantile_sketch takes (value, k, phi[, phi...])")
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val k = children(1) match {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "quantile_sketch k must be an INT literal")
+      }
+      val phis = children.drop(2).map {
+        case Literal(v: Double, _) => v
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case _ => throw new IllegalArgumentException(
+          "quantile_sketch phis must be numeric literals")
+      }
+      QuantileSketchAgg(children.head, k, phis.toSeq)
+    }): Builder)
+
   private val all = Seq(
     vecDot,
     topKRows,
+    quantileSketch,
     editDistBounded,
     sortedIntersect,
     ngramGen,

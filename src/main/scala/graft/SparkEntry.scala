@@ -1496,6 +1496,40 @@ object SparkEntry {
         .select(col("event_type"), (col("pos") + 1).as("rk"),
           col("r.id").as("event_id"), col("r.ord").as("value"))),
 
+    // mergeable quantile sketch (plans.QuantileSketchAgg) — the
+    // 100 TB replacement for q14's exact percentile, whose per-group
+    // sort is the known scale pain point. The sketch rides the hash
+    // aggregate with O(k·log(n/k)) state and carries its OWN
+    // worst-case rank-error accounting (bound += 2^h per level-h
+    // compaction — the classic compactor argument). The query then
+    // verifies the guarantee against the true distribution in one
+    // extra broadcast-join pass: output is the sketch's INVARIANTS
+    // (exact n, rank-window property), because the estimates
+    // legitimately vary with Spark's merge order while the
+    // guarantees must not — same reasoning as the oracle, which
+    // checks n and the property, not an estimate byte.
+    "q51_quantile_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(graft.plans.QuantileSketchAgg
+          .of(col("v"), 400, Seq(0.5, 0.95)).as("sk"))
+      val est = sk.select(col("event_type"), col("sk.n").as("n"),
+          col("sk.bound").as("bound"), explode(col("sk.qs")).as("q"))
+        .select(col("event_type"), col("n"), col("bound"),
+          when(col("q.phi") === 0.5, "p50").otherwise("p95").as("phi"),
+          col("q.phi").as("phiv"), col("q.est").as("est"))
+      val target = greatest(lit(1L), ceil(col("phiv") * col("n")))
+      ev.join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"), col("phi"), col("phiv"),
+          col("n"), col("bound"), col("est"))
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("leq"))
+        .select(col("event_type"), col("phi"), col("n"),
+          ((col("lt") + lit(1L) <= target + col("bound")) &&
+            (col("leq") >= target - col("bound"))).as("ok"))
+    }),
+
     // weighted deterministic sampling: keep probability proportional
     // to a quality weight (length-derived here), decided by comparing
     // a content-hash residue against the per-row weight — an INTEGER
@@ -2445,6 +2479,17 @@ object SparkEntry {
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events)
         |WHERE rk <= 3""".stripMargin,
+    // the sketch's INVARIANTS are the comparable surface: n must be
+    // the exact non-null count, and the rank-window property (checked
+    // in-query against the true distribution on the Spark side) must
+    // hold — i.e. ok = true for every (event_type, phi). A specific
+    // estimate value is NOT comparable: any mergeable sketch's
+    // estimates depend on Spark's nondeterministic merge order.
+    "q51_quantile_sketch" ->
+      """SELECT event_type, phi, count(value) AS n, true AS ok
+        |FROM events CROSS JOIN
+        |  (SELECT 'p50' AS phi UNION ALL SELECT 'p95') q
+        |GROUP BY event_type, phi""".stripMargin,
     "q42_weighted_sample" ->
       s"""SELECT doc_id, lang,
          |  least(greatest(n_chars // 2, 100), 900) AS w1000
