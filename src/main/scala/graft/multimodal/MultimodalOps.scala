@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   *  - oversized payloads are routed to an error column, not thrown,
   *    so one corrupt blob can't kill a 1000-executor stage.
   *
-  * The actual codec calls are STUBBED (this container ships no
-  * image/audio libs): [[MediaCodec.decodeImage]] is a deterministic
-  * fake keyed on the payload bytes. The seams where a real libjpeg /
-  * ffmpeg binding would plug in are marked.
+  * Codec status: IMAGE decode is REAL for PNG/JPEG/GIF/BMP via the
+  * JDK's own `javax.imageio` (no external libs needed);
+  * [[MediaCodec.decodeImage]] falls back to a deterministic
+  * payload-seeded fake for synthetic payloads, and audio/video stay
+  * faked (ffmpeg-class bindings are genuinely absent from this
+  * container) with the plug-in seams marked.
   */
 object MultimodalOps {
 
@@ -135,17 +137,71 @@ object MultimodalOps {
   }
 }
 
-/** The codec seam. Everything below is a clearly-marked deterministic
-  * FAKE standing in for libjpeg/ffmpeg bindings absent from this
-  * container; signatures and batch shapes are the real contract. */
+/** The codec seam. IMAGE decode is REAL: PNG/JPEG/GIF/BMP decoders
+  * ship with the JDK (`javax.imageio.ImageIO`), so those containers
+  * decode, resize, and feature-extract with zero external deps.
+  * AUDIO/VIDEO remain clearly-marked deterministic FAKES (ffmpeg-class
+  * bindings are genuinely absent from this container); their
+  * signatures and batch shapes are the real contract, and synthetic
+  * non-container payloads take the same fake path so the pipeline
+  * stays testable end-to-end without media files. */
 object MediaCodec {
 
-  /** Decode + resize an image payload to outW x outH grayscale pixels.
-    * Real impl: JNI/FFI into a codec. Fake: seeded pixels from the
-    * payload hash; payloads shorter than 64 bytes are "corrupt". */
+  /** Magic-byte check for the containers the JDK decodes natively —
+    * the JVM-side twin of [[MultimodalOps.sniffFormat]]'s image rows. */
+  private def isJdkImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 && {
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) || // jpeg
+      (p(0) == 0x89.toByte && p(1) == 0x50.toByte && p(2) == 0x4E.toByte &&
+        p(3) == 0x47.toByte) || // png
+      (p(0) == 0x47.toByte && p(1) == 0x49.toByte && p(2) == 0x46.toByte &&
+        p(3) == 0x38.toByte) || // gif
+      (p(0) == 0x42.toByte && p(1) == 0x4D.toByte) // bmp
+    }
+
+  /** True (width, height) of a JDK-decodable image payload. */
+  def imageInfo(payload: Array[Byte]): Either[String, (Int, Int)] =
+    if (!isJdkImage(payload))
+      Left("unsupported: not a JDK-decodable image container")
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) Left("corrupt: ImageIO could not parse container")
+        else Right((img.getWidth, img.getHeight))
+      } catch {
+        case e: Exception => Left(s"corrupt: ${e.getMessage}")
+      }
+
+  /** Decode + resize an image payload to outW x outH grayscale pixels
+    * in [0, 1]. PNG/JPEG/GIF/BMP payloads take the REAL path
+    * (ImageIO decode, grayscale raster resample — headless-safe, no
+    * external libs); anything else falls back to the deterministic
+    * payload-seeded fake (the synthetic-pipeline stand-in; payloads
+    * shorter than 64 bytes are "corrupt" there, mimicking truncation
+    * handling). */
   def decodeImage(payload: Array[Byte], outW: Int, outH: Int): Either[String, Array[Float]] = {
-    if (payload == null || payload.length < 64) Left("corrupt: payload too short")
-    else {
+    if (payload != null && isJdkImage(payload)) {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) Left("corrupt: ImageIO could not parse container")
+        else {
+          val gray = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = gray.createGraphics()
+          try g.drawImage(img, 0, 0, outW, outH, null)
+          finally g.dispose()
+          val raster = gray.getRaster
+          Right(Array.tabulate(outW * outH)(i =>
+            raster.getSample(i % outW, i / outW, 0) / 255.0f))
+        }
+      } catch {
+        case e: Exception => Left(s"corrupt: ${e.getMessage}")
+      }
+    } else if (payload == null || payload.length < 64) {
+      Left("corrupt: payload too short")
+    } else {
       val seed = java.util.Arrays.hashCode(payload).toLong
       val rnd = new scala.util.Random(seed)
       Right(Array.fill(outW * outH)(rnd.nextFloat()))

@@ -88,4 +88,59 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       .collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("REAL image decode: committed fixtures yield true dimensions") {
+    // 6x4 gradient committed in four JDK-native containers
+    for (f <- Seq("fixture_6x4.png", "fixture_6x4.jpg",
+                  "fixture_6x4.gif", "fixture_6x4.bmp"))
+      assert(MediaCodec.imageInfo(fixture(f)) == Right((6, 4)), f)
+    // non-image payloads refuse rather than guess
+    assert(MediaCodec.imageInfo(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).isLeft)
+    // truncated PNG: magic passes, decode reports corrupt (Left)
+    assert(MediaCodec.imageInfo(fixture("fixture_6x4.png").take(12)).isLeft)
+  }
+
+  test("REAL image decode: resample to requested grid, values in [0,1]") {
+    val px = MediaCodec.decodeImage(fixture("fixture_6x4.png"), 3, 2)
+      .toOption.get
+    assert(px.length == 6)
+    assert(px.forall(v => v >= 0f && v <= 1f))
+    // the fixture is a left-dark right-bright gradient: decode must
+    // see real pixels, not the payload-seeded fake (which is uniform
+    // noise) — check monotonicity across the resampled row
+    assert(px(0) < px(2), s"gradient lost: ${px.toSeq}")
+    // png and bmp encode the same pixels losslessly → same resample
+    val bmp = MediaCodec.decodeImage(fixture("fixture_6x4.bmp"), 3, 2)
+      .toOption.get
+    assert(px.toSeq == bmp.toSeq)
+  }
+
+  test("sniffFormat agrees with the real decoder on the fixtures") {
+    import spark.implicits._
+    val rows = Seq(
+      ("png", fixture("fixture_6x4.png")),
+      ("jpeg", fixture("fixture_6x4.jpg")),
+      ("gif", fixture("fixture_6x4.gif"))).toDF("expect", "payload")
+    rows.select(col("expect"),
+        MultimodalOps.sniffFormat(col("payload")).as("got"))
+      .collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("end-to-end imageFeatures over a REAL payload: ok, real feature") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(42L, "image", "image/png", None, None, None,
+        fixture("fixture_6x4.png"))))(
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaRow])
+    val out = MultimodalOps.imageFeatures(ds, 8, 8).collect()
+    assert(out.length == 1 && out.head.ok && out.head.error == null)
+    assert(out.head.feature.length == 64)
+    assert(out.head.feature.forall(v => v >= 0f && v <= 1f))
+  }
 }
