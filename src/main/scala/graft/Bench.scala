@@ -34,9 +34,14 @@ object Bench {
           -1.0 // failure sentinel — never report a normal-looking time
         }
       // release per-query persists (e.g. d4's trigram table) so no
-      // cache blocks leak into later queries' memory budget, and take
-      // the major GC at a controlled point OUTSIDE the timed slots
+      // cache blocks leak into later queries' memory budget — both
+      // the SQL cache AND the RDD-level round leaves the iterative
+      // operators persist via DatasetBridge (clearCache can't reach
+      // those) — and take the major GC at a controlled point OUTSIDE
+      // the timed slots
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       elapsed
     }

@@ -900,6 +900,21 @@ object SparkEntry {
           quality = col("n_chars"))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // BOTH keep policies from ONE LSH→verify→closure pass
+    // (DedupOps.dedupPipelineReleasable): d10 and d11 as standalone
+    // queries each pay the full prefix — the composed shape is what a
+    // real pipeline runs when it wants to compare policies, and it
+    // pays the dominant cost once (the cluster labels stay
+    // materialized across both policy branches).
+    "d13_dedup_policies" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (keepMin, keepBest, _) = DedupOps.dedupPipelineReleasable(
+        docs, "doc_id", "text", threshold = 0.6)
+      keepMin.select(col("doc_id"), lit("min_id").as("policy"))
+        .unionByName(keepBest(col("n_chars"))
+          .select(col("doc_id"), lit("keep_best").as("policy")))
+    }),
+
     // character-entropy quality signal (low-entropy docs are boiler-
     // plate/garbage): unigram char entropy from exact counts. Explode
     // is positional (substring probe), both aggregations key on
@@ -2081,6 +2096,43 @@ object SparkEntry {
          |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
          |SELECT doc_id, lang, n_chars FROM (
          |  SELECT d.doc_id, d.lang, d.n_chars,
+         |    row_number() OVER (
+         |      PARTITION BY coalesce(l.cluster, d.doc_id)
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+         |WHERE rn = 1""".stripMargin
+    },
+    // both policies over the same closure CTEs (the Spark side pays
+    // the prefix once; the oracle just spells each policy's tail)
+    "d13_dedup_policies" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |tt AS (SELECT doc_id, list_distinct(hs) AS tgh,
+         |    len(list_distinct(hs)) AS ntg
+         |  FROM hsrc),
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
+         |  FROM cand JOIN tt a ON doc_a = a.doc_id JOIN tt b ON doc_b = b.doc_id)
+         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
+         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id, 'min_id' AS policy FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node != cluster)
+         |UNION ALL
+         |SELECT doc_id, 'keep_best' AS policy FROM (
+         |  SELECT d.doc_id,
          |    row_number() OVER (
          |      PARTITION BY coalesce(l.cluster, d.doc_id)
          |      ORDER BY d.n_chars DESC, d.doc_id) AS rn

@@ -282,18 +282,46 @@ object DedupOps {
     * through. Composes the d4 and d7 shapes; every stage is the
     * LSH-bounded / O(log^2 n)-round machinery documented there. */
   def deduplicateCorpus(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
-    val (pairs, release) = nearDuplicatePairsReleasable(docs, idCol, textCol, threshold)
-    val labels = GraphOps.connectedComponents(
+                        threshold: Double): DataFrame =
+    dedupPipelineReleasable(docs, idCol, textCol, threshold)._1
+
+  /** The shared LSH→verify→closure prefix of the dedup family,
+    * exposed as ONE pass with every keep policy derived from it:
+    * d10 (min-id representative) and d11 (quality argmax) differ only
+    * in the last anti-join, yet as independent operators each re-pays
+    * the candidate generation, exact verification, and O(log²n)
+    * cluster closure — the dominant cost. Library callers (and the
+    * composed d13 query) take the pipeline once and apply any number
+    * of policies against the materialized cluster labels (the
+    * closure's fixpoint leaf stays persisted until `release()`; the
+    * Bench/Verify harness clearCache()s instead).
+    *
+    * Returns (keepMinId, keepBest(quality), release). */
+  def dedupPipelineReleasable(docs: DataFrame, idCol: String,
+                              textCol: String, threshold: Double)
+      : (DataFrame, Column => DataFrame, () => Unit) = {
+    val (pairs, pairsRelease) =
+      nearDuplicatePairsReleasable(docs, idCol, textCol, threshold)
+    val (labels, ccRelease) = GraphOps.connectedComponentsReleasable(
       pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
-    // connectedComponents materialized its edge set eagerly, so the
-    // verify stage's trigram persist can be released before the
-    // caller's action
-    release()
-    docs.join(
+    // the closure materialized its edge set eagerly, so the verify
+    // stage's trigram persist can be released before any action
+    pairsRelease()
+    val keepMin = docs.join(
       labels.filter(col("node") =!= col("component"))
         .select(col("node").as(idCol)),
       Seq(idCol), "left_anti")
+    def keepBest(quality: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component")).orderBy(quality.desc, col(idCol))
+      val losers = docs
+        .join(labels.select(col("node").as(idCol), col("component")), Seq(idCol))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1)
+        .select(col(idCol))
+      docs.join(losers, Seq(idCol), "left_anti")
+    }
+    (keepMin, keepBest _, ccRelease)
   }
 
   /** [[deduplicateCorpus]] with a *quality* keep policy: instead of
@@ -316,20 +344,8 @@ object DedupOps {
     */
   def deduplicateCorpusKeepBest(docs: DataFrame, idCol: String,
                                 textCol: String, threshold: Double,
-                                quality: Column): DataFrame = {
-    val (pairs, release) = nearDuplicatePairsReleasable(docs, idCol, textCol, threshold)
-    val labels = GraphOps.connectedComponents(
-      pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
-    release()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component")).orderBy(quality.desc, col(idCol))
-    val losers = docs
-      .join(labels.select(col("node").as(idCol), col("component")), Seq(idCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
-      .select(col(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
-  }
+                                quality: Column): DataFrame =
+    dedupPipelineReleasable(docs, idCol, textCol, threshold)._2(quality)
 
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on

@@ -191,6 +191,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
       "assignment table still cached after release()")
   }
 
+  test("dedupPipelineReleasable: policies match the standalone operators") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (keepMin, keepBest, release) = DedupOps.dedupPipelineReleasable(
+      docs, "doc_id", "text", threshold = 0.6)
+    val pMin = keepMin.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val pBest = keepBest(col("n_chars")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // the standalone frames stay referenced in vals so their RDD-level
+    // persists can't be weakly collected mid-test
+    val sMinDf = DedupOps.deduplicateCorpus(docs, "doc_id", "text", 0.6)
+    val sBestDf = DedupOps.deduplicateCorpusKeepBest(
+      docs, "doc_id", "text", 0.6, col("n_chars"))
+    val sMin = sMinDf.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val sBest = sBestDf.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pMin == sMin)
+    assert(pBest == sBest)
+    assert(pMin.size == pBest.size, "both policies keep one doc per cluster")
+    // release() frees exactly the pipeline's materialized closure (the
+    // standalone calls hold their own, swept by the harness discipline)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((before -- after).size == 1,
+      s"release() should free the pipeline closure: before=$before after=$after")
+    // leave no blocks behind for later tests (the harness sweep)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("tfidfCosinePairsReleasable: release() leaves no cached blocks") {
     import graft.operators.CorpusOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
