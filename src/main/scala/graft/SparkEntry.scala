@@ -62,16 +62,12 @@ object SparkEntry {
   // ---- shared expressions -------------------------------------------
   private val cleanTokens: Column = TextOps.cleanTokens(col("text"))
 
-  /** DuckDB spelling of clean+tokenize over `text`. */
-  private val sqlToks =
-    """list_filter(string_split_regex(regexp_replace(lower(trim(text)), '[^A-Za-z\n ]|(http\S+)|(www.\S+)', '', 'g'), '\s+'), t -> len(t) > 0)"""
 
-  private def sqlQuote(w: String): String = "'" + w.replace("'", "''") + "'"
 
   /** Feature projection shared by the LR re-fit family (m7 fit,
     * m10 AUC evaluation): is-English target, bias, scaled token count,
     * type/token ratio, scaled char count. */
-  private val LrFitCols = Seq("xb", "x1", "x2", "x3")
+  private[graft] val LrFitCols = Seq("xb", "x1", "x2", "x3")
   private def lrFitFeatures(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
@@ -81,58 +77,7 @@ object SparkEntry {
         nullif(size(cleanTokens), lit(0)), lit(0.0)).as("x2"),
       (col("n_chars").cast("double") / lit(1000.0)).as("x3"))
 
-  /** DuckDB WITH-prefix shared by the m7/m10 oracles: the feature CTE
-    * `d` plus the 3 unrolled gradient-descent steps ending in `w3` —
-    * the same DECIMAL-exact, 6-dp-sigmoid arithmetic as
-    * [[CorpusOps.logisticFitWeights]]. */
-  private lazy val lrFitCtePrefix: String = {
-    val fs = LrFitCols
-    def step(i: Int): String = {
-      val p = s"p$i"
-      val z = fs.map(f => s"$p.w_$f * d.$f").mkString(" + ")
-      val err = s"(round(1.0 / (1.0 + exp(-($z))), 6) - d.y)"
-      val ws = fs.map(f =>
-        s"$p.w_$f - 0.5 * (CAST(sum(CAST($err * d.$f AS DECIMAL(28,12))) AS DOUBLE) / count(*)) AS w_$f")
-        .mkString(",\n    ")
-      s"""w$i AS (SELECT
-         |    $ws
-         |  FROM d CROSS JOIN w${i - 1} $p
-         |  GROUP BY ${fs.map(f => s"$p.w_$f").mkString(", ")})""".stripMargin
-    }
-    s"""d AS (SELECT
-       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
-       |    CAST(1 AS DOUBLE) AS xb,
-       |    CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
-       |    coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
-       |      / nullif(len(toks), 0), CAST(0 AS DOUBLE)) AS x2,
-       |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x3
-       |  FROM (SELECT $sqlToks AS toks, lang, n_chars FROM documents)),
-       |w0 AS (SELECT ${fs.map(f => s"CAST(0 AS DOUBLE) AS w_$f").mkString(", ")}),
-       |${step(1)},
-       |${step(2)},
-       |${step(3)}""".stripMargin
-  }
-  private lazy val sqlStopList: String =
-    TextOps.englishStopWords.map(_.toLowerCase).distinct.sorted
-      .map(sqlQuote).mkString("[", ", ", "]")
 
-  /** DuckDB CTE pair `p` (per-doc predicted lang) + `cm` (confusion
-    * matrix), the oracle twin of [[langConfusion]]. */
-  private lazy val langConfusionCte: String = {
-    def sc(ws: Seq[String]) =
-      s"len(list_filter(toks, w -> list_contains(${ws.map(sqlQuote).mkString("[", ", ", "]")}, w)))"
-    val (en, de, es, fr) = (sc(LangMarkers.en), sc(LangMarkers.de),
-      sc(LangMarkers.es), sc(LangMarkers.fr))
-    s"""p AS (SELECT lang,
-       |  CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
-       |       WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
-       |       WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
-       |       WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
-       |       ELSE 'fr' END AS pred_lang
-       |FROM (SELECT lang, $sqlToks AS toks FROM documents)),
-       |cm AS (SELECT lang, pred_lang, count(*) AS n
-       |  FROM p GROUP BY lang, pred_lang)""".stripMargin
-  }
 
   /** Marker-word language prediction over [[cleanTokens]] — THE
     * heuristic; the single definition t3, m12, and m13 all consume
@@ -1573,1110 +1518,9 @@ object SparkEntry {
   )
 
   // ---- oracle SQL ----------------------------------------------------
-  def oracleSql: Map[String, String] = Map(
-    "p1_cast_project" ->
-      "SELECT doc_id, decode(encode(text)) AS message FROM documents",
-    "p2_json_decode" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
-    "p3_null_filter" ->
-      "SELECT event_id, nullif(event_type, 'click') AS et FROM events WHERE nullif(event_type, 'click') IS NOT NULL",
-    "p4_clean_tokenize" ->
-      s"SELECT doc_id, array_to_string($sqlToks, ' ') AS toks FROM documents",
-    "p5_final_project" ->
-      "SELECT doc_id, lang FROM documents",
-    "p6_comma_scrub" ->
-      "SELECT doc_id, regexp_replace(text, ',', '', 'g') AS scrubbed FROM documents",
-    "f7_json_encode" ->
-      "SELECT doc_id, to_json(struct_pack(message := lang))::VARCHAR AS payload FROM documents",
-    "m1_stopwords" ->
-      s"SELECT doc_id, array_to_string(list_filter($sqlToks, w -> NOT list_contains($sqlStopList, w)), ' ') AS words FROM documents",
-    "m2_tf" ->
-      s"SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest($sqlToks) AS term FROM documents) GROUP BY doc_id, term",
-    // Relational spelling of the full 5-stage scorer: tokens → stop
-    // words → tf → join the flattened model fixture → ordered fold of
-    // (tf*idf)*coef in ascending vocab-index order (list_reduce over
-    // list(... ORDER BY idx) == the scorer's ascending-index loop, so
-    // the double accumulation is bit-identical) → margin vs threshold.
-    "m5_sentiment" ->
-      s"""WITH words AS (
-         |  SELECT doc_id, unnest(list_filter($sqlToks, w -> NOT list_contains($sqlStopList, w))) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
-         |v AS (SELECT * FROM read_parquet('$FixtureDir/sentiment_vocab.parquet')),
-         |contrib AS (
-         |  SELECT doc_id, idx, (CAST(tf AS DOUBLE) * idf) * coef AS c
-         |  FROM tf JOIN v USING (term)),
-         |acc AS (
-         |  SELECT doc_id AS a_doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY idx)), (a,b) -> a + b) AS s
-         |  FROM contrib GROUP BY doc_id),
-         |m AS (SELECT * FROM read_parquet('$FixtureDir/sentiment_meta.parquet'))
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN coalesce(acc.s, 0.0) + m.intercept > m.logit_threshold THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
-         |FROM documents d LEFT JOIN acc ON d.doc_id = acc.a_doc_id CROSS JOIN m""".stripMargin,
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
-        |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q2_dim_join" ->
-      """SELECT s_suppkey, s_name, n_name, r_name
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
-    "q3_join_topn" ->
-      """SELECT o_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderkey
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
-    "q4_events_agg" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-        |  MIN(value) AS min_value, MAX(value) AS max_value
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q5_time_window" ->
-      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket,
-        |  event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q6_topk_per_group" ->
-      """SELECT event_type, event_id, value, rn FROM (
-        |  SELECT event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
-        |  FROM events) WHERE rn <= 3""".stripMargin,
-    "q7_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
-    "q8_semi_join" ->
-      """SELECT s_suppkey, s_name FROM supplier s
-        |WHERE EXISTS (SELECT 1 FROM customer c
-        |  WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 5000)""".stripMargin,
-    "q9_union_distinct" ->
-      """SELECT c_nationkey AS nationkey FROM customer
-        |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
-    "q10_sort_limit" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-    "q11_distinct_agg" ->
-      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q21_bitmap_distinct" ->
-      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q12_rollup" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
-    // oracle assigns each event its gaps-and-islands session directly
-    // (equivalent to the interval containment: sessions of one user
-    // are disjoint by construction)
-    "q24_range_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
-        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sess FROM x),
-        |g AS (SELECT *,
-        |    CAST(epoch(date_trunc('second', min(ts) OVER (PARTITION BY user_id, sess))) AS BIGINT) AS sess_start,
-        |    count(*) OVER (PARTITION BY user_id, sess) AS n_events FROM s)
-        |SELECT event_id, user_id, sess_start, n_events FROM g
-        |WHERE event_type = 'click'""".stripMargin,
-    "q23_scalar_subquery" ->
-      """SELECT c_custkey, c_name,
-        |  (SELECT COUNT(*) FROM orders o
-        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
-        |  (SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
-        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spent
-        |FROM customer c
-        |WHERE (SELECT COUNT(*) FROM orders o
-        |       WHERE o.o_custkey = c.c_custkey) >= 12""".stripMargin,
-    "q22_salted_join" ->
-      """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  MAX(o_totalprice) AS total, COUNT(*) AS n
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY l_orderkey""".stripMargin,
-    "q19_pivot" ->
-      """SELECT user_id,
-        |  coalesce(count(*) FILTER (event_type = 'click'), 0) AS click,
-        |  coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS purchase,
-        |  coalesce(count(*) FILTER (event_type = 'view'), 0) AS view
-        |FROM events GROUP BY user_id""".stripMargin,
-    "q20_set_ops" ->
-      """SELECT nationkey, 'except' AS op FROM (
-        |  SELECT c_nationkey AS nationkey FROM customer
-        |  EXCEPT SELECT s_nationkey FROM supplier)
-        |UNION ALL
-        |SELECT nationkey, 'intersect' AS op FROM (
-        |  SELECT c_nationkey AS nationkey FROM customer
-        |  INTERSECT SELECT s_nationkey FROM supplier)""".stripMargin,
-    "q15_cube" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
-    "q16_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
-    "q17_lead_lag" ->
-      """SELECT event_id, user_id, value,
-        |  lag(value, 1) OVER w AS prev_value,
-        |  lead(value, 1) OVER w AS next_value
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
-    // Session semantics pinned to Spark's session_window: end-exclusive
-    // [start, last+gap), so a new session opens when diff >= gap.
-    // Timestamps truncated to micros (CAST TIMESTAMP) like q5.
-    "q18_sessions" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |x AS (SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM x)
-        |SELECT CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS sess_start,
-        |  user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sess""".stripMargin,
-    "q14_percentile" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.95), 6) AS p95
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q13_asof_join" ->
-      """WITH ev AS (SELECT event_id, user_id, ts,
-        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
-        |  FROM events WHERE event_type IN ('click', 'purchase'))
-        |SELECT event_id AS click_id, user_id, last_purchase_id FROM (
-        |  SELECT event_id, user_id, tag,
-        |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS last_purchase_id
-        |  FROM ev) WHERE tag = 1""".stripMargin,
-    "d1_exact_dedup" ->
-      "SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n_dups FROM documents GROUP BY text",
-    "t1_token_stats" ->
-      s"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
-         |  len(array_to_string(toks, '')) AS n_alpha_chars
-         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin,
-    "t2_quality" ->
-      s"""SELECT doc_id,
-         |  len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(len(text), 0) AS alpha_ratio,
-         |  CAST(len(list_filter(toks, w -> NOT list_contains($sqlStopList, w))) AS DOUBLE) / nullif(len(toks), 0) AS content_ratio,
-         |  CAST(len(array_to_string(toks, '')) AS DOUBLE) / nullif(len(toks), 0) AS avg_token_len
-         |FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents)""".stripMargin,
-    "t3_lang_id" -> {
-      def sc(ws: Seq[String]) =
-        s"len(list_filter(toks, w -> list_contains(${ws.map(sqlQuote).mkString("[", ", ", "]")}, w)))"
-      val (en, de, es, fr) = (sc(LangMarkers.en), sc(LangMarkers.de), sc(LangMarkers.es), sc(LangMarkers.fr))
-      s"""SELECT doc_id,
-         |  CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
-         |       WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
-         |       WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
-         |       WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
-         |       ELSE 'fr' END AS pred_lang
-         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin
-    },
-    "t4_fingerprint" ->
-      s"""SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
-         |  CASE WHEN len(toks) >= 3 THEN
-         |    list_min(list_transform(range(1, len(toks) - 1),
-         |      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
-         |  ELSE NULL END AS min_shingle_fp
-         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin,
-    "t5_bpe_tokens" ->
-      "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe FROM documents",
-    "d2_minhash_sig" -> {
-      val cols = (0 until DetParams.MinhashBands).map(b => s"b$b").mkString(", ")
-      s"""${OracleSql.minhashKeysCte}
-         |SELECT doc_id, $cols FROM keys""".stripMargin
-    },
-    "d2b_minhash_pairs" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte},
-         |banded AS ($branches)
-         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
-         |FROM banded l JOIN banded r
-         |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
-         |GROUP BY 1, 2""".stripMargin
-    },
-    "d3_simhash" ->
-      s"""WITH hsrc AS (SELECT doc_id,
-         |  list_transform($sqlToks, t -> ${OracleSql.hash60("t")}) AS hs FROM documents)
-         |SELECT doc_id, ${OracleSql.simhashFromHs} AS simhash FROM hsrc""".stripMargin,
-    "d3b_simhash_pairs" -> {
-      val chunks = (0 until 4)
-        .map(c => s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${15 * c}) & 32767 AS chunk_val FROM sh")
-        .mkString(" UNION ALL ")
-      s"""WITH hsrc AS (SELECT doc_id,
-         |  list_transform($sqlToks, t -> ${OracleSql.hash60("t")}) AS hs FROM documents),
-         |sh AS (SELECT doc_id, ${OracleSql.simhashFromHs} AS simhash FROM hsrc),
-         |chunks AS ($chunks),
-         |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-         |    l.simhash AS sh_a, r.simhash AS sh_b
-         |  FROM chunks l JOIN chunks r ON l.chunk_idx = r.chunk_idx
-         |    AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id)
-         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
-         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
-    },
-    // verify stage intersects hashed trigram sets (same md5-prefix
-    // hash as the Spark side, so collisions shrink both identically)
-    "d4_ngram_jaccard" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte},
-         |banded AS ($branches),
-         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-         |t AS (SELECT doc_id, list_distinct(hs) AS tgh, len(list_distinct(hs)) AS ntg
-         |  FROM hsrc),
-         |p AS (SELECT doc_a, doc_b,
-         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
-         |  FROM cand JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id),
-         |j AS (SELECT doc_a, doc_b, i / CAST(st - i AS DOUBLE) AS jac_raw FROM p)
-         |SELECT doc_a, doc_b, round(jac_raw, 6) AS jac FROM j
-         |WHERE jac_raw >= 0.6""".stripMargin
-    },
-    "d6_edit_distance" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte},
-         |banded AS ($branches),
-         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
-         |SELECT doc_a, doc_b, levenshtein(a.text, b.text) AS edit_dist
-         |FROM cand JOIN documents a ON doc_a = a.doc_id
-         |JOIN documents b ON doc_b = b.doc_id
-         |WHERE levenshtein(a.text, b.text) <= 100""".stripMargin
-    },
-    "d5_embed_neardup" ->
-      s"""WITH banded AS (SELECT vec_id, embedding,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey FROM embeddings)
-         |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
-         |  ${OracleSql.cos6("l.embedding", "r.embedding")} AS sim
-         |FROM banded l JOIN banded r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
-         |WHERE ${OracleSql.cos6("l.embedding", "r.embedding")} >= 0.45""".stripMargin,
-    "s1_ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-         |scored AS (SELECT q_id, e.vec_id,
-         |  ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
-         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id)
-         |SELECT q_id, vec_id, sim, rn FROM (
-         |  SELECT q_id, vec_id, sim,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
-         |  FROM scored)
-         |WHERE rn <= 5""".stripMargin,
-    "s2_ann_lsh" ->
-      s"""WITH qb AS (SELECT vec_id AS q_id, embedding AS q_emb,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
-         |  FROM embeddings WHERE vec_id < 10),
-         |cb AS (SELECT vec_id, embedding,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey FROM embeddings),
-         |cand AS (SELECT DISTINCT q_id, q_emb, cb.vec_id, cb.embedding
-         |  FROM cb JOIN qb ON cb.bkey = qb.bkey AND cb.vec_id != qb.q_id),
-         |scored AS (SELECT q_id, vec_id,
-         |  ${OracleSql.cos6("q_emb", "embedding")} AS sim FROM cand)
-         |SELECT q_id, vec_id, sim, rn FROM (
-         |  SELECT q_id, vec_id, sim,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
-         |  FROM scored)
-         |WHERE rn <= 3""".stripMargin,
-    "s3_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
-         |asg AS (SELECT vec_id, embedding, cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
-         |qc AS (SELECT q_id, q_emb, cell FROM (
-         |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10) WHERE rn <= 2),
-         |cand AS (SELECT DISTINCT q_id, q_emb, a.vec_id, a.embedding
-         |  FROM qc JOIN asg a ON qc.cell = a.cell AND a.vec_id != qc.q_id),
-         |scored AS (SELECT q_id, vec_id, ${OracleSql.cos6("q_emb", "embedding")} AS sim FROM cand)
-         |SELECT q_id, vec_id, sim, rn FROM (
-         |  SELECT q_id, vec_id, sim,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
-         |  FROM scored)
-         |WHERE rn <= 3""".stripMargin,
-    "m6_vocab" ->
-      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term FROM documents),
-         |n AS (SELECT count(*) AS nd FROM documents),
-         |d AS (SELECT term, count(*) AS df FROM tk GROUP BY term)
-         |SELECT term, df, idf FROM (
-         |  SELECT term, df,
-         |    round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6) AS idf,
-         |    row_number() OVER (ORDER BY df DESC, term) AS rn
-         |  FROM d CROSS JOIN n) WHERE rn <= 500""".stripMargin,
-    "t7_det_sample" ->
-      s"""SELECT doc_id, lang FROM documents
-         |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,
-    "t8_seq_pack" ->
-      s"""WITH d AS (SELECT doc_id,
-         |    len($sqlToks) AS n_tokens,
-         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 32 AS bucket
-         |  FROM documents),
-         |c AS (SELECT doc_id, bucket, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM d)
-         |SELECT doc_id, bucket, n_tokens,
-         |  CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin FROM c""".stripMargin,
-    "t6_rolling_fp" ->
-      """SELECT doc_id, CASE WHEN len(text) >= 8 THEN
-        |  list_min(list_transform(range(1, len(text)-6), i ->
-        |    list_reduce(list_transform(range(0,8), j ->
-        |      CAST(ord(substr(text, CAST(i+j AS INT), 1)) AS BIGINT)),
-        |      (a,b) -> (a*257 + b) % 1000000007)))
-        |  ELSE NULL END AS roll_fp FROM documents""".stripMargin,
-    // connected components as a recursive reachability closure (min
-    // reachable id per node == component min); edge set is the d2b
-    // candidate-pair spelling. MATERIALIZED is load-bearing: DuckDB
-    // inlines CTEs by default, which would re-evaluate the whole
-    // minhash chain on every recursion step (>100x slower).
-    "d7_dedup_clusters" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |banded AS ($branches),
-         |pairs AS MATERIALIZED (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
-         |  GROUP BY 1, 2),
-         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT s, s FROM sym
-         |  UNION
-         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
-         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
-         |SELECT node AS doc_id, cluster,
-         |  count(*) OVER (PARTITION BY cluster) AS csize FROM lab""".stripMargin
-    },
-    "d8_decontaminate" ->
-      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
-         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test
-         |  FROM documents),
-         |g AS (SELECT doc_id, is_test,
-         |    unnest(CASE WHEN len(toks) >= 5 THEN
-         |      list_transform(range(1, len(toks) - 3),
-         |        i -> md5(array_to_string(toks[i:i+4], ' ')))
-         |      ELSE []::VARCHAR[] END) AS gh
-         |  FROM d)
-         |SELECT t.doc_id, count(DISTINCT t.gh) AS n_shared
-         |FROM g t JOIN (SELECT DISTINCT gh FROM g WHERE is_test) s
-         |  ON t.gh = s.gh
-         |WHERE NOT t.is_test
-         |GROUP BY t.doc_id""".stripMargin,
-    "t9_repetition" ->
-      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |b AS (SELECT doc_id,
-         |    unnest(CASE WHEN len(toks) >= 2 THEN
-         |      list_transform(range(1, len(toks)),
-         |        i -> toks[i] || ' ' || toks[i+1])
-         |      ELSE []::VARCHAR[] END) AS bg
-         |  FROM d),
-         |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
-         |m AS (SELECT doc_id, max(cnt) AS maxc, sum(cnt) AS sumc
-         |  FROM c GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  1 - CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)
-         |    AS dup_word_frac,
-         |  CAST(maxc AS DOUBLE) / sumc AS top_bigram_frac
-         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
-    "t10_bigram_lm" ->
-      s"""WITH d AS (SELECT doc_id, toks FROM
-         |    (SELECT doc_id, $sqlToks AS toks FROM documents)
-         |  WHERE len(toks) >= 2),
-         |bb AS (SELECT doc_id, b.p AS p, b.w AS w FROM (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(toks)),
-         |      i -> {'p': toks[i], 'w': toks[i+1]})) AS b FROM d)),
-         |c2 AS (SELECT p, w, count(*) AS c2 FROM bb GROUP BY 1, 2),
-         |c1 AS (SELECT p, count(*) AS c1 FROM bb GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w) AS v FROM
-         |  (SELECT unnest($sqlToks) AS w FROM documents)),
-         |m AS (SELECT c2.p, c2.w,
-         |    CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6)
-         |      AS DECIMAL(18,6)) AS logp
-         |  FROM c2 JOIN c1 USING (p) CROSS JOIN v),
-         |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS sl
-         |  FROM bb JOIN m USING (p, w) GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams, CAST(sl AS DOUBLE) / n_bigrams AS avg_logp
-         |FROM s""".stripMargin,
-    "d9_dup_spans" ->
-      s"""WITH g AS (SELECT doc_id,
-         |    unnest(CASE WHEN len(toks) >= 8 THEN
-         |      list_transform(range(1, len(toks) - 6),
-         |        i -> md5(array_to_string(toks[i:i+7], ' ')))
-         |      ELSE []::VARCHAR[] END) AS gh
-         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
-         |gd AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh),
-         |j AS (SELECT g.doc_id, gd.nd FROM g JOIN gd USING (gh))
-         |SELECT doc_id, count(*) AS n_grams,
-         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-         |  CAST(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-         |    / count(*) AS dup_frac
-         |FROM j GROUP BY doc_id""".stripMargin,
-    "q25_stratified_sample" ->
-      s"""SELECT doc_id, lang, source FROM documents
-         |WHERE ${OracleSql.hash32("text")} % 100 <
-         |  CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
-         |    WHEN 'es' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END""".stripMargin,
-    // d4's verified pairs + d7's reachability closure + anti-join;
-    // MATERIALIZED again load-bearing for the recursion
-    "d10_dedup_keep" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |banded AS ($branches),
-         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-         |tt AS (SELECT doc_id, list_distinct(hs) AS tgh,
-         |    len(list_distinct(hs)) AS ntg
-         |  FROM hsrc),
-         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
-         |  FROM cand JOIN tt a ON doc_a = a.doc_id JOIN tt b ON doc_b = b.doc_id)
-         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
-         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT s, s FROM sym
-         |  UNION
-         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
-         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
-         |SELECT doc_id, lang FROM documents
-         |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node != cluster)""".stripMargin
-    },
-    // same closure as d10, but keep the longest member per cluster
-    // (n_chars DESC, id tiebreak) instead of the min id
-    "d11_dedup_keepbest" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |banded AS ($branches),
-         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-         |tt AS (SELECT doc_id, list_distinct(hs) AS tgh,
-         |    len(list_distinct(hs)) AS ntg
-         |  FROM hsrc),
-         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
-         |  FROM cand JOIN tt a ON doc_a = a.doc_id JOIN tt b ON doc_b = b.doc_id)
-         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
-         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT s, s FROM sym
-         |  UNION
-         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
-         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
-         |SELECT doc_id, lang, n_chars FROM (
-         |  SELECT d.doc_id, d.lang, d.n_chars,
-         |    row_number() OVER (
-         |      PARTITION BY coalesce(l.cluster, d.doc_id)
-         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
-         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
-         |WHERE rn = 1""".stripMargin
-    },
-    // both policies over the same closure CTEs (the Spark side pays
-    // the prefix once; the oracle just spells each policy's tail)
-    "d13_dedup_policies" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |banded AS ($branches),
-         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-         |tt AS (SELECT doc_id, list_distinct(hs) AS tgh,
-         |    len(list_distinct(hs)) AS ntg
-         |  FROM hsrc),
-         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
-         |  FROM cand JOIN tt a ON doc_a = a.doc_id JOIN tt b ON doc_b = b.doc_id)
-         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
-         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT s, s FROM sym
-         |  UNION
-         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
-         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
-         |SELECT doc_id, 'min_id' AS policy FROM documents
-         |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node != cluster)
-         |UNION ALL
-         |SELECT doc_id, 'keep_best' AS policy FROM (
-         |  SELECT d.doc_id,
-         |    row_number() OVER (
-         |      PARTITION BY coalesce(l.cluster, d.doc_id)
-         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
-         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
-         |WHERE rn = 1""".stripMargin
-    },
-    "m8_nb_fit" ->
-      s"""WITH d AS (SELECT lang, unnest($sqlToks) AS term FROM documents),
-         |c2 AS (SELECT lang, term, count(*) AS c2 FROM d GROUP BY 1, 2),
-         |c1 AS (SELECT lang, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-         |v AS (SELECT count(DISTINCT term) AS v FROM c2),
-         |nd AS (SELECT count(*) AS nd FROM documents),
-         |nc AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),
-         |top AS (SELECT lang, term, c2,
-         |    row_number() OVER (PARTITION BY lang ORDER BY c2 DESC, term) AS rn
-         |  FROM c2)
-         |SELECT t.lang, t.term,
-         |  round(ln(CAST(t.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS logp,
-         |  round(ln(CAST(nc.nc AS DOUBLE) / nd.nd), 6) AS log_prior
-         |FROM top t JOIN c1 USING (lang) JOIN nc USING (lang)
-         |  CROSS JOIN v CROSS JOIN nd
-         |WHERE t.rn <= 10""".stripMargin,
-    "t11_char_entropy" ->
-      """WITH ch AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(text) + 1),
-        |      i -> substr(text, CAST(i AS INT), 1))) AS ch
-        |  FROM documents WHERE len(text) >= 1),
-        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
-        |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-        |t AS (SELECT c.doc_id, nn.n,
-        |    c.c * CAST(round(ln(CAST(c.c AS DOUBLE) / nn.n), 6)
-        |      AS DECIMAL(18,6)) AS term
-        |  FROM c JOIN nn USING (doc_id))
-        |SELECT doc_id, n AS n_scored_chars,
-        |  0.0 - (CAST(sum(term) AS DOUBLE) / n) AS char_entropy
-        |FROM t GROUP BY doc_id, n""".stripMargin,
-    "m7_lr_fit" -> {
-      val out = Seq("bias" -> "xb", "x1" -> "x1", "x2" -> "x2", "x3" -> "x3")
-        .map { case (n, f) => s"SELECT '$n' AS feature, w_$f AS weight FROM w3" }
-        .mkString(" UNION ALL ")
-      s"""WITH $lrFitCtePrefix
-         |$out""".stripMargin
-    },
-    "m10_auc" -> {
-      val z = LrFitCols.map(f => s"w3.w_$f * d.$f").mkString(" + ")
-      s"""WITH $lrFitCtePrefix,
-         |scored AS (SELECT d.y,
-         |    round(1.0 / (1.0 + exp(-($z))), 6) AS p
-         |  FROM d CROSS JOIN w3),
-         |hist AS (SELECT p,
-         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
-         |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS nn
-         |  FROM scored GROUP BY p),
-         |c AS (SELECT np, nn,
-         |    CAST(sum(nn) OVER (ORDER BY p
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |      - nn AS cumneg
-         |  FROM hist),
-         |tt AS (SELECT CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS u2,
-         |    CAST(sum(np) AS BIGINT) AS n_pos,
-         |    CAST(sum(nn) AS BIGINT) AS n_neg
-         |  FROM c)
-         |SELECT u2 / (2.0 * n_pos * n_neg) AS auc, n_pos, n_neg FROM tt""".stripMargin
-    },
-    "s4_ann_pq" -> {
-      val subDim = 16
-      def sub(e: String, m: Int) = s"$e[${m * subDim + 1}:${(m + 1) * subDim}]"
-      def d2(a: String, b: String, m: Int) = {
-        val (sa, sb) = (sub(a, m), sub(b, m))
-        s"(${OracleSql.dot(sa, sa)} - 2*${OracleSql.dot(sa, sb)} + ${OracleSql.dot(sb, sb)})"
-      }
-      def branches(src: String, idAs: String) = (0 until 4).map(m =>
-        s"SELECT $idAs, c_id, $m AS m, CAST(round(${d2("emb", "c_emb", m)}, 6) AS DECIMAL(18,6)) AS d FROM $src")
-        .mkString(" UNION ALL ")
-      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id < 16),
-         |vbase AS (SELECT e.vec_id AS v_id, e.embedding AS emb, c.c_id, c.c_emb
-         |  FROM embeddings e CROSS JOIN cents c),
-         |qbase AS (SELECT e.vec_id AS q_id, e.embedding AS emb, c.c_id, c.c_emb
-         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10),
-         |vd AS (${branches("vbase", "v_id")}),
-         |qd AS (${branches("qbase", "q_id")}),
-         |codes AS (SELECT v_id, m, c_id AS code FROM (
-         |  SELECT v_id, m, c_id,
-         |    row_number() OVER (PARTITION BY v_id, m ORDER BY d, c_id) AS rn
-         |  FROM vd) WHERE rn = 1),
-         |adc AS (SELECT q_id, v_id, sum(qd.d) AS s
-         |  FROM codes JOIN qd ON qd.m = codes.m AND qd.c_id = codes.code
-         |  WHERE v_id != q_id GROUP BY q_id, v_id)
-         |SELECT q_id, v_id AS vec_id, CAST(s AS DOUBLE) AS adist, rn FROM (
-         |  SELECT q_id, v_id, s,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY s, v_id) AS rn
-         |  FROM adc)
-         |WHERE rn <= 3""".stripMargin
-    },
-    // IVF-PQ: cells and codes both derive from the same per-subspace
-    // distance table (full L2 = sum of subspace distances)
-    "s5_ann_ivfpq" -> {
-      val subDim = 16
-      def sub(e: String, m: Int) = s"$e[${m * subDim + 1}:${(m + 1) * subDim}]"
-      def d2(a: String, b: String, m: Int) = {
-        val (sa, sb) = (sub(a, m), sub(b, m))
-        s"(${OracleSql.dot(sa, sa)} - 2*${OracleSql.dot(sa, sb)} + ${OracleSql.dot(sb, sb)})"
-      }
-      def branches(src: String, idAs: String) = (0 until 4).map(m =>
-        s"SELECT $idAs, c_id, $m AS m, CAST(round(${d2("emb", "c_emb", m)}, 6) AS DECIMAL(18,6)) AS d FROM $src")
-        .mkString(" UNION ALL ")
-      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id < 16),
-         |vbase AS (SELECT e.vec_id AS v_id, e.embedding AS emb, c.c_id, c.c_emb
-         |  FROM embeddings e CROSS JOIN cents c),
-         |qbase AS (SELECT e.vec_id AS q_id, e.embedding AS emb, c.c_id, c.c_emb
-         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10),
-         |vd AS (${branches("vbase", "v_id")}),
-         |qd AS (${branches("qbase", "q_id")}),
-         |cells AS (SELECT v_id, cell FROM (
-         |  SELECT v_id, c_id AS cell,
-         |    row_number() OVER (PARTITION BY v_id ORDER BY fd, c_id) AS rn
-         |  FROM (SELECT v_id, c_id, sum(d) AS fd FROM vd GROUP BY v_id, c_id))
-         |  WHERE rn = 1),
-         |codes AS (SELECT v_id, m, c_id AS code FROM (
-         |  SELECT v_id, m, c_id,
-         |    row_number() OVER (PARTITION BY v_id, m ORDER BY d, c_id) AS rn
-         |  FROM vd) WHERE rn = 1),
-         |qcells AS (SELECT q_id, cell FROM (
-         |  SELECT q_id, c_id AS cell,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY fd, c_id) AS rn
-         |  FROM (SELECT q_id, c_id, sum(d) AS fd FROM qd GROUP BY q_id, c_id))
-         |  WHERE rn <= 2),
-         |cand AS (SELECT q_id, v_id FROM qcells JOIN cells USING (cell)
-         |  WHERE v_id != q_id),
-         |adc AS (SELECT c.q_id, c.v_id, sum(qd.d) AS s
-         |  FROM cand c JOIN codes ON codes.v_id = c.v_id
-         |  JOIN qd ON qd.q_id = c.q_id AND qd.m = codes.m AND qd.c_id = codes.code
-         |  GROUP BY c.q_id, c.v_id)
-         |SELECT q_id, v_id AS vec_id, CAST(s AS DOUBLE) AS adist, rn FROM (
-         |  SELECT q_id, v_id, s,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY s, v_id) AS rn
-         |  FROM adc)
-         |WHERE rn <= 3""".stripMargin
-    },
-    // CAST(ts AS TIMESTAMP) truncates ns→us like the Spark-side read;
-    // step comparisons then run at identical precision on both engines.
-    "q26_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events),
-        |v AS (SELECT user_id, min(ts) AS t_view FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(e.ts) AS t_click
-        |  FROM e JOIN v USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
-        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-        |  FROM e JOIN c USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
-        |SELECT v.user_id,
-        |  CAST(epoch(date_trunc('second', v.t_view)) AS BIGINT) AS view_s,
-        |  CAST(epoch(date_trunc('second', c.t_click)) AS BIGINT) AS click_s,
-        |  CAST(epoch(date_trunc('second', p.t_purchase)) AS BIGINT)
-        |    AS purchase_s
-        |FROM v LEFT JOIN c USING (user_id)
-        |  LEFT JOIN p USING (user_id)""".stripMargin,
-    "q27_unpivot" ->
-      """WITH wide AS (SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
-        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
-        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
-        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
-        |UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM wide""".stripMargin,
-    "q28_rolling_window" ->
-      """WITH e AS (SELECT event_id, user_id,
-        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
-        |    CAST(value AS DECIMAL(18,4)) AS v
-        |  FROM events)
-        |SELECT event_id, user_id, es,
-        |  count(*) OVER w AS n_1h,
-        |  CAST(sum(v) OVER w AS DOUBLE) AS v_1h
-        |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY es
-        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "q29_decile_rank" ->
-      """SELECT c_custkey, c_nationkey, c_acctbal,
-        |  ntile(10) OVER w AS decile,
-        |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pct_rank_u,
-        |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cume_u
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_nationkey
-        |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
-    "t12_pmi" ->
-      s"""WITH d AS (SELECT $sqlToks AS toks FROM documents),
-         |uni AS (SELECT unnest(toks) AS w FROM d),
-         |uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
-         |b AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
-         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-         |    ELSE []::VARCHAR[] END) AS bg FROM d),
-         |bc AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
-         |tot AS (SELECT (SELECT sum(cw) FROM uc) AS n_uni,
-         |  (SELECT sum(cb) FROM bc) AS n_bi)
-         |SELECT bg, cb,
-         |  round(ln(CAST(cb AS DOUBLE) * n_uni * n_uni /
-         |    (CAST(n_bi AS DOUBLE) * c1.cw * c2.cw)), 6) AS pmi
-         |FROM bc
-         |JOIN uc c1 ON c1.w = string_split(bg, ' ')[1]
-         |JOIN uc c2 ON c2.w = string_split(bg, ' ')[2]
-         |CROSS JOIN tot
-         |WHERE cb >= 5
-         |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin,
-    "d12_source_overlap" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
-      s"""${OracleSql.minhashKeysCte},
-         |banded AS ($branches),
-         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-         |s AS (SELECT doc_id, source FROM documents)
-         |SELECT least(sa.source, sb.source) AS src_a,
-         |  greatest(sa.source, sb.source) AS src_b,
-         |  count(*) AS n_pairs
-         |FROM cand JOIN s sa ON doc_a = sa.doc_id
-         |JOIN s sb ON doc_b = sb.doc_id
-         |GROUP BY 1, 2""".stripMargin
-    },
-    // oracle is the exact count — valid because the sketch width is
-    // collision-free at this vocabulary (see the query comment)
-    "q30_sketch_counts" -> {
-      val probeVals =
-        (LangMarkers.en ++ LangMarkers.de ++ LangMarkers.es ++ LangMarkers.fr)
-          .distinct.sorted.map(w => s"(${sqlQuote(w)})").mkString(", ")
-      s"""WITH probes(w) AS (VALUES $probeVals),
-         |toks AS (SELECT unnest($sqlToks) AS w FROM documents),
-         |c AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
-         |SELECT probes.w, coalesce(cnt, 0) AS est_count
-         |FROM probes LEFT JOIN c ON probes.w = c.w""".stripMargin
-    },
-    "m9_chi2_keywords" ->
-      s"""WITH d AS (SELECT lang, list_distinct($sqlToks) AS toks FROM documents),
-         |pres AS (SELECT lang, unnest(toks) AS w FROM d),
-         |tc AS (SELECT lang, w, count(*) AS a FROM pres GROUP BY 1, 2),
-         |tt AS (SELECT w, CAST(sum(a) AS BIGINT) AS t FROM tc GROUP BY 1),
-         |ct AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM d),
-         |x AS (SELECT lang, tc.w, a,
-         |    round(CAST(n AS DOUBLE) *
-         |      (CAST(a AS DOUBLE) * (n - c - t + a) -
-         |        CAST(c - a AS DOUBLE) * (t - a)) *
-         |      (CAST(a AS DOUBLE) * (n - c - t + a) -
-         |        CAST(c - a AS DOUBLE) * (t - a)) /
-         |      (CAST(c AS DOUBLE) * (n - c) * t * (n - t)), 6) AS chi2
-         |  FROM tc JOIN tt ON tc.w = tt.w JOIN ct USING (lang) CROSS JOIN nn
-         |  WHERE a >= 5 AND t < n)
-         |SELECT lang, w, a, chi2 FROM (
-         |  SELECT lang, w, a, chi2,
-         |    row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, w) AS rn
-         |  FROM x)
-         |WHERE rn <= 5""".stripMargin,
-    "q31_full_outer" ->
-      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-        |    count(*) AS n_cust FROM customer GROUP BY 1),
-        |su AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
-        |    count(*) AS n_supp FROM supplier GROUP BY 1)
-        |SELECT coalesce(c.nationkey, su.nationkey) AS nationkey,
-        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
-        |FROM c FULL OUTER JOIN su ON c.nationkey = su.nationkey""".stripMargin,
-    "q32_collect_types" ->
-      """SELECT user_id,
-        |  array_to_string(list_sort(list(event_type)), ' ') AS types,
-        |  len(list(event_type)) AS n_events,
-        |  list_contains(list(event_type), 'purchase') AS has_purchase,
-        |  len(list_distinct(list(event_type))) AS n_distinct_types
-        |FROM events GROUP BY user_id""".stripMargin,
-    "q33_map_ops" ->
-      """WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events)
-        |SELECT k, count(*) AS n,
-        |  CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v,
-        |  min(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS min_v,
-        |  max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v
-        |FROM kv GROUP BY k""".stripMargin,
-    "q34_group_sample" ->
-      """SELECT doc_id, lang, rk FROM (
-        |  SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 3""".stripMargin,
-    "m11_calibration" -> {
-      val z = LrFitCols.map(f => s"w3.w_$f * d.$f").mkString(" + ")
-      s"""WITH $lrFitCtePrefix,
-         |scored AS (SELECT d.y,
-         |    round(1.0 / (1.0 + exp(-($z))), 6) AS p
-         |  FROM d CROSS JOIN w3)
-         |SELECT least(CAST(floor(p * 100) AS BIGINT), 99) AS bucket,
-         |  count(*) AS n,
-         |  CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_pred,
-         |  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS pos_rate
-         |FROM scored GROUP BY 1""".stripMargin
-    },
-    "q35_grouping_id" ->
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  GROUPING(o_orderstatus) AS g_status,
-        |  GROUPING(o_orderpriority) AS g_prio
-        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
-    // DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
-    "q36_time_heatmap" ->
-      """SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
-        |  hour(CAST(ts AS TIMESTAMP)) AS hod,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    // DuckDB has no width_bucket; the CASE spells the SQL-standard
-    // semantics (0 below range, n+1 at/above the upper bound)
-    "q37_histogram" ->
-      """SELECT event_type,
-        |  CAST(CASE WHEN value < 0.0 THEN 0
-        |            WHEN value >= 500.0 THEN 11
-        |            ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
-        |  COUNT(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q39_outliers" ->
-      """WITH s AS (SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
-        |  FROM events GROUP BY event_type),
-        |st AS (SELECT event_type, s1 / n AS mean,
-        |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd FROM s)
-        |SELECT event_id, e.event_type, value,
-        |  round((value - mean) / sd, 6) AS z
-        |FROM events e JOIN st ON e.event_type = st.event_type
-        |WHERE sd > 0.0 AND abs(round((value - mean) / sd, 6)) > 3.0""".stripMargin,
-    // 5 unrolled PageRank steps, same 1e-12 fixed-point integer
-    // arithmetic as GraphOps.pageRank (see its Scaladoc for why
-    // integer `div`, not float rounding: engine-stable by
-    // construction). DuckDB `//` is floor division — identical to
-    // Spark's `div` on the all-positive mass here.
-    "q38_pagerank" -> {
-      def step(i: Int): String =
-        s"""p$i AS (SELECT nd.node,
-           |    (1000000000000 * (100 - 85)) // (100 * nn.n)
-           |      + (85 * coalesce(s.s, 0)) // 100 AS pr_fp
-           |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
-           |    SELECT sym.dst AS node, sum(p.pr_fp // deg.outdeg) AS s
-           |    FROM sym JOIN p${i - 1} p ON sym.src = p.node
-           |    JOIN deg ON sym.src = deg.src
-           |    GROUP BY sym.dst) s ON nd.node = s.node)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
-         |    CAST(o_custkey AS BIGINT) * 2 + 1 AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
-         |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
-         |nodes AS (SELECT DISTINCT src AS node FROM sym),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |p0 AS (SELECT node, 1000000000000 // nn.n AS pr_fp
-         |  FROM nodes CROSS JOIN nn),
-         |${(1 to 5).map(step).mkString(",\n")}
-         |SELECT node, CAST(pr_fp AS DOUBLE) / 1000000000000.0 AS pr
-         |FROM p5 ORDER BY pr DESC, node LIMIT 20""".stripMargin
-    },
-    // same arithmetic as CorpusOps.tfidfCosinePairs: m6's idf recipe,
-    // DECIMAL(28,12) norm/dot sums, 6-dp cosine before the threshold
-    "s6_tfidf_pairs" ->
-      s"""WITH d0 AS (SELECT doc_id AS doc, $sqlToks AS toks FROM documents),
-         |tok AS (SELECT doc, unnest(CASE WHEN len(toks) >= 2 THEN
-         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-         |    ELSE []::VARCHAR[] END) AS term FROM d0),
-         |tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term),
-         |nn AS (SELECT count(*) AS nd FROM documents),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-         |  HAVING count(*) <= 100),
-         |w AS (SELECT doc, tf.term, df,
-         |    tf * round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6) AS w
-         |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
-         |nrm AS (SELECT doc, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12)))
-         |    AS DOUBLE)) AS nrm FROM w GROUP BY doc),
-         |dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-         |    CAST(sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
-         |  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
-         |  WHERE a.df >= 2 GROUP BY a.doc, b.doc)
-         |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
-         |FROM dots JOIN nrm na ON dots.doc_a = na.doc
-         |JOIN nrm nb ON dots.doc_b = nb.doc
-         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin,
-    // the Bloom prune is result-invisible (false positives removed by
-    // the exact semi-join), so the oracle is the plain semi-join
-    "q40_bloom_join" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-        |  WHERE o_orderpriority = '1-URGENT')""".stripMargin,
-    "q41_topk_agg" ->
-      """SELECT event_type, rk, event_id, value FROM (
-        |  SELECT event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value DESC, event_id) AS rk
-        |  FROM events)
-        |WHERE rk <= 3""".stripMargin,
-    // the sketch's INVARIANTS are the comparable surface: n must be
-    // the exact non-null count, and the rank-window property (checked
-    // in-query against the true distribution on the Spark side) must
-    // hold — i.e. ok = true for every (event_type, phi). A specific
-    // estimate value is NOT comparable: any mergeable sketch's
-    // estimates depend on Spark's nondeterministic merge order.
-    "q51_quantile_sketch" ->
-      """SELECT event_type, phi, count(value) AS n, true AS ok
-        |FROM events CROSS JOIN
-        |  (SELECT 'p50' AS phi UNION ALL SELECT 'p95') q
-        |GROUP BY event_type, phi""".stripMargin,
-    "q42_weighted_sample" ->
-      s"""SELECT doc_id, lang,
-         |  least(greatest(n_chars // 2, 100), 900) AS w1000
-         |FROM documents
-         |WHERE ${OracleSql.hash32("text")} % 1000
-         |  < least(greatest(n_chars // 2, 100), 900)""".stripMargin,
-    "q43_left_outer" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
-        |    AS DOUBLE) AS sum_price
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey""".stripMargin,
-    // same assignment CTE as s3's oracle; greedy within-cell loser
-    // set, min-id representative kept via ANTI JOIN. The norm² > 0
-    // predicates mirror semanticDedup's zero-norm guard (degenerate
-    // vectors dropped on BOTH engines, never 0/0'd).
-    "s7_semantic_dedup" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id < 16
-         |  AND ${OracleSql.dot("embedding", "embedding")} > 0),
-         |asg AS (SELECT vec_id, embedding, cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |  FROM embeddings e CROSS JOIN c
-         |  WHERE ${OracleSql.dot("e.embedding", "e.embedding")} > 0) WHERE rn = 1),
-         |losers AS (SELECT DISTINCT b.vec_id AS loser FROM asg a JOIN asg b
-         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${OracleSql.cos6("a.embedding", "b.embedding")} >= 0.45)
-         |SELECT vec_id, cell FROM asg
-         |ANTI JOIN losers ON asg.vec_id = losers.loser""".stripMargin,
-    // CAST(ts AS TIMESTAMP) pins the window order to microseconds —
-    // Spark reads the nanos column micro-truncated, so ordering raw
-    // TIMESTAMP_NS here could pick a different same-micro survivor
-    "q45_latest_per_key" ->
-      """SELECT user_id, event_type, event_id, value FROM (
-        |  SELECT user_id, event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin,
-    "m12_confusion" ->
-      s"""WITH $langConfusionCte
-         |SELECT lang, pred_lang, n FROM cm""".stripMargin,
-    // integer-div micro-unit ratios, mirroring the Spark spelling
-    "m13_prf" ->
-      s"""WITH $langConfusionCte,
-         |act AS (SELECT lang, sum(n) AS n_actual FROM cm GROUP BY lang),
-         |prd AS (SELECT pred_lang AS lang, sum(n) AS n_pred
-         |  FROM cm GROUP BY pred_lang),
-         |tp AS (SELECT lang, n AS tp FROM cm WHERE lang = pred_lang)
-         |SELECT act.lang, coalesce(tp.tp, 0) AS tp, act.n_actual,
-         |  coalesce(prd.n_pred, 0) AS n_pred,
-         |  (1000000 * coalesce(tp.tp, 0))
-         |    // nullif(coalesce(prd.n_pred, 0), 0) AS precision_u,
-         |  (1000000 * coalesce(tp.tp, 0)) // act.n_actual AS recall_u,
-         |  (2000000 * coalesce(tp.tp, 0))
-         |    // (coalesce(prd.n_pred, 0) + act.n_actual) AS f1_u
-         |FROM act LEFT JOIN tp ON act.lang = tp.lang
-         |LEFT JOIN prd ON act.lang = prd.lang""".stripMargin,
-    "p7_prep_pipeline" ->
-      s"""WITH f AS (SELECT doc_id, lang, text, toks FROM (
-         |    SELECT doc_id, lang, text, n_chars, $sqlToks AS toks
-         |    FROM documents)
-         |  WHERE n_chars BETWEEN 100 AND 5000 AND len(toks) >= 10),
-         |d AS (SELECT doc_id, lang, text, toks FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY md5(text)
-         |      ORDER BY doc_id) AS rn FROM f) WHERE rn = 1),
-         |sm AS (SELECT * FROM d
-         |  WHERE ${OracleSql.hash32("text")} % 2 = 0)
-         |SELECT lang, count(*) AS n_docs,
-         |  CAST(sum(CAST(len(toks) AS DECIMAL(18,0))) AS DOUBLE)
-         |    / count(*) AS avg_tokens
-         |FROM sm GROUP BY lang""".stripMargin,
-    "q50_corr" ->
-      """WITH st AS (SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)
-        |      AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) *
-        |      CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)
-        |      AS DECIMAL(28,8))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(value * CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)
-        |      AS DECIMAL(28,8))) AS DOUBLE) AS sxy
-        |  FROM events GROUP BY event_type)
-        |SELECT event_type, n,
-        |  (n * sxy - sx * sy) /
-        |    nullif(sqrt(greatest(n * sxx - sx * sx, 0.0)) *
-        |      sqrt(greatest(n * syy - sy * sy, 0.0)), 0.0) AS corr_xy
-        |FROM st""".stripMargin,
-    "q48_union_by_name" ->
-      """SELECT doc_id, lang, n_chars, NULL AS source FROM documents
-        |UNION ALL BY NAME
-        |SELECT doc_id, source, lang FROM documents""".stripMargin,
-    "q49_null_safe_join" ->
-      """WITH e AS (SELECT nullif(event_type, 'click') AS k, value FROM events),
-        |a AS (SELECT k, count(*) AS n_a FROM e GROUP BY k),
-        |b AS (SELECT k AS kb,
-        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_b
-        |  FROM e GROUP BY k)
-        |SELECT k, n_a, sum_b FROM a JOIN b ON k IS NOT DISTINCT FROM kb""".stripMargin,
-    "q47_monthly_trend" ->
-      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mth,
-        |    count(*) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |  FROM orders GROUP BY 1)
-        |SELECT CAST(epoch(mth) AS BIGINT) AS mth, n_orders, revenue,
-        |  revenue - coalesce(lag(revenue) OVER (ORDER BY mth), 0.0) AS delta
-        |FROM m""".stripMargin,
-    "t13_source_profile" ->
-      s"""SELECT source, count(*) AS n_docs,
-         |  count(DISTINCT lang) AS n_langs,
-         |  CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
-         |    / count(*) AS avg_chars,
-         |  CAST(sum(CAST(len($sqlToks) AS DECIMAL(18,0))) AS DOUBLE)
-         |    / count(*) AS avg_tokens
-         |FROM documents GROUP BY source""".stripMargin,
-    // CAST(ts AS TIMESTAMP) pins frame order to micros (the q45 note)
-    "q46_moving_avg" ->
-      """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-        |    / count(*) OVER w AS avg_4
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id
-        |  ORDER BY CAST(ts AS TIMESTAMP), event_id
-        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "q44_bag_set_ops" ->
-      """SELECT event_type, 'except_all' AS op FROM (
-        |  SELECT event_type FROM events WHERE user_id % 2 = 0
-        |  EXCEPT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)
-        |UNION ALL
-        |SELECT event_type, 'intersect_all' AS op FROM (
-        |  SELECT event_type FROM events WHERE user_id % 2 = 0
-        |  INTERSECT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)""".stripMargin
-  )
+  /** One DuckDB twin per query — the full map lives in
+    * [[OracleQueries]] (moved for maintainability, byte-identical). */
+  def oracleSql: Map[String, String] = OracleQueries.all
 }
 
 /** Marker-word profiles for the language-ID heuristic. */
