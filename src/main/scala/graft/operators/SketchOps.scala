@@ -183,6 +183,40 @@ object SketchOps {
       synchronized { state.sortWith(outranks).toSeq }
   }
 
+  /** Streaming twin of [[graft.plans.QuantileSketchAgg]]: a running
+    * quantile sketch absorbing one serialized partial per micro-batch.
+    * Each batch runs the bounded-state `QuantileSketchBytes` aggregate
+    * (so only one O(k·log(n/k)) sketch crosses to the driver per
+    * batch, whatever the batch size) and the partials fold by the
+    * sketch's own merge — quantiles over an unbounded stream with the
+    * same self-accounted rank bound the batch operator carries:
+    * exact total count, estimate-rank window ±`bound`. */
+  final class RunningQuantile(k: Int = 400) {
+    import graft.plans.QuantileSketchAgg.Sketch
+    private val state: Sketch = Sketch.empty(k)
+
+    /** foreachBatch hook: absorb the `value` column of one batch. */
+    def absorb(batch: DataFrame, value: Column): Unit = {
+      val bytes = batch.select(value.cast("double").as("__qs_v"))
+        .agg(graft.plans.QuantileSketchBytes.of(col("__qs_v"), k).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      if (bytes != null) synchronized {
+        state.mergeIn(Sketch.deserialize(bytes, k))
+      }
+    }
+
+    /** Rows absorbed so far (exact — weight is preserved). */
+    def count: Long = synchronized { state.n }
+
+    /** Guaranteed rank-window half-width for current estimates. */
+    def bound: Long = synchronized { state.queryBound }
+
+    /** Current estimate at each φ (an actual observed value whose
+      * true rank is within ±[[bound]] of ⌈φ·n⌉). */
+    def quantiles(phis: Seq[Double]): Seq[Double] =
+      synchronized { state.quantiles(phis) }
+  }
+
   /** Exact semi-join of `fact` to the key set of `dim`, pre-pruned by
     * a broadcast Bloom bitmap — the runtime-filter pattern spelled as
     * a library operator.

@@ -132,6 +132,36 @@ class SketchOpsSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("RunningQuantile: stream-merged sketch keeps exact n + rank bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val chunks = Seq.fill(4)(Seq.fill(5000)(rnd.nextDouble() * 1000))
+    val in = MemoryStream[Double]
+    val rq = new SketchOps.RunningQuantile(64)
+    val q = in.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        rq.absorb(batch, col("value"))
+      }
+      .start()
+    try {
+      chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      val all = chunks.flatten.sorted
+      assert(rq.count == all.length.toLong) // weight exact across batches
+      val bound = rq.bound
+      assert(bound < all.length / 4, "bound must stay non-vacuous")
+      for ((p, e) <- Seq(0.5, 0.95).zip(rq.quantiles(Seq(0.5, 0.95)))) {
+        val target = math.max(1L, math.ceil(p * all.length).toLong)
+        val lo = all.count(_ < e).toLong + 1L
+        val hi = all.count(_ <= e).toLong
+        assert(lo <= target + bound && hi >= target - bound,
+          s"phi=$p est=$e outside ±$bound of rank $target")
+      }
+    } finally q.stop()
+  }
+
   test("bloomDecontaminateStream drops every contaminated row map-side") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
