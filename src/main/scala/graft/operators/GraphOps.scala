@@ -144,49 +144,48 @@ object GraphOps {
                          iters: Int = 5, dampNum: Int = 85,
                          dampDen: Int = 100)
       : (DataFrame, () => Unit) = {
-    // the canonical edge set feeds THREE consumers (degree agg, the
-    // per-iteration join, the node set) — cache it once, CLUSTERED BY
-    // src: distinct() leaves (src, dst) hash-partitioning, which
-    // satisfies neither the degree agg nor the per-iteration join, so
-    // every round would re-exchange the full edge stream. One
-    // repartition at build time makes the cached blocks src-clustered
-    // (InMemoryTableScan reports the cached plan's partitioning), and
-    // every src-keyed consumer — including all `iters` rank joins —
-    // reads them exchange-free. That, not data volume, was the wall
-    // time at small SF: each avoided exchange is an avoided AQE query
-    // stage, i.e. an avoided scheduled job per round.
+    // the canonical edge set feeds TWO consumers (the per-iteration
+    // join and the node set) — cache it once, CLUSTERED BY src:
+    // distinct() leaves (src, dst) hash-partitioning, which the
+    // per-iteration join cannot reuse, so every round would
+    // re-exchange the full edge stream. One repartition at build time
+    // makes the cached blocks src-clustered (InMemoryTableScan
+    // reports the cached plan's partitioning), and every src-keyed
+    // consumer — including all `iters` rank joins — reads them
+    // exchange-free. That, not data volume, was the wall time at
+    // small SF: each avoided exchange is an avoided AQE query stage,
+    // i.e. an avoided scheduled job per round.
     // repartition FIRST, dedup second: HashPartitioning(src) is a
     // valid clustering for (src, dst) — every copy of an edge lands
     // in the same src partition — so dropDuplicates after the
-    // repartition runs partition-local with NO second exchange. The
-    // distinct().repartition() spelling pays two.
-    val e = edges
+    // repartition runs partition-local with NO second exchange (the
+    // distinct().repartition() spelling pays two). The out-degree
+    // rides the SAME partitioning as a src-keyed window count, so
+    // the whole degree-annotated edge table builds from one exchange
+    // with no join, no separate degree aggregate, and ONE cache
+    // materialization instead of the e → deg → e⋈deg chain.
+    val ed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // consumed once per iteration: cache the degree-annotated edges
-    // (released by the caller's clearCache / session teardown — the
-    // loop below is the only consumer). Both join children are
-    // src-clustered, so this builds — and caches — exchange-free.
-    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     // union+distinct terminates in a node-keyed exchange, so the
     // cached node set is already node-clustered — the per-round
     // left join against rank sums needs no exchange on either side
     // (sums comes out of its dst-keyed aggregation).
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
     if (n == 0) {
       // empty (or all-null / all-self-loop-free… i.e. no valid) edge
       // set: no nodes, no ranks — and no driver-side division by
-      // zero. ALL three persists release here (e included — leaking
-      // it would contradict the release contract below).
-      e.unpersist(blocking = false)
+      // zero. BOTH persists release here (leaking them would
+      // contradict the release contract below).
       ed.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       return (nodes.select(col("node"), lit(0L).as("pr_fp")).limit(0),
@@ -230,9 +229,8 @@ object GraphOps {
     }
     val lastRelease = prevRelease
     (pr, () => {
-      e.unpersist(blocking = false)
-      ed.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
+      ed.unpersist(blocking = true)
+      nodes.unpersist(blocking = true)
       if (lastRelease != null) lastRelease()
       ()
     })

@@ -59,7 +59,7 @@ object DatasetBridge {
         HashPartitioning(partCols.map(n => attrs.find(_.name == n).get), expected)
       else UnknownPartitioning(rdd.getNumPartitions)
     val leaf = LogicalRDD(attrs, rdd, part, Nil, isStreaming = false)(spark)
-    (ClassicDataset.ofRows(spark, leaf), () => { rdd.unpersist(blocking = false); () })
+    (ClassicDataset.ofRows(spark, leaf), () => { rdd.unpersist(blocking = true); () })
   }
 
   /** Materialize-and-rewrap with no partitioning claim — the
@@ -78,6 +78,6 @@ object DatasetBridge {
     val attrs = cds.queryExecution.analyzed.output.map(_.newInstance())
     val leaf = LogicalRDD(attrs, rdd, UnknownPartitioning(rdd.getNumPartitions),
       Nil, isStreaming = false)(spark)
-    (ClassicDataset.ofRows(spark, leaf), () => { rdd.unpersist(blocking = false); () })
+    (ClassicDataset.ofRows(spark, leaf), () => { rdd.unpersist(blocking = true); () })
   }
 }
