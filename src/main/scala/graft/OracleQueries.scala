@@ -397,6 +397,26 @@ private[graft] object OracleQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    // zero-norm guards mirror the Spark side (the s7 lesson)
+    "s8_ann_join" ->
+      s"""WITH lb AS (SELECT vec_id AS l_id, embedding AS l_emb,
+         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
+         |  FROM embeddings
+         |  WHERE vec_id % 2 = 0 AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |rb AS (SELECT vec_id AS r_id, embedding AS r_emb,
+         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
+         |  FROM embeddings
+         |  WHERE vec_id % 2 = 1 AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |cand AS (SELECT DISTINCT l_id, l_emb, r_id, r_emb
+         |  FROM lb JOIN rb USING (bkey)),
+         |scored AS (SELECT l_id, r_id,
+         |  ${OracleSql.cos6("l_emb", "r_emb")} AS sim FROM cand)
+         |SELECT l_id, rk, r_id, sim FROM (
+         |  SELECT l_id, r_id, sim,
+         |    row_number() OVER (PARTITION BY l_id
+         |      ORDER BY sim DESC, r_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3""".stripMargin,
     "s3_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
          |asg AS (SELECT vec_id, embedding, cell FROM (

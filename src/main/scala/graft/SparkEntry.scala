@@ -636,6 +636,17 @@ object SparkEntry {
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
     }),
 
+    // cross-corpus ANN JOIN: both sides large (even vs odd split of
+    // the embedding table standing in for crawl-vs-training-set), no
+    // broadcast — band-keyed shuffle join + bounded-state top-k
+    "s8_ann_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.lshJoinTopK(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", 3)
+    }),
+
     // IVF-bucketed ANN top-3 (coarse quantizer + probed cells)
     "s3_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -128,6 +128,41 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Embedding JOIN between two LARGE tables via sign-LSH banding —
+    * the no-broadcast sibling of [[lshTopK]]. When the query side is
+    * itself a corpus (cross-corpus near-dup between a new crawl and a
+    * training set, retrieval candidate generation), a broadcast build
+    * is impossible; here BOTH sides explode to band keys and meet in
+    * a band-keyed shuffle-hash join — the posting-list shape: a pair
+    * is generated only where a band collides, never O(|L|·|R|) — with
+    * exact cosine on collisions only, and the per-left-row top-k
+    * riding the bounded-state [[graft.plans.TopKRows]] aggregate (no
+    * window sort; O(k) state per (partition, left row), so one hot
+    * left row cannot form a skewed sort partition). Zero-norm
+    * embeddings are dropped on both sides (0/0 cosine is NULL in
+    * Spark but NaN in DuckDB — the s7 guard). Deterministic: the
+    * (sim desc, id asc) total order matches the row_number oracle. */
+  def lshJoinTopK(left: DataFrame, right: DataFrame, idCol: String,
+                  embCol: String, k: Int): DataFrame = {
+    def banded(df: DataFrame, id: String, emb: String, nrm: String) =
+      df.select(col(idCol).as(id), col(embCol).as(emb))
+        .withColumn(nrm, l2norm(col(emb)))
+        .filter(col(nrm) > 0.0)
+        .withColumn("bkey", explode(sketchBands(col(emb))))
+    val lb = banded(left, "l_id", "l_emb", "l_nrm")
+    val rb = banded(right, "r_id", "r_emb", "r_nrm").hint("shuffle_hash")
+    lb.join(rb, "bkey")
+      .select(col("l_id"), col("r_id"),
+        round(dotD(col("l_emb"), col("r_emb")) /
+          (col("l_nrm") * col("r_nrm")), 6).as("sim"))
+      .distinct()
+      .groupBy(col("l_id"))
+      .agg(graft.plans.TopKRows.of(col("sim"), col("r_id"), k).as("top"))
+      .select(col("l_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("l_id"), (col("pos") + 1).as("rk"),
+        col("r.id").as("r_id"), col("r.ord").as("sim"))
+  }
+
   /** IVF-style approximate nearest neighbors: a deterministic coarse
     * quantizer (the first `numCentroids` corpus vectors), one
     * assignment pass (n x C dots, C fixed — linear in corpus size),

@@ -169,6 +169,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("lshJoinTopK matches the window spelling over the same candidates") {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val L = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val R = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val got = SimilarityOps.lshJoinTopK(L, R, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // reference: identical banded candidate set ranked by a window —
+    // the aggregate (TopKRows) and the sort-based spellings must agree
+    // under the shared (sim desc, id asc) total order
+    def banded(df: org.apache.spark.sql.DataFrame, id: String, emb: String, nrm: String) =
+      df.select(col("vec_id").as(id), col("embedding").as(emb))
+        .withColumn(nrm, SimilarityOps.l2norm(col(emb)))
+        .filter(col(nrm) > 0.0)
+        .withColumn("bkey", explode(SimilarityOps.sketchBands(col(emb))))
+    val w = Window.partitionBy(col("l_id")).orderBy(col("sim").desc, col("r_id"))
+    val ref = banded(L, "l_id", "l_emb", "l_nrm")
+      .join(banded(R, "r_id", "r_emb", "r_nrm"), "bkey")
+      .select(col("l_id"), col("r_id"),
+        round(SimilarityOps.dotD(col("l_emb"), col("r_emb")) /
+          (col("l_nrm") * col("r_nrm")), 6).as("sim"))
+      .distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("l_id"), col("rk"), col("r_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got.nonEmpty)
+    assert(got == ref)
+    // left/right split is disjoint: no self-matches possible
+    assert(got.forall { case (l, _, r, _) => l % 2 == 0 && r % 2 == 1 })
+  }
+
   test("nearDuplicatePairsReleasable: release() leaves no cached blocks") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (pairs, release) = DedupOps.nearDuplicatePairsReleasable(

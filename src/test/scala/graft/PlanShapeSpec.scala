@@ -73,4 +73,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
   test("d5 banded self-join reuses one sketch exchange") {
     assert(executed("d5_embed_neardup").contains("ReusedExchange"))
   }
+
+  test("q38 final PageRank round shuffles ONLY the rank-sum aggregation") {
+    import org.apache.spark.sql.functions._
+    // the r5 contract: edges cached clustered by src, nodes by node,
+    // rounds truncated through partitioning-declaring leaves — so the
+    // lazy final iteration contains exactly ONE shuffle exchange (the
+    // dst-keyed rank-sum agg). A second exchange means a cached side
+    // or the materialized rank vector lost its clustering claim.
+    val edges = spark.range(0, 2000)
+      .select((col("id") % 97).as("src"), (col("id") % 89 + 100).as("dst"))
+    val (pr, release) = graft.operators.GraphOps
+      .pageRankReleasable(edges, "src", "dst", iters = 3)
+    try {
+      assert(pr.count() > 0) // materialize so AQE's final plan exists
+      // count the runtime shuffle stages of the final round: AQE
+      // inserts exchanges lazily (inputPlan is pre-EnsureRequirements)
+      // so only the executed final plan is authoritative. Does NOT
+      // descend into InMemoryTableScan's cached relation — those
+      // exchanges ran once at build time, not per round.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      def countShuffles(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => countShuffles(a.finalPhysicalPlan)
+        case s: ShuffleQueryStageExec => 1 + countShuffles(s.plan)
+        case q: QueryStageExec => countShuffles(q.plan)
+        case _ => p.children.map(countShuffles).sum
+      }
+      val n = countShuffles(pr.queryExecution.executedPlan)
+      assert(n == 1,
+        s"expected exactly 1 per-round shuffle (the rank-sum agg), got $n:\n" +
+          pr.queryExecution.executedPlan)
+    } finally release()
+  }
 }
