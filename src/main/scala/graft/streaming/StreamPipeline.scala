@@ -242,8 +242,12 @@ object StreamPipeline {
     * conversion-funnel "never purchased" rows: a click with no
     * purchase in its horizon emits null-extended ONCE — but only when
     * the watermark passes the horizon-extended click time, because
-    * until then a matching purchase could still arrive. The time-range
-    * predicate plus both-side watermarks is exactly what makes that
+    * until then a matching purchase could still arrive. `full_outer`
+    * additionally finalizes purchase-side orphans (purchases no click
+    * preceded — attribution leaks) the same way; their `user` comes
+    * from the purchase side (the output key is coalesced across
+    * sides, an identity for inner/left). The time-range predicate
+    * plus both-side watermarks is exactly what makes that
     * finalization (and the bounded state eviction) possible; an outer
     * stream-stream join without them is unplannable. */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
@@ -274,6 +278,10 @@ object StreamPipeline {
         col("__cpj_purchase_ts") >= col("__cpj_click_ts") - expr(s"INTERVAL $horizon") &&
         col("__cpj_purchase_ts") <= col("__cpj_click_ts"),
       joinType)
+      // replace in place (keeps column position): for full_outer the
+      // purchase-only rows carry the key on the right side only
+      .withColumn("__cpj_user",
+        coalesce(col("__cpj_user"), col("__cpj_p_user")))
       .drop("__cpj_p_user")
       .withColumnRenamed("__cpj_user", "user")
       .withColumnRenamed("__cpj_click_ts", "click_ts")

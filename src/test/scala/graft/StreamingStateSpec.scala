@@ -175,6 +175,40 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join finalizes BOTH sides' orphans") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val joined = StreamPipeline.clickPurchaseJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id"),
+      "user_id", "ts", horizon = "10 minutes", watermark = "5 minutes",
+      joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_join_fo")
+      .outputMode("append").start()
+    try {
+      purchases.addData((ts(5), 7L), (ts(30), 11L)) // 11: purchase, no click
+      clicks.addData((ts(8), 7L), (ts(8), 9L))      // 9: click, no purchase
+      q.processAllAvailable()
+      clicks.addData((ts(120), 1L))   // advance both watermarks
+      purchases.addData((ts(120), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_fo")
+        .select(col("user"), col("click_ts").cast("string"),
+          col("purchase_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // matched pair joins normally
+      assert(rows.exists(r => r._1 == 7L && r._2 != null && r._3 != null))
+      // click-side orphan: null purchase, exactly once
+      assert(rows.count(_._1 == 9L) == 1)
+      assert(rows.exists(r => r._1 == 9L && r._3 == null))
+      // purchase-side orphan: null click, key coalesced from the right
+      assert(rows.count(_._1 == 11L) == 1)
+      assert(rows.exists(r => r._1 == 11L && r._2 == null && r._3 != null))
+    } finally q.stop()
+  }
+
   test("stream-stream join accepts inputs already named user/click_ts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
