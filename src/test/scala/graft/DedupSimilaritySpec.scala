@@ -202,26 +202,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
     assert(got.forall { case (l, _, r, _) => l % 2 == 0 && r % 2 == 1 })
   }
 
+  // Diff-based hygiene (see GraphOpsSpec): global isEmpty asserts are
+  // flaky against RDD-level residue from earlier suites, which
+  // clearCache() cannot reach and suite order does not guarantee away.
   test("nearDuplicatePairsReleasable: release() leaves no cached blocks") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (pairs, release) = DedupOps.nearDuplicatePairsReleasable(
       docs, "doc_id", "text", threshold = 0.6)
     assert(pairs.count() >= 0) // action materializes the persisted table
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "trigram table still cached after release()")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"trigram table still cached after release(): $leaked")
   }
 
   test("semanticDedupReleasable: release() leaves no cached blocks") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (kept, release) = SimilarityOps.semanticDedupReleasable(
       e, "vec_id", "embedding", numCentroids = 8, minCos = 0.45)
     assert(kept.count() > 0)
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "assignment table still cached after release()")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"assignment table still cached after release(): $leaked")
   }
 
   test("dedupPipelineReleasable: policies match the standalone operators") {
@@ -256,13 +263,49 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
   test("tfidfCosinePairsReleasable: release() leaves no cached blocks") {
     import graft.operators.CorpusOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (pairs, release) = CorpusOps.tfidfCosinePairsReleasable(
       docs, "doc_id", split(lower(col("text")), "\\s+"),
       maxDf = 100L, minCos = 0.3)
     assert(pairs.count() >= 0)
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "weighting table still cached after release()")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"weighting table still cached after release(): $leaked")
+  }
+
+  test("incrementalDedup agrees with the all-pairs verify on the cross split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    // reference FIRST (its own trigram persist is by-design unreleased
+    // — harness-swept — so it must not pollute the hygiene snapshot):
+    // full-corpus verified pairs restricted to (delta, base) cross
+    // edges, min base id per delta doc
+    val ref = DedupOps.nearDuplicatePairs(docs, "doc_id", "text", 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (d, bs) => d % 5 == 0 && bs % 5 != 0 }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (admitted, release) = DedupOps.incrementalDedupReleasable(
+      base, delta, "doc_id", "text", threshold = 0.6)
+    val got = admitted.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == deltaIds, "one output row per delta doc")
+    deltaIds.foreach { d =>
+      assert(got(d) == ref.get(d), s"dup_of mismatch for delta doc $d")
+    }
+    // base-vs-base and delta-vs-delta pairs must never leak in
+    assert(got.values.flatten.forall(_ % 5 != 0), "dup_of must be a base id")
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"trigram tables survived release(): $leaked")
   }
 }

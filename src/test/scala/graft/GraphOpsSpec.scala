@@ -143,24 +143,33 @@ class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(total > GraphOps.PageRankScale - 100000L)
   }
 
+  // Hygiene assertions are DIFF-based (snapshot before, assert the
+  // op's additions are gone after release), not global isEmpty:
+  // clearCache() cannot reach RDD-level persists left by earlier
+  // suites (suite order is not fixed — sbt runs previously-failing
+  // suites first), so a global assertion is residue-flaky.
   test("pageRankReleasable leaves no cached blocks after release") {
     import spark.implicits._
     spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
       .toDF("src", "dst")
     val (pr, release) = GraphOps.pageRankReleasable(edges, "src", "dst")
     assert(pr.count() == 3)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pageRank persists survived release: $leaked")
   }
 
   test("releasable variant leaves no cached blocks after release") {
     import spark.implicits._
     spark.catalog.clearCache() // drop any residue from sibling suites
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (labels, release) = GraphOps.connectedComponentsReleasable(
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
     assert(labels.count() == 3)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"CC persists survived release: $leaked")
   }
 }

@@ -13,11 +13,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Pre-execution formatted plan. */
-  private def formatted(name: String): String =
-    SparkEntry.queries(name)(spark, sf)
+  /** Pre-execution formatted plan. NOTE: building a query DataFrame
+    * can itself run eager jobs and persist (q38's rounds, bloom
+    * builds), so sweep after explaining too. */
+  private def formatted(name: String): String = {
+    val s = SparkEntry.queries(name)(spark, sf)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    s
+  }
 
   /** Post-AQE executed plan (runtime ReusedExchange lives only here). */
   private def executed(name: String): String = {
@@ -25,6 +32,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     df.collect()
     val s = df.queryExecution.executedPlan.toString
     spark.catalog.clearCache()
+    // clearCache() cannot reach RDD-level persists (DatasetBridge
+    // round leaves from q38/CC paths) — sweep them too, or they leak
+    // into later suites' cache-hygiene assertions (suite order is NOT
+    // fixed: sbt runs previously-failing suites first)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     s
   }
 
