@@ -437,6 +437,28 @@ private[graft] object OracleQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    // floor-micro-unit quantization per value, integer-div centroid
+    // mean, exact integer dots/norms — mirrors the Spark spelling
+    // (parallel unnests zip positionally in DuckDB)
+    "s9_centroid_sim" ->
+      """WITH dims AS (SELECT label,
+        |    unnest(range(len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS vu
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim,
+        |    CAST(sum(vu) AS BIGINT) // count(*) AS cmu
+        |  FROM dims GROUP BY 1, 2),
+        |nrm AS (SELECT label, CAST(sum(cmu * cmu) AS BIGINT) AS nrm2
+        |  FROM cent GROUP BY 1 HAVING sum(cmu * cmu) > 0),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.cmu * b.cmu) AS BIGINT) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(dot / (sqrt(x.nrm2) * sqrt(y.nrm2)), 6) AS cos_sim
+        |FROM dots JOIN nrm x ON label_a = x.label
+        |JOIN nrm y ON label_b = y.label""".stripMargin,
     "m6_vocab" ->
       s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term FROM documents),
          |n AS (SELECT count(*) AS nd FROM documents),
@@ -660,6 +682,31 @@ private[graft] object OracleQueries {
          |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
          |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
          |WHERE rn = 1""".stripMargin
+    },
+    // delta (doc_id % 5 = 0) admitted against base (the rest):
+    // band-keyed cross-set candidates, Jaccard verify, min base id
+    "d14_incremental_dedup" -> {
+      val branches = (0 until DetParams.MinhashBands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+        .mkString(" UNION ALL ")
+      s"""${OracleSql.minhashKeysCte},
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.doc_id AS delta_id, r.doc_id AS base_id
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey
+         |  WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 != 0),
+         |tt AS (SELECT doc_id, list_distinct(hs) AS tgh,
+         |    len(list_distinct(hs)) AS ntg FROM hsrc),
+         |dup AS (SELECT delta_id, min(base_id) AS dup_of FROM (
+         |  SELECT delta_id, base_id,
+         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
+         |  FROM cand JOIN tt a ON delta_id = a.doc_id
+         |    JOIN tt b ON base_id = b.doc_id)
+         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6
+         |  GROUP BY delta_id)
+         |SELECT d.doc_id, dup.dup_of FROM documents d
+         |LEFT JOIN dup ON d.doc_id = dup.delta_id
+         |WHERE d.doc_id % 5 = 0""".stripMargin
     },
     "m8_nb_fit" ->
       s"""WITH d AS (SELECT lang, unnest($sqlToks) AS term FROM documents),
@@ -1064,6 +1111,26 @@ private[graft] object OracleQueries {
         |FROM events CROSS JOIN
         |  (SELECT 'p50' AS phi UNION ALL SELECT 'p95') q
         |GROUP BY event_type, phi""".stripMargin,
+    // per-language decile cutoff from the micro-unit histogram;
+    // integer everywhere (div/cum/compare), mirroring the Spark side
+    "q52_adaptive_quality" ->
+      """WITH h AS (SELECT lang,
+        |    (1000000 * len(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+        |      // len(text) AS q_mu,
+        |    count(*) AS cnt
+        |  FROM documents WHERE len(text) >= 1 GROUP BY 1, 2),
+        |c AS (SELECT lang, q_mu, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY q_mu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |cut AS (SELECT lang, min(q_mu) AS cutoff_mu FROM c
+        |  WHERE cum * 10 >= n GROUP BY lang)
+        |SELECT h.lang, cutoff_mu, CAST(sum(cnt) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN q_mu >= cutoff_mu THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM h JOIN cut ON h.lang = cut.lang
+        |GROUP BY 1, 2""".stripMargin,
     "q42_weighted_sample" ->
       s"""SELECT doc_id, lang,
          |  least(greatest(n_chars // 2, 100), 900) AS w1000

@@ -647,6 +647,44 @@ object SparkEntry {
         "vec_id", "embedding", 3)
     }),
 
+    // embedding-space governance: pairwise cosine between per-label
+    // centroids (classes-separable / sources-drift-together readout,
+    // d12's embedding twin). Engine-stable by construction: each
+    // float is quantized ONCE via floor-micro-units (pure IEEE ops —
+    // the q29 pattern; FLOAT->DECIMAL casts are a dialect trap, Spark
+    // goes through the shortest decimal repr where DuckDB keeps the
+    // exact binary value), the per-dim centroid is an integer-div
+    // mean of exact BIGINT sums (div truncation parity with // is
+    // m13's), and all dots/norms are then exact integer arithmetic —
+    // one irrational sqrt/round at the very end (the safe one-shot
+    // class). Plan: posexplode (narrow) -> one keyed agg to a
+    // |labels|x|dims| table (640 rows here, tiny at ANY corpus size)
+    // -> self-join on dim over that tiny table. The only full-data
+    // pass is the map-side-partial agg; cmu is bounded 1e6 by
+    // construction so nothing overflows at any corpus size.
+    "s9_centroid_sim" -> ((s, dir) => {
+      val cent = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          floor(col("v").cast("double") * lit(1e6)).as("vu"))
+        .groupBy(col("label"), col("dim"))
+        .agg(expr("sum(vu) div count(1)").as("cmu"))
+        .persist()
+      val nrm = cent.groupBy(col("label"))
+        .agg(sum(col("cmu") * col("cmu")).as("nrm2"))
+        .filter(col("nrm2") > 0)
+      cent.as("a")
+        .join(cent.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.cmu") * col("b.cmu")).as("dot"))
+        .join(nrm.as("x"), col("label_a") === col("x.label"))
+        .join(nrm.as("y"), col("label_b") === col("y.label"))
+        .select(col("label_a"), col("label_b"),
+          round(col("dot") / (sqrt(col("x.nrm2")) * sqrt(col("y.nrm2"))), 6)
+            .as("cos_sim"))
+    }),
+
     // IVF-bucketed ANN top-3 (coarse quantizer + probed cells)
     "s3_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -869,6 +907,20 @@ object SparkEntry {
       keepMin.select(col("doc_id"), lit("min_id").as("policy"))
         .unionByName(keepBest(col("n_chars"))
           .select(col("doc_id"), lit("keep_best").as("policy")))
+    }),
+
+    // incremental ingestion dedup: a delta batch (doc_id % 5 = 0
+    // standing in for today's crawl) admitted against the base corpus
+    // (the rest) — band-keyed delta-vs-base join, trigram-Jaccard
+    // verify on collisions only, dup_of = smallest matching base id
+    // (NULL = admitted). The shape that NEVER re-pairs base-vs-base:
+    // per-batch cost rides the delta, not the 100 TB corpus.
+    "d14_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.incrementalDedupReleasable(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", threshold = 0.6)._1
     }),
 
     // character-entropy quality signal (low-entropy docs are boiler-
@@ -1499,6 +1551,42 @@ object SparkEntry {
         .select(col("event_type"), col("phi"), col("n"),
           ((col("lt") + lit(1L) <= target + col("bound")) &&
             (col("leq") >= target - col("bound"))).as("ok"))
+    }),
+
+    // adaptive quality floor: per-language 10th-percentile cutoff on
+    // an alpha-ratio quality signal, then the keep/drop census — the
+    // calibrated-threshold pattern ("drop the worst decile of EACH
+    // language", not one global floor that ejects whole low-resource
+    // languages). Quality is BIGINT micro-units via integer div (a
+    // ratio of integer counts — exactly the q29 tie class), and the
+    // percentile comes from a cumulative window over the per-language
+    // HISTOGRAM of those micro-units (m10's trick: the histogram is
+    // bounded at 1e6+1 rows per language at ANY corpus size, so there
+    // is never a raw-row sort; cutoff selection `10*cum >= n` is
+    // integer, cum is exact). The q51 sketch is the same pattern when
+    // even the histogram key space is unbounded.
+    "q52_adaptive_quality" -> ((s, dir) => {
+      val hist = t(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("lang"),
+          expr("(1000000 * cast(length(regexp_replace(text, '[^A-Za-z]', '')) as bigint)) div length(text)")
+            .as("q_mu"))
+        .groupBy(col("lang"), col("q_mu"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+      val wc = Window.partitionBy(col("lang")).orderBy(col("q_mu"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("lang"))
+      val cut = hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wn))
+        .filter(col("cum") * 10 >= col("n"))
+        .groupBy(col("lang")).agg(min(col("q_mu")).as("cutoff_mu"))
+      hist.join(cut, Seq("lang"))
+        .groupBy(col("lang"), col("cutoff_mu"))
+        .agg(sum(col("cnt")).as("n_total"),
+          sum(when(col("q_mu") >= col("cutoff_mu"), col("cnt"))
+            .otherwise(lit(0L))).as("n_kept"))
     }),
 
     // weighted deterministic sampling: keep probability proportional

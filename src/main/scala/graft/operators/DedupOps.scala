@@ -347,6 +347,66 @@ object DedupOps {
                                 quality: Column): DataFrame =
     dedupPipelineReleasable(docs, idCol, textCol, threshold)._2(quality)
 
+  /** Incremental (delta-vs-base) near-duplicate admission — the
+    * ingestion shape: a new batch of documents is checked against an
+    * already-deduplicated base corpus WITHOUT any base-vs-base work.
+    * MinHash band keys from each side meet in a band-keyed join
+    * (posting-list shape, never O(|delta|*|base|)); exact trigram-
+    * Jaccard verifies the collisions only; every delta doc comes back
+    * with `dup_of` = the smallest matching base id (NULL = admitted).
+    *
+    * Scale shape: at 100 TB the base side of the band join reads a
+    * PERSISTED signature index built once when the base corpus was
+    * deduplicated — the point of incremental ingestion is that the
+    * base text is never re-scanned per batch; the verify stage
+    * fetches base trigram sets only for docs that actually collide
+    * (the candidate join prunes first), so per-batch cost is
+    * proportional to the delta and its collisions, not the corpus.
+    * Here both sides derive signatures inline from text; the persist
+    * discipline mirrors [[nearDuplicatePairsReleasable]].
+    */
+  def incrementalDedupReleasable(base: DataFrame, delta: DataFrame,
+                                 idCol: String, textCol: String,
+                                 threshold: Double)
+      : (DataFrame, () => Unit) = {
+    def trigramTable(df: DataFrame): DataFrame = df
+      .select(col(idCol),
+        array_sort(graft.plans.HashedTrigrams32(col(textCol))).as("tgh"))
+      .withColumn("ntg", size(col("tgh")))
+    def banded(tg: DataFrame): DataFrame = tg
+      .select(col(idCol), graft.plans.MinHashSignature(col("tgh")).as("sig"))
+      .select(col(idCol),
+        posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
+    val baseTg = trigramTable(base).persist()
+    val deltaTg = trigramTable(delta).persist()
+    // band-keyed delta-vs-base join: shuffle_hash (band buckets are
+    // many small groups — a sort would dominate), one row per
+    // colliding (delta, base) pair after the distinct
+    val cands = banded(deltaTg).as("l").hint("shuffle_hash")
+      .join(banded(baseTg).as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col(s"l.$idCol").as("delta_id"), col(s"r.$idCol").as("base_id"))
+      .distinct()
+    val dupOf = cands
+      .join(deltaTg.as("a"), col("delta_id") === col(s"a.$idCol"))
+      .join(baseTg.as("b"), col("base_id") === col(s"b.$idCol"))
+      .select(col("delta_id"), col("base_id"),
+        graft.plans.SortedIntersectCount.of(
+          col("a.tgh"), col("b.tgh")).as("i"),
+        (col("a.ntg") + col("b.ntg")).as("st"))
+      .filter(col("i").cast("double") / (col("st") - col("i")) >= threshold)
+      .groupBy(col("delta_id"))
+      .agg(min(col("base_id")).as("dup_of"))
+    val admitted = delta.select(col(idCol))
+      .join(dupOf, col(idCol) === col("delta_id"), "left")
+      .select(col(idCol), col("dup_of"))
+    (admitted, () => {
+      baseTg.unpersist(blocking = true)
+      deltaTg.unpersist(blocking = true)
+      ()
+    })
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
     * band buckets; with b bands the corpus is scanned once and

@@ -445,6 +445,43 @@ object StreamPipeline {
       .drop("__ghs")
   }
 
+  /** Streaming twin of the d14 incremental-admission operator
+    * ([[graft.operators.DedupOps.incrementalDedupReleasable]]): each
+    * micro-batch of arriving documents is admitted against the static
+    * already-deduplicated base corpus, and only admitted rows (no
+    * verified near-dup in base) reach the sink parquet, stamped with
+    * their batch id.
+    *
+    * Shape: `foreachBatch` — Structured Streaming's stream-batch
+    * escape hatch, and what real ingestion runs. The admission
+    * decision is NOT a stateless row-local predicate (a doc's fate
+    * aggregates over its band collisions), so the stateless
+    * stream-static join class [[decontaminateStream]] uses cannot
+    * express it; per batch we run the full batch operator — band-keyed
+    * batch-vs-base join + Jaccard verify on collisions only, never
+    * base-vs-base. The release hook runs per batch, so an unbounded
+    * stream accumulates no cached round leaves; at scale the base
+    * side's signatures come from a persisted index (see the batch
+    * operator's scaladoc) rather than being recomputed per batch. */
+  def incrementalAdmitStream(docs: DataFrame, base: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double, path: String,
+                             checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (flags, release) = graft.operators.DedupOps
+          .incrementalDedupReleasable(base, batch, idCol, textCol, threshold)
+        try {
+          batch.join(
+              flags.filter(col("dup_of").isNull).select(col(idCol)),
+              Seq(idCol))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(path)
+        } finally release()
+      }
+
   def minhashDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                                   watermark: String): DataFrame = {
     df.withColumn("__hs", graft.plans.HashedTrigrams32(col(textCol)))

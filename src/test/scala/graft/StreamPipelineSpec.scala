@@ -184,6 +184,40 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
       .count() == 2L)
   }
 
+  test("incremental admission stream matches the d14 batch operator per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // batch-operator reference: the admitted (dup_of NULL) delta ids
+    val (flags, release) = DedupOps.incrementalDedupReleasable(
+      base, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.6)
+    val expected = flags.filter(col("dup_of").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    release()
+    val outDir = tmp("admit_out")
+    val ckDir = tmp("admit_ck")
+    val input = MemoryStream[(Long, String)]
+    val (half1, half2) = delta.splitAt(delta.length / 2)
+    input.addData(half1.toSeq)
+    val q = StreamPipeline.incrementalAdmitStream(
+      input.toDF().toDF("doc_id", "text"), base,
+      "doc_id", "text", 0.6, outDir, ckDir).start()
+    q.processAllAvailable()
+    input.addData(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.select("batch_id").distinct().count() == 2L)
+    val admitted = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch-vs-base admission is per-doc independent, so splitting the
+    // delta across micro-batches must not change the admitted set
+    assert(admitted == expected)
+  }
+
   test("incremental batch (AvailableNow) processes only new files per run") {
     val srcDir = tmp("incr_src")
     val outDir = tmp("incr_out")
