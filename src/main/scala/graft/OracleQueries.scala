@@ -1248,6 +1248,27 @@ private[graft] object OracleQueries {
          |  CAST(sum(CAST(len($sqlToks) AS DECIMAL(18,0))) AS DOUBLE)
          |    / count(*) AS avg_tokens
          |FROM documents GROUP BY source""".stripMargin,
+    // integer-exact α-mix: sqrt quantized to micro-units per source,
+    // exact integer normalizer, one integer division per rate
+    "t14_mix_rebalance" ->
+      s"""WITH counts AS (SELECT source, count(*) AS n_s
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_s,
+         |    CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS w_mu
+         |  FROM counts),
+         |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nt,
+         |    CAST(sum(w_mu) AS BIGINT) AS w_sum FROM w),
+         |rates AS (SELECT source, n_s,
+         |    least(1000000, ((nt // 4) * w_mu * 1000000) // (w_sum * n_s))
+         |      AS rate_mu
+         |  FROM w CROSS JOIN tot),
+         |samp AS (SELECT d.source, count(*) AS c
+         |  FROM documents d JOIN rates r ON d.source = r.source
+         |  WHERE ${OracleSql.hash32("d.text")} % 1000000 < r.rate_mu
+         |  GROUP BY 1)
+         |SELECT r.source, r.n_s AS n_docs, r.rate_mu,
+         |  coalesce(CAST(s.c AS BIGINT), 0) AS n_sampled
+         |FROM rates r LEFT JOIN samp s ON r.source = s.source""".stripMargin,
     // CAST(ts AS TIMESTAMP) pins frame order to micros (the q45 note)
     "q46_moving_avg" ->
       """SELECT event_id, user_id,

@@ -1184,6 +1184,15 @@ object SparkEntry {
           (sum(size(cleanTokens).cast("decimal(18,0)")).cast("double") /
             count(lit(1))).as("avg_tokens"))),
 
+    // α-temperature source-mix rebalancing (CorpusOps.alphaMixSample):
+    // a 25% budget split across sources ∝ sqrt(n_s) — small sources
+    // upweighted, the Gopher/LLaMA sub-linear mixing shape — with
+    // integer-compare hash sampling. Census output: per-source docs,
+    // rate, and sampled count (the report the mix review reads).
+    "t14_mix_rebalance" -> ((s, dir) =>
+      CorpusOps.alphaMixSample(
+        t(s, dir, "documents"), "source", col("text"), budgetDen = 4)._2),
+
     // per-group quantile ranks: balance decile / percent_rank /
     // cume_dist within each nation. partitionBy keeps every frame
     // per-nation — never the single-partition global window an

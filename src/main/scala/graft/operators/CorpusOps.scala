@@ -273,4 +273,58 @@ object CorpusOps {
       .filter(col("cos") >= minCos)
     (pairs, () => { w.unpersist(blocking = true); () })
   }
+
+  /** α-temperature source-mix rebalancing (α = 0.5) — the data-mixing
+    * primitive of large-scale training pipelines ("don't sample
+    * sources proportional to size, upweight the small ones"): the
+    * budget of `totalDocs div budgetDen` sampled documents is split
+    * across sources proportional to sqrt(n_s) (Gopher/LLaMA-style
+    * sub-linear mixing), and each document's keep decision is an
+    * INTEGER compare of its content-hash residue against the
+    * per-source rate in micro-units — reproducible on any engine and
+    * cluster size (t7/q42's sampler with per-source rates).
+    *
+    * Engine-stable arithmetic: sqrt(n) is quantized to BIGINT
+    * micro-units per source (sqrt is bit-identical IEEE in any
+    * engine — no pow dialect risk), the normalizer W = Σ w_mu is an
+    * exact integer sum, and each rate is one integer division
+    * `(T * w_mu * 1e6) div (W * n_s)` capped at 1e6. Numerator
+    * headroom: T·w_mu·1e6 needs T·sqrt(n_max)·1e12 < 2^63 — holds
+    * through ~1e9-document corpora at this precision; past that,
+    * drop the rate precision a decade or lift the numerator to
+    * DECIMAL(38,0) (both engines exact).
+    *
+    * Plan shape: one keyed count agg (map-side partials) to a
+    * |sources|-row table, the 1-row total and the rate table ride
+    * broadcasts, and the keep decision is a narrow filter on the
+    * full corpus — no raw-row shuffle anywhere.
+    *
+    * Returns (sampledDocs, censusPerSource). */
+  def alphaMixSample(docs: DataFrame, sourceCol: String, hashCol: Column,
+                     budgetDen: Int): (DataFrame, DataFrame) = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(
+      sum(col("n_s")).as("n_total"),
+      sum(floor(sqrt(col("n_s").cast("double")) * lit(1e6)).cast("long"))
+        .as("w_sum"))
+    val rates = counts
+      .withColumn("w_mu",
+        floor(sqrt(col("n_s").cast("double")) * lit(1e6)).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_s"),
+        least(lit(1000000L),
+          expr(s"((n_total div $budgetDen) * w_mu * 1000000) div (w_sum * n_s)"))
+          .as("rate_mu"))
+    val sampled = docs
+      .join(broadcast(rates.select(col(sourceCol), col("rate_mu"))), sourceCol)
+      .filter(pmod(DedupOps.md5Hash32(hashCol), lit(1000000L)) < col("rate_mu"))
+    // left from rates: a source whose rate floors to 0 still appears
+    // in the census (with n_sampled = 0), it must not vanish
+    val census = rates
+      .join(sampled.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c")),
+        Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_s").as("n_docs"), col("rate_mu"),
+        coalesce(col("__c"), lit(0L)).as("n_sampled"))
+    (sampled, census)
+  }
 }

@@ -137,4 +137,29 @@ class QualitySignalsSpec extends AnyFunSuite with SparkSessionFixture {
       .collect()
     assert(got.isEmpty)
   }
+
+  test("alphaMixSample: sub-linear rates, full census, deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (sampled, census) = graft.operators.CorpusOps
+      .alphaMixSample(docs, "source", col("text"), budgetDen = 4)
+    val c = census.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    val nSources = docs.select("source").distinct().count()
+    assert(c.length == nSources, "every source appears in the census")
+    // α = 0.5 upweights small sources: rates must be antitone in size
+    // (strictly larger source => no larger rate), modulo the 1e6 cap
+    val bySize = c.sortBy(_._2)
+    bySize.sliding(2).foreach { case Array((_, n1, r1, _), (_, n2, r2, _)) =>
+      if (n1 < n2) assert(r1 >= r2,
+        s"rate must not grow with source size: n=$n1 r=$r1 vs n=$n2 r=$r2")
+    }
+    // the realized sample respects the rates exactly (hash residue is
+    // deterministic): re-running produces the identical sampled set
+    val again = graft.operators.CorpusOps
+      .alphaMixSample(docs, "source", col("text"), budgetDen = 4)._1
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
+    // census counts match the sampled frame
+    assert(c.map(_._4).sum == sampled.count())
+  }
 }
