@@ -470,17 +470,32 @@ object StreamPipeline {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (flags, release) = graft.operators.DedupOps
-          .incrementalDedupReleasable(base, batch, idCol, textCol, threshold)
-        try {
-          batch.join(
-              flags.filter(col("dup_of").isNull).select(col(idCol)),
-              Seq(idCol))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(path)
-        } finally release()
-      }
+      .foreachBatch(admitBatchWriter(base, idCol, textCol, threshold, path))
+
+  /** The per-batch admission writer behind [[incrementalAdmitStream]]
+    * (exposed like [[mergeSchemaParquetWriter]] so replay idempotence
+    * is testable without checkpoint surgery): runs the d14 batch
+    * operator against the static base, keeps only admitted rows, and
+    * dynamic-partition-OVERWRITES the batch's own `batch_id`
+    * partition — an at-least-once replay rewrites itself instead of
+    * duplicating admitted rows (the S6/S7 sink discipline). */
+  def admitBatchWriter(base: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, path: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val (flags, release) = graft.operators.DedupOps
+        .incrementalDedupReleasable(base, batch, idCol, textCol, threshold)
+      try {
+        batch.join(
+            flags.filter(col("dup_of").isNull).select(col(idCol)),
+            Seq(idCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+      } finally release()
+    }
 
   def minhashDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                                   watermark: String): DataFrame = {

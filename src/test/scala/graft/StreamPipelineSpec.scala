@@ -216,6 +216,14 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
     // batch-vs-base admission is per-doc independent, so splitting the
     // delta across micro-batches must not change the admitted set
     assert(admitted == expected)
+
+    // at-least-once replay: re-running a batch through the writer
+    // overwrites its own batch_id partition — row count is unchanged
+    val writer = StreamPipeline.admitBatchWriter(
+      base, "doc_id", "text", 0.6, outDir)
+    val n1 = spark.read.parquet(outDir).count()
+    writer(half2.toSeq.toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(outDir).count() == n1, "replay duplicated rows")
   }
 
   test("incremental batch (AvailableNow) processes only new files per run") {
