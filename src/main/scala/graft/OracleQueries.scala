@@ -1131,6 +1131,19 @@ private[graft] object OracleQueries {
         |    AS BIGINT) AS n_kept
         |FROM h JOIN cut ON h.lang = cut.lang
         |GROUP BY 1, 2""".stripMargin,
+    // exact BIGINT micro ages; DECIMAL-quantized decay terms so the
+    // per-user sum is order-free (pow is the safe one-shot class)
+    "q53_time_decay" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |r AS (SELECT max(us) AS ref_us FROM e),
+        |t AS (SELECT user_id,
+        |    CAST(round(value * pow(0.5,
+        |      (ref_us - us) / 604800000000.0), 6) AS DECIMAL(18,6)) AS term
+        |  FROM e CROSS JOIN r)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(term) AS DOUBLE) AS decayed_value
+        |FROM t GROUP BY user_id""".stripMargin,
     "q42_weighted_sample" ->
       s"""SELECT doc_id, lang,
          |  least(greatest(n_chars // 2, 100), 900) AS w1000

@@ -1598,6 +1598,27 @@ object SparkEntry {
             .otherwise(lit(0L))).as("n_kept"))
     }),
 
+    // recency weighting — the "prefer recent data" curation signal:
+    // per-user event value decayed with a 7-day half-life against the
+    // corpus reference time (max ts — deterministic, no wall clock).
+    // Age is exact BIGINT micros; the decay is one-shot pow (6-dp
+    // round — irrational, tie measure zero, the t10/ln class); terms
+    // are DECIMAL-quantized so the per-user sum is order-free. Plan:
+    // narrow term compute + 1-row broadcast + ONE keyed agg.
+    "q53_time_decay" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("value"))
+      val ref = ev.agg(max(col("us")).as("ref_us"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          round(col("value") * pow(lit(0.5),
+            (col("ref_us") - col("us")) / lit(604800000000.0)), 6)
+            .cast("decimal(18,6)").as("term"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("term")).cast("double").as("decayed_value"))
+    }),
+
     // weighted deterministic sampling: keep probability proportional
     // to a quality weight (length-derived here), decided by comparing
     // a content-hash residue against the per-row weight — an INTEGER
