@@ -302,28 +302,40 @@ object CorpusOps {
     * Returns (sampledDocs, censusPerSource). */
   def alphaMixSample(docs: DataFrame, sourceCol: String, hashCol: Column,
                      budgetDen: Int): (DataFrame, DataFrame) = {
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
-    val tot = counts.agg(
-      sum(col("n_s")).as("n_total"),
-      sum(floor(sqrt(col("n_s").cast("double")) * lit(1e6)).cast("long"))
-        .as("w_sum"))
-    val rates = counts
-      .withColumn("w_mu",
-        floor(sqrt(col("n_s").cast("double")) * lit(1e6)).cast("long"))
-      .crossJoin(broadcast(tot))
-      .select(col(sourceCol), col("n_s"),
-        least(lit(1000000L),
-          expr(s"((n_total div $budgetDen) * w_mu * 1000000) div (w_sum * n_s)"))
-          .as("rate_mu"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // pass 1: per-source counts — ONE column-pruned scan with
+    // map-side partials; the result is |sources| rows, so collecting
+    // it is constant-size (the k-means-centroid / bloom-words
+    // precedent), and the rate arithmetic runs ONCE driver-side in
+    // exactly the integer spelling the oracle uses (declaring it as a
+    // dependent DataFrame instead would re-derive the counts subtree
+    // under each of its three consumers — measured: the corpus scan
+    // ran twice even with AQE exchange reuse)
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_s"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    val totalDocs = counts.map(_._2).sum
+    val t = totalDocs / budgetDen
+    val wMu = counts.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
+    val wSum = wMu.map(_._3).sum
+    val rates = wMu.map { case (s, n, w) =>
+      (s, n, math.min(1000000L, (t * w * 1000000L) / (wSum * n))) }
+    // pass 2: the keep decision is a narrow filter against the
+    // broadcast |sources|-row rate table; the census rides this same
+    // pass (one keyed agg over the sampled rows)
+    val rateDf = rates.toSeq.toDF(sourceCol, "n_docs", "rate_mu")
     val sampled = docs
-      .join(broadcast(rates.select(col(sourceCol), col("rate_mu"))), sourceCol)
+      .join(broadcast(rateDf.select(col(sourceCol), col("rate_mu"))),
+        sourceCol)
       .filter(pmod(DedupOps.md5Hash32(hashCol), lit(1000000L)) < col("rate_mu"))
     // left from rates: a source whose rate floors to 0 still appears
     // in the census (with n_sampled = 0), it must not vanish
-    val census = rates
+    val census = rateDf
       .join(sampled.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c")),
         Seq(sourceCol), "left")
-      .select(col(sourceCol), col("n_s").as("n_docs"), col("rate_mu"),
+      .select(col(sourceCol), col("n_docs"), col("rate_mu"),
         coalesce(col("__c"), lit(0L)).as("n_sampled"))
     (sampled, census)
   }
