@@ -87,6 +87,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(executed("d5_embed_neardup").contains("ReusedExchange"))
   }
 
+  test("t14 census plan touches the corpus exactly once (rates are driver-side)") {
+    // the regression this pins: deriving the rate table as a dependent
+    // DataFrame re-derived the counts subtree under each consumer and
+    // the corpus scan ran twice despite AQE exchange reuse; rates are
+    // now computed once from a constant-size collect, so the census
+    // DAG itself must contain exactly ONE file scan (the filter pass)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("t14_mix_rebalance")(spark, sf)
+    df.collect()
+    def countScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countScans(a.finalPhysicalPlan)
+      case q: QueryStageExec => countScans(q.plan)
+      case _: FileSourceScanExec => 1
+      case _ => p.children.map(countScans).sum
+    }
+    val n = countScans(df.queryExecution.executedPlan)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(n == 1, s"census plan must scan the corpus once, got $n")
+  }
+
   test("q38 final PageRank round shuffles ONLY the rank-sum aggregation") {
     import org.apache.spark.sql.functions._
     // the r5 contract: edges cached clustered by src, nodes by node,
