@@ -1272,8 +1272,8 @@ private[graft] object OracleQueries {
          |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nt,
          |    CAST(sum(w_mu) AS BIGINT) AS w_sum FROM w),
          |rates AS (SELECT source, n_s,
-         |    least(1000000, ((nt // 4) * w_mu * 1000000) // (w_sum * n_s))
-         |      AS rate_mu
+         |    least(1000000, (CAST(nt // 4 AS HUGEINT) * w_mu * 1000000)
+         |      // (CAST(w_sum AS HUGEINT) * n_s)) AS rate_mu
          |  FROM w CROSS JOIN tot),
          |samp AS (SELECT d.source, count(*) AS c
          |  FROM documents d JOIN rates r ON d.source = r.source

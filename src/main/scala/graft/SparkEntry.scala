@@ -1608,11 +1608,14 @@ object SparkEntry {
     "q53_time_decay" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"),
         expr("unix_micros(ts)").as("us"), col("value"))
-      val ref = ev.agg(max(col("us")).as("ref_us"))
-      ev.crossJoin(broadcast(ref))
-        .select(col("user_id"),
+      // reference time collected once (1 row, an exact BIGINT — the
+      // t14 lesson: a dependent 1-row aggregate re-scans the table
+      // under its consumer even with AQE reuse); the column-pruned
+      // max scan + the term scan are the only two table passes
+      val refUs = ev.agg(max(col("us"))).collect()(0).getLong(0)
+      ev.select(col("user_id"),
           round(col("value") * pow(lit(0.5),
-            (col("ref_us") - col("us")) / lit(604800000000.0)), 6)
+            (lit(refUs) - col("us")) / lit(604800000000.0)), 6)
             .cast("decimal(18,6)").as("term"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),

@@ -288,11 +288,11 @@ object CorpusOps {
     * micro-units per source (sqrt is bit-identical IEEE in any
     * engine — no pow dialect risk), the normalizer W = Σ w_mu is an
     * exact integer sum, and each rate is one integer division
-    * `(T * w_mu * 1e6) div (W * n_s)` capped at 1e6. Numerator
-    * headroom: T·w_mu·1e6 needs T·sqrt(n_max)·1e12 < 2^63 — holds
-    * through ~1e9-document corpora at this precision; past that,
-    * drop the rate precision a decade or lift the numerator to
-    * DECIMAL(38,0) (both engines exact).
+    * `(T * w_mu * 1e6) div (W * n_s)` capped at 1e6, evaluated in
+    * 128-bit integers (Scala BigInt here, HUGEINT in the oracle):
+    * the numerator reaches T·sqrt(n_max)·1e12, which already
+    * overflows Int64 around 1e6 docs on a skewed corpus — 128 bits
+    * hold it beyond 1e13 documents.
     *
     * Plan shape: one keyed count agg (map-side partials) to a
     * |sources|-row table, the 1-row total and the rate table ride
@@ -312,29 +312,33 @@ object CorpusOps {
     // dependent DataFrame instead would re-derive the counts subtree
     // under each of its three consumers — measured: the corpus scan
     // ran twice even with AQE exchange reuse)
+    // null-source rows form their own group (like SQL GROUP BY), and
+    // all joins below are null-safe so they sample like any other
     val counts = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_s"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .collect().map(r => (r.get(0).asInstanceOf[String], r.getLong(1)))
     val totalDocs = counts.map(_._2).sum
-    val t = totalDocs / budgetDen
+    val t = BigInt(totalDocs / budgetDen)
     val wMu = counts.map { case (s, n) =>
       (s, n, math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
-    val wSum = wMu.map(_._3).sum
+    val wSum = BigInt(wMu.map(_._3).sum)
     val rates = wMu.map { case (s, n, w) =>
-      (s, n, math.min(1000000L, (t * w * 1000000L) / (wSum * n))) }
+      (s, n, ((t * w * 1000000) / (wSum * n)).min(1000000).toLong) }
     // pass 2: the keep decision is a narrow filter against the
     // broadcast |sources|-row rate table; the census rides this same
     // pass (one keyed agg over the sampled rows)
     val rateDf = rates.toSeq.toDF(sourceCol, "n_docs", "rate_mu")
     val sampled = docs
-      .join(broadcast(rateDf.select(col(sourceCol), col("rate_mu"))),
-        sourceCol)
+      .join(broadcast(rateDf.select(col(sourceCol).as("__src"), col("rate_mu"))),
+        col(sourceCol) <=> col("__src"))
       .filter(pmod(DedupOps.md5Hash32(hashCol), lit(1000000L)) < col("rate_mu"))
+      .drop("__src", "rate_mu")
     // left from rates: a source whose rate floors to 0 still appears
     // in the census (with n_sampled = 0), it must not vanish
     val census = rateDf
-      .join(sampled.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c")),
-        Seq(sourceCol), "left")
+      .join(sampled.groupBy(col(sourceCol).as("__src"))
+          .agg(count(lit(1)).as("__c")),
+        col(sourceCol) <=> col("__src"), "left")
       .select(col(sourceCol), col("n_docs"), col("rate_mu"),
         coalesce(col("__c"), lit(0L)).as("n_sampled"))
     (sampled, census)

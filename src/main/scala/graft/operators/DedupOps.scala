@@ -202,27 +202,33 @@ object DedupOps {
     * in one session call `release()` after their action (blocking
     * unpersist) instead of relying on a session-wide
     * `spark.catalog.clearCache()`. */
+  /** (id, tgh, ntg) — sorted hashed-trigram table. Sorted once per
+    * document: the MinHash minima and `size` are order-invariant, and
+    * sorting lets verify stages count intersections with an
+    * allocation-free merge scan ([[graft.plans.SortedIntersectCount]])
+    * instead of a per-pair hash-set build. Shared by the self-join
+    * (d4/d10) and delta-vs-base (d14) verify paths — ONE spelling, so
+    * a DetParams/sort change cannot silently diverge them. */
+  private def trigramTable(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = docs
+    .select(col(idCol),
+      array_sort(graft.plans.HashedTrigrams32(col(textCol))).as("tgh"))
+    .withColumn("ntg", size(col("tgh")))
+
+  /** (id, band, bkey) exploded LSH band keys from a trigram table.
+    * Min over distinct hashes == min over hashes-of-distinct-trigrams,
+    * so the signature (and its band keys) matches the d2/d2b
+    * spelling. */
+  private def bandedKeys(tg: DataFrame, idCol: String): DataFrame = tg
+    .select(col(idCol), graft.plans.MinHashSignature(col("tgh")).as("sig"))
+    .select(col(idCol),
+      posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
+
   def nearDuplicatePairsReleasable(docs: DataFrame, idCol: String,
                                    textCol: String, threshold: Double)
       : (DataFrame, () => Unit) = {
-    // sorted once per document: the MinHash minima and `size` below are
-    // order-invariant, and sorting lets the verify stage count the
-    // intersection with an allocation-free merge scan
-    // ([[graft.plans.SortedIntersectCount]]) instead of a per-pair
-    // hash-set build
-    val tg = docs
-      .select(col(idCol),
-        array_sort(graft.plans.HashedTrigrams32(col(textCol))).as("tgh"))
-      .withColumn("ntg", size(col("tgh")))
-      .persist()
-    // min over distinct hashes == min over hashes-of-distinct-trigrams,
-    // so the signature (and its band keys) matches the d2/d2b spelling
-    val sig = tg
-      .select(col(idCol), graft.plans.MinHashSignature(col("tgh")).as("sig"))
-    val banded = sig.select(
-        col(idCol),
-        posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
-      .hint("shuffle_hash")
+    val tg = trigramTable(docs, idCol, textCol).persist()
+    val banded = bandedKeys(tg, idCol).hint("shuffle_hash")
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.bkey") === col("r.bkey") &&
@@ -369,21 +375,13 @@ object DedupOps {
                                  idCol: String, textCol: String,
                                  threshold: Double)
       : (DataFrame, () => Unit) = {
-    def trigramTable(df: DataFrame): DataFrame = df
-      .select(col(idCol),
-        array_sort(graft.plans.HashedTrigrams32(col(textCol))).as("tgh"))
-      .withColumn("ntg", size(col("tgh")))
-    def banded(tg: DataFrame): DataFrame = tg
-      .select(col(idCol), graft.plans.MinHashSignature(col("tgh")).as("sig"))
-      .select(col(idCol),
-        posexplode(array(bandKeys(col("sig")): _*)).as(Seq("band", "bkey")))
-    val baseTg = trigramTable(base).persist()
-    val deltaTg = trigramTable(delta).persist()
+    val baseTg = trigramTable(base, idCol, textCol).persist()
+    val deltaTg = trigramTable(delta, idCol, textCol).persist()
     // band-keyed delta-vs-base join: shuffle_hash (band buckets are
     // many small groups — a sort would dominate), one row per
     // colliding (delta, base) pair after the distinct
-    val cands = banded(deltaTg).as("l").hint("shuffle_hash")
-      .join(banded(baseTg).as("r"),
+    val cands = bandedKeys(deltaTg, idCol).as("l").hint("shuffle_hash")
+      .join(bandedKeys(baseTg, idCol).as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
       .select(col(s"l.$idCol").as("delta_id"), col(s"r.$idCol").as("base_id"))
       .distinct()

@@ -483,10 +483,15 @@ object StreamPipeline {
                        threshold: Double, path: String)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
+      // an at-least-once source can repeat an id WITHIN one batch;
+      // without this dedupe the id appears k times on both sides of
+      // the admitted join and the sink gets k² copies (retries carry
+      // identical payloads, so any survivor is the right one)
+      val b = batch.dropDuplicates(idCol)
       val (flags, release) = graft.operators.DedupOps
-        .incrementalDedupReleasable(base, batch, idCol, textCol, threshold)
+        .incrementalDedupReleasable(base, b, idCol, textCol, threshold)
       try {
-        batch.join(
+        b.join(
             flags.filter(col("dup_of").isNull).select(col(idCol)),
             Seq(idCol))
           .withColumn("batch_id", lit(batchId))

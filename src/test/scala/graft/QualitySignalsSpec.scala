@@ -149,9 +149,11 @@ class QualitySignalsSpec extends AnyFunSuite with SparkSessionFixture {
     // α = 0.5 upweights small sources: rates must be antitone in size
     // (strictly larger source => no larger rate), modulo the 1e6 cap
     val bySize = c.sortBy(_._2)
-    bySize.sliding(2).foreach { case Array((_, n1, r1, _), (_, n2, r2, _)) =>
-      if (n1 < n2) assert(r1 >= r2,
-        s"rate must not grow with source size: n=$n1 r=$r1 vs n=$n2 r=$r2")
+    bySize.sliding(2).foreach {
+      case Array((_, n1, r1, _), (_, n2, r2, _)) =>
+        if (n1 < n2) assert(r1 >= r2,
+          s"rate must not grow with source size: n=$n1 r=$r1 vs n=$n2 r=$r2")
+      case _ => () // single-source census: nothing to compare
     }
     // the realized sample respects the rates exactly (hash residue is
     // deterministic): re-running produces the identical sampled set

@@ -224,6 +224,11 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
     val n1 = spark.read.parquet(outDir).count()
     writer(half2.toSeq.toDF("doc_id", "text"), 1L)
     assert(spark.read.parquet(outDir).count() == n1, "replay duplicated rows")
+    // a retry can also repeat ids WITHIN one batch — the writer must
+    // dedupe them, not square them through the admitted join
+    writer((half2 ++ half2).toSeq.toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(outDir).count() == n1,
+      "within-batch duplicate ids multiplied rows")
   }
 
   test("incremental batch (AvailableNow) processes only new files per run") {
