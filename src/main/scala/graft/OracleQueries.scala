@@ -437,6 +437,29 @@ private[graft] object OracleQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    // SQ8: floor(x+0.5) code rounding and floor-nano error terms —
+    // identical IEEE ops in both engines; the fold is exact BIGINT
+    "s10_sq8_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    greatest(abs(CAST(list_max(embedding) AS DOUBLE)),
+        |      abs(CAST(list_min(embedding) AS DOUBLE))) AS vmax
+        |  FROM embeddings WHERE len(embedding) > 0),
+        |q AS (SELECT vec_id, vmax, embedding,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / vmax + 0.5) AS INT))
+        |      AS codes
+        |  FROM v WHERE vmax > 0)
+        |SELECT vec_id,
+        |  CAST(floor(vmax * 1000000) AS BIGINT) AS vmax_mu,
+        |  len(codes) AS n_dims,
+        |  CAST(list_sum(list_transform(list_zip(embedding, codes), p ->
+        |    CAST(floor(abs(CAST(p[1] AS DOUBLE) - p[2] * vmax / 127.0)
+        |      * 1000000000) AS BIGINT))) AS BIGINT) AS sum_err_nano,
+        |  CAST(list_sum(list_transform(list_zip(embedding, codes), p ->
+        |    CAST(floor(abs(CAST(p[1] AS DOUBLE) - p[2] * vmax / 127.0)
+        |      * 1000000000) AS BIGINT))) AS BIGINT) // len(codes)
+        |    AS mean_err_nano
+        |FROM q""".stripMargin,
     // floor-micro-unit quantization per value, integer-div centroid
     // mean, exact integer dots/norms — mirrors the Spark spelling
     // (parallel unnests zip positionally in DuckDB)

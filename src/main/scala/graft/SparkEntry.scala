@@ -729,6 +729,32 @@ object SparkEntry {
         maxDf = 100L, minCos = 0.3)
     }),
 
+    // int8 scalar quantization (SQ8) — the embedding-compression path
+    // every vector index at corpus scale runs (4x storage cut before
+    // the PQ/IVF machinery of s3-s5): per-vector symmetric scale
+    // max|v|/127, code = floor(v*127/vmax + 0.5) (floor(x+0.5) is
+    // identical IEEE in both engines; round() is not), and the
+    // reconstruction-error census in exact integer nano-units —
+    // per-element floor quantization, BIGINT fold, integer-div mean.
+    // Pure narrow transform, no shuffle at any corpus size.
+    "s10_sq8_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(size(col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding"),
+          greatest(abs(expr("cast(array_max(embedding) as double)")),
+            abs(expr("cast(array_min(embedding) as double)"))).as("vmax"))
+        .filter(col("vmax") > 0)
+        .withColumn("codes",
+          expr("transform(embedding, v -> " +
+            "cast(floor(cast(v as double) * 127.0 / vmax + 0.5) as int))"))
+        .select(col("vec_id"),
+          floor(col("vmax") * lit(1e6)).as("vmax_mu"),
+          size(col("codes")).as("n_dims"),
+          expr("aggregate(zip_with(embedding, codes, (v, c) -> " +
+            "cast(floor(abs(cast(v as double) - c * vmax / 127.0) * 1e9) " +
+            "as bigint)), 0L, (acc, x) -> acc + x)").as("sum_err_nano"))
+        .withColumn("mean_err_nano", expr("sum_err_nano div n_dims"))),
+
     // SemDeDup (Abbas et al. 2023): nearest-cell assignment against
     // broadcast coarse cells, within-cell cosine prune at 0.45 (this
     // corpus's planted near-dup level, cf. d5), min-id kept — the
