@@ -437,6 +437,36 @@ private[graft] object OracleQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    // recall@5 of the s2 LSH shape against the s1 exact shape — both
+    // CTE families reused verbatim at k = 5; integer-ratio recall
+    "q54_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 10),
+         |exs AS (SELECT q_id, e.vec_id,
+         |  ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rn FROM exs) WHERE rn <= 5),
+         |qb AS (SELECT q_id, q_emb,
+         |  unnest(${OracleSql.sketchBandKeyList("q_emb")}) AS bkey FROM q),
+         |cb AS (SELECT vec_id, embedding,
+         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
+         |  FROM embeddings),
+         |cand AS (SELECT DISTINCT q_id, q_emb, cb.vec_id, cb.embedding
+         |  FROM cb JOIN qb ON cb.bkey = qb.bkey AND cb.vec_id != qb.q_id),
+         |aps AS (SELECT q_id, vec_id,
+         |  ${OracleSql.cos6("q_emb", "embedding")} AS sim FROM cand),
+         |ap AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rn FROM aps) WHERE rn <= 5),
+         |hits AS (SELECT ap.q_id, count(*) AS c
+         |  FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+         |  GROUP BY ap.q_id)
+         |SELECT q.q_id, coalesce(CAST(hits.c AS BIGINT), 0) AS n_hit,
+         |  (1000000 * coalesce(CAST(hits.c AS BIGINT), 0)) // 5
+         |    AS recall_mu
+         |FROM q LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin,
     // SQ8: floor(x+0.5) code rounding and floor-nano error terms —
     // identical IEEE ops in both engines; the fold is exact BIGINT
     "s10_sq8_quantize" ->

@@ -729,6 +729,29 @@ object SparkEntry {
         maxDf = 100L, minCos = 0.3)
     }),
 
+    // ANN recall@5 eval — the quality metric every approximate index
+    // deployment tracks: per query, how many of the sign-LSH top-5
+    // (s2's shape) appear in the exact brute-force top-5 (s1's
+    // shape). Both sides are deterministic (sim desc, id tiebreak),
+    // the overlap is an equi-join on unique (q, id) pairs, and recall
+    // is integer micro-units (count ratio — the q29 tie class). At
+    // scale the eval runs on a sampled query set exactly like this
+    // broadcast one; the corpus-side cost is the two operators'.
+    "q54_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = SimilarityOps.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = SimilarityOps.lshTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("q_id"), col("vec_id"))
+      val hits = approx.join(exact, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("__h"))
+      q.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("__h"), lit(0L)).as("n_hit"))
+        .withColumn("recall_mu", expr("(1000000 * n_hit) div 5"))
+    }),
+
     // int8 scalar quantization (SQ8) — the embedding-compression path
     // every vector index at corpus scale runs (4x storage cut before
     // the PQ/IVF machinery of s3-s5): per-vector symmetric scale
