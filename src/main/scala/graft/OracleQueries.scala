@@ -1314,6 +1314,20 @@ private[graft] object OracleQueries {
          |  CAST(sum(CAST(len($sqlToks) AS DECIMAL(18,0))) AS DOUBLE)
          |    / count(*) AS avg_tokens
          |FROM documents GROUP BY source""".stripMargin,
+    // 1-based inclusive list_slice == Spark slice(arr, start, len)
+    // with end clamping on both engines; md5-of-joined is t4's spelling
+    "t15_chunk_windows" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) - 1) // 24 + 1)) AS chunk_idx
+         |  FROM tk WHERE len(toks) >= 1),
+         |w AS (SELECT doc_id, chunk_idx,
+         |    list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)
+         |      AS chunk
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, len(chunk) AS chunk_len,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM w""".stripMargin,
     // integer-exact α-mix: sqrt quantized to micro-units per source,
     // exact integer normalizer, one integer division per rate
     "t14_mix_rebalance" ->

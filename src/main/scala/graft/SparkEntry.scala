@@ -1233,6 +1233,26 @@ object SparkEntry {
           (sum(size(cleanTokens).cast("decimal(18,0)")).cast("double") /
             count(lit(1))).as("avg_tokens"))),
 
+    // overlapping token-window chunking — the splitting step every
+    // training/RAG pipeline runs before packing (t8 packs whole docs;
+    // real corpora need long docs cut to model context first):
+    // 32-token windows at stride 24 (8-token overlap so no boundary
+    // n-gram is lost), chunk count = floor((n-1)/stride)+1 per doc.
+    // Pure narrow explode — one corpus pass, no shuffle; the chunk
+    // fingerprint (md5 of the joined window, t4's spelling) feeds
+    // span-level dedup downstream.
+    "t15_chunk_windows" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, (size(toks) - 1) div 24)")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("slice(toks, chunk_idx * 24 + 1, 32)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))),
+
     // α-temperature source-mix rebalancing (CorpusOps.alphaMixSample):
     // a 25% budget split across sources ∝ sqrt(n_s) — small sources
     // upweighted, the Gopher/LLaMA sub-linear mixing shape — with
