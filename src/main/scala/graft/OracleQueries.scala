@@ -1328,6 +1328,19 @@ private[graft] object OracleQueries {
          |SELECT doc_id, chunk_idx, len(chunk) AS chunk_len,
          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM w""".stripMargin,
+    // t15's window spelling + one fingerprint-keyed agg
+    "d15_chunk_dups" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) - 1) // 24 + 1)) AS ci
+         |  FROM tk WHERE len(toks) >= 1),
+         |f AS (SELECT doc_id,
+         |    md5(array_to_string(
+         |      list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')) AS chunk_fp
+         |  FROM c)
+         |SELECT chunk_fp, count(*) AS n_occ,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
+         |FROM f GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     // integer-exact α-mix: sqrt quantized to micro-units per source,
     // exact integer normalizer, one integer division per rate
     "t14_mix_rebalance" ->

@@ -1253,6 +1253,30 @@ object SparkEntry {
           size(col("chunk")).as("chunk_len"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))),
 
+    // cross-document duplicated-chunk detection over the t15 windows
+    // (the exact-substring dedup readout at window granularity, Lee
+    // et al. 2022): chunk fingerprints shared by 2+ DOCUMENTS, with
+    // occurrence census and the min-doc keeper — repeated boilerplate
+    // windows surface here even when whole documents differ. One
+    // keyed agg on the fingerprint (map-side partials); the heavy
+    // tail (unique fps, the vast majority) dies in the partial
+    // aggregate before the shuffle.
+    "d15_chunk_dups" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, (size(toks) - 1) div 24)")).as("ci"),
+          col("toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", expr("slice(toks, ci * 24 + 1, 32)")))
+            .as("chunk_fp"))
+        .groupBy(col("chunk_fp"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper_doc"))
+        .filter(col("n_docs") >= 2)),
+
     // α-temperature source-mix rebalancing (CorpusOps.alphaMixSample):
     // a 25% budget split across sources ∝ sqrt(n_s) — small sources
     // upweighted, the Gopher/LLaMA sub-linear mixing shape — with
