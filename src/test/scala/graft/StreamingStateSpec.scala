@@ -119,6 +119,38 @@ class StreamingStateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.table("mh_dedup_out").columns.toSet == Set("ts", "text"))
   }
 
+  test("streaming chunk dedup suppresses repeated windows, passes fresh ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = StreamPipeline.chunkDedupStream(
+      input.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("chunk_dedup_out")
+      .outputMode("append").start()
+
+    // short docs (< 24 tokens) are exactly one chunk each; the second
+    // doc repeats the first's window verbatim, the third is fresh
+    val boiler = "subscribe to our newsletter for updates and offers"
+    input.addData(
+      (ts(1), boiler),
+      (ts(2), boiler),
+      (ts(3), "a completely different document about spark engines"))
+    q.processAllAvailable()
+    input.addData((ts(4), boiler)) // still within horizon → suppressed
+    q.processAllAvailable()
+    q.stop()
+
+    val fps = spark.table("chunk_dedup_out").select("chunk_fp").collect()
+      .map(_.getString(0))
+    assert(fps.length == 2, s"expected 2 first-occurrence chunks, got ${fps.length}")
+    assert(fps.distinct.length == 2)
+    // the surviving chunks are the two distinct windows
+    val chunks = spark.table("chunk_dedup_out").select("chunk").collect()
+      .map(_.getSeq[String](0).mkString(" "))
+    assert(chunks.count(_.contains("newsletter")) == 1)
+    assert(chunks.count(_.contains("spark")) == 1)
+  }
+
   test("stream-stream join matches purchases within the click horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
