@@ -1328,6 +1328,25 @@ private[graft] object OracleQueries {
          |SELECT doc_id, chunk_idx, len(chunk) AS chunk_len,
          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM w""".stripMargin,
+    // t15's windows + t8's greedy cumulative packer at 128 tokens
+    "t16_chunk_pack" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, (len(toks) - 1) // 24 + 1)) AS chunk_idx
+         |  FROM tk WHERE len(toks) >= 1),
+         |l AS (SELECT doc_id, chunk_idx,
+         |    len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+         |      AS chunk_len,
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 32 AS bucket
+         |  FROM c),
+         |m AS (SELECT doc_id, chunk_idx, bucket, chunk_len,
+         |    sum(chunk_len) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM l)
+         |SELECT doc_id, chunk_idx, bucket, chunk_len,
+         |  CAST(floor((cum - chunk_len) / 128.0) AS BIGINT) AS seq_id
+         |FROM m""".stripMargin,
     // t15's window spelling + one fingerprint-keyed agg
     "d15_chunk_dups" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),

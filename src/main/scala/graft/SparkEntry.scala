@@ -1253,6 +1253,32 @@ object SparkEntry {
           size(col("chunk")).as("chunk_len"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))),
 
+    // chunk-sequence packing — t8's greedy packer at CHUNK granularity
+    // (what a trainer actually consumes: t15 windows assembled into
+    // fixed 128-token sequences): chunks keep document order inside a
+    // doc-keyed hash bucket, cumulative length assigns each chunk its
+    // sequence id. Window is per-bucket (32 bounded partitions of the
+    // corpus — at real scale bucket count rises with cluster size,
+    // same note as t8), everything else narrow.
+    "t16_chunk_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, (size(toks) - 1) div 24)")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(expr("slice(toks, chunk_idx * 24 + 1, 32)")).as("chunk_len"),
+          pmod(DedupOps.md5Hash32(col("doc_id").cast("string")), lit(32))
+            .as("bucket"))
+        .withColumn("cum", sum(col("chunk_len")).over(w))
+        .select(col("doc_id"), col("chunk_idx"), col("bucket"),
+          col("chunk_len"),
+          floor((col("cum") - col("chunk_len")) / 128).as("seq_id"))
+    }),
+
     // cross-document duplicated-chunk detection over the t15 windows
     // (the exact-substring dedup readout at window granularity, Lee
     // et al. 2022): chunk fingerprints shared by 2+ DOCUMENTS, with
