@@ -437,6 +437,21 @@ private[graft] object OracleQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    // s1's broadcast-anchor shape with a different-label predicate
+    "s11_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS a_id, label AS a_label,
+         |    embedding AS a_emb
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT a_id, e.vec_id,
+         |    ${OracleSql.cos6("a_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN a
+         |    ON e.vec_id != a.a_id AND e.label != a.a_label)
+         |SELECT a_id, vec_id, sim, rn FROM (
+         |  SELECT a_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY a_id
+         |      ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
     // recall@5 of the s2 LSH shape against the s1 exact shape — both
     // CTE families reused verbatim at k = 5; integer-ratio recall
     "q54_ann_recall" ->

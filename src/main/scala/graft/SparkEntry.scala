@@ -729,6 +729,26 @@ object SparkEntry {
         maxDf = 100L, minCos = 0.3)
     }),
 
+    // hard-negative mining — the contrastive-training pair generator:
+    // per anchor, the top-3 MOST SIMILAR vectors with a DIFFERENT
+    // label (easy negatives are useless; the near-boundary ones carry
+    // the gradient signal). s1's broadcast-anchor shape with a label
+    // predicate in the join; deterministic top-k (sim desc, id).
+    "s11_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb")))
+      val scored = e.join(anchors,
+          col("vec_id") =!= col("a_id") && col("label") =!= col("a_label"))
+        .select(col("a_id"), col("vec_id"),
+          round(SimilarityOps.cosine(col("a_emb"), col("embedding")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    }),
+
     // ANN recall@5 eval — the quality metric every approximate index
     // deployment tracks: per query, how many of the sign-LSH top-5
     // (s2's shape) appear in the exact brute-force top-5 (s1's
