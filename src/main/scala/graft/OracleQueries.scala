@@ -439,12 +439,14 @@ private[graft] object OracleQueries {
          |WHERE rn <= 3""".stripMargin,
     // s1's broadcast-anchor shape with a different-label predicate
     "s11_hard_negatives" ->
-      s"""WITH a AS (SELECT vec_id AS a_id, label AS a_label,
+      s"""WITH nz AS (SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE ${OracleSql.dot("embedding", "embedding")} > 0),
+         |a AS (SELECT vec_id AS a_id, label AS a_label,
          |    embedding AS a_emb
-         |  FROM embeddings WHERE vec_id < 10),
+         |  FROM nz WHERE vec_id < 10),
          |scored AS (SELECT a_id, e.vec_id,
          |    ${OracleSql.cos6("a_emb", "e.embedding")} AS sim
-         |  FROM embeddings e JOIN a
+         |  FROM nz e JOIN a
          |    ON e.vec_id != a.a_id AND e.label != a.a_label)
          |SELECT a_id, vec_id, sim, rn FROM (
          |  SELECT a_id, vec_id, sim,
@@ -1329,29 +1331,21 @@ private[graft] object OracleQueries {
          |  CAST(sum(CAST(len($sqlToks) AS DECIMAL(18,0))) AS DOUBLE)
          |    / count(*) AS avg_tokens
          |FROM documents GROUP BY source""".stripMargin,
-    // 1-based inclusive list_slice == Spark slice(arr, start, len)
-    // with end clamping on both engines; md5-of-joined is t4's spelling
+    // chunk CTEs/slice/fp generated from the shared TextOps constants
+    // (one spelling, two dialects — the minhashKeysCte discipline)
     "t15_chunk_windows" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |c AS (SELECT doc_id, toks,
-         |    unnest(range(0, (len(toks) - 1) // 24 + 1)) AS chunk_idx
-         |  FROM tk WHERE len(toks) >= 1),
+      s"""WITH ${OracleSql.chunkCte(sqlToks, "chunk_idx")},
          |w AS (SELECT doc_id, chunk_idx,
-         |    list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)
-         |      AS chunk
+         |    ${OracleSql.chunkSliceSql("chunk_idx")} AS chunk
          |  FROM c)
          |SELECT doc_id, chunk_idx, len(chunk) AS chunk_len,
          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM w""".stripMargin,
     // t15's windows + t8's greedy cumulative packer at 128 tokens
     "t16_chunk_pack" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |c AS (SELECT doc_id, toks,
-         |    unnest(range(0, (len(toks) - 1) // 24 + 1)) AS chunk_idx
-         |  FROM tk WHERE len(toks) >= 1),
+      s"""WITH ${OracleSql.chunkCte(sqlToks, "chunk_idx")},
          |l AS (SELECT doc_id, chunk_idx,
-         |    len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
-         |      AS chunk_len,
+         |    len(${OracleSql.chunkSliceSql("chunk_idx")}) AS chunk_len,
          |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 32 AS bucket
          |  FROM c),
          |m AS (SELECT doc_id, chunk_idx, bucket, chunk_len,
@@ -1364,13 +1358,8 @@ private[graft] object OracleQueries {
          |FROM m""".stripMargin,
     // t15's window spelling + one fingerprint-keyed agg
     "d15_chunk_dups" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |c AS (SELECT doc_id, toks,
-         |    unnest(range(0, (len(toks) - 1) // 24 + 1)) AS ci
-         |  FROM tk WHERE len(toks) >= 1),
-         |f AS (SELECT doc_id,
-         |    md5(array_to_string(
-         |      list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')) AS chunk_fp
+      s"""WITH ${OracleSql.chunkCte(sqlToks, "ci")},
+         |f AS (SELECT doc_id, ${OracleSql.chunkFpSql("ci")} AS chunk_fp
          |  FROM c)
          |SELECT chunk_fp, count(*) AS n_occ,
          |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc

@@ -69,6 +69,31 @@ object OracleSql {
     (0 until PlaneBandsCount).map(sketchBandKey(embCol, _))
       .mkString("[", ", ", "]")
 
+  /** Token-window chunking twins (t15/t16/d15), generated from the
+    * same [[graft.functions.TextOps.ChunkSize]]/`ChunkStride`
+    * constants the Spark spelling uses. `toksSql` is the tokenizer
+    * expression; yields CTEs `tk` (doc_id, toks) and `c` (doc_id,
+    * toks, <ciName>). */
+  def chunkCte(toksSql: String, ciName: String): String = {
+    val stride = graft.functions.TextOps.ChunkStride
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |    unnest(range(0, (len(toks) - 1) // $stride + 1)) AS $ciName
+       |  FROM tk WHERE len(toks) >= 1)""".stripMargin
+  }
+
+  /** 1-based inclusive window slice == Spark slice(toks, start, len)
+    * with end clamping on both engines. */
+  def chunkSliceSql(ciName: String): String = {
+    val (size, stride) = (graft.functions.TextOps.ChunkSize,
+      graft.functions.TextOps.ChunkStride)
+    s"list_slice(toks, $ciName * $stride + 1, $ciName * $stride + $size)"
+  }
+
+  /** md5-of-joined-window fingerprint (t4's spelling). */
+  def chunkFpSql(ciName: String): String =
+    s"md5(array_to_string(${chunkSliceSql(ciName)}, ' '))"
+
   /** 60-bit SimHash over a token-hash list column `hs` (tf-weighted:
     * the token list keeps duplicates). */
   val simhashFromHs: String = {

@@ -735,15 +735,17 @@ object SparkEntry {
     // the gradient signal). s1's broadcast-anchor shape with a label
     // predicate in the join; deterministic top-k (sim desc, id).
     "s11_hard_negatives" -> ((s, dir) => {
+      // zero-norm guards on BOTH sides (the s7/s8 lesson: 0/0 is NULL
+      // in Spark but NaN in DuckDB, and NaN sorts FIRST under desc)
       val e = t(s, dir, "embeddings")
+        .filter(SimilarityOps.dotD(col("embedding"), col("embedding")) > 0)
       val anchors = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("a_id"), col("label").as("a_label"),
           col("embedding").as("a_emb")))
       val scored = e.join(anchors,
           col("vec_id") =!= col("a_id") && col("label") =!= col("a_label"))
         .select(col("a_id"), col("vec_id"),
-          round(SimilarityOps.cosine(col("a_emb"), col("embedding")), 6)
-            .as("sim"))
+          SimilarityOps.cosine6(col("a_emb"), col("embedding")).as("sim"))
       val w = Window.partitionBy(col("a_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
@@ -793,9 +795,13 @@ object SparkEntry {
         .select(col("vec_id"),
           floor(col("vmax") * lit(1e6)).as("vmax_mu"),
           size(col("codes")).as("n_dims"),
+          // coalesce per element: a NULL array element would NULL the
+          // whole Spark fold while DuckDB's list_sum SKIPS nulls —
+          // treating it as 0 matches the oracle's skip semantics
           expr("aggregate(zip_with(embedding, codes, (v, c) -> " +
             "cast(floor(abs(cast(v as double) - c * vmax / 127.0) * 1e9) " +
-            "as bigint)), 0L, (acc, x) -> acc + x)").as("sum_err_nano"))
+            "as bigint)), 0L, (acc, x) -> acc + coalesce(x, 0L))")
+            .as("sum_err_nano"))
         .withColumn("mean_err_nano", expr("sum_err_nano div n_dims"))),
 
     // SemDeDup (Abbas et al. 2023): nearest-cell assignment against
@@ -1266,12 +1272,12 @@ object SparkEntry {
         .select(col("doc_id"), cleanTokens.as("toks"))
         .filter(size(col("toks")) >= 1)
         .select(col("doc_id"), col("toks"),
-          explode(expr("sequence(0, (size(toks) - 1) div 24)")).as("chunk_idx"))
+          explode(TextOps.chunkIndices("toks")).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"),
-          expr("slice(toks, chunk_idx * 24 + 1, 32)").as("chunk"))
+          TextOps.chunkSlice("toks", "chunk_idx").as("chunk"))
         .select(col("doc_id"), col("chunk_idx"),
           size(col("chunk")).as("chunk_len"),
-          md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))),
+          TextOps.chunkFingerprint(col("chunk")).as("chunk_fp"))),
 
     // chunk-sequence packing — t8's greedy packer at CHUNK granularity
     // (what a trainer actually consumes: t15 windows assembled into
@@ -1288,9 +1294,9 @@ object SparkEntry {
         .select(col("doc_id"), cleanTokens.as("toks"))
         .filter(size(col("toks")) >= 1)
         .select(col("doc_id"), col("toks"),
-          explode(expr("sequence(0, (size(toks) - 1) div 24)")).as("chunk_idx"))
+          explode(TextOps.chunkIndices("toks")).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"),
-          size(expr("slice(toks, chunk_idx * 24 + 1, 32)")).as("chunk_len"),
+          size(TextOps.chunkSlice("toks", "chunk_idx")).as("chunk_len"),
           pmod(DedupOps.md5Hash32(col("doc_id").cast("string")), lit(32))
             .as("bucket"))
         .withColumn("cum", sum(col("chunk_len")).over(w))
@@ -1312,10 +1318,10 @@ object SparkEntry {
         .select(col("doc_id"), cleanTokens.as("toks"))
         .filter(size(col("toks")) >= 1)
         .select(col("doc_id"),
-          explode(expr("sequence(0, (size(toks) - 1) div 24)")).as("ci"),
+          explode(TextOps.chunkIndices("toks")).as("ci"),
           col("toks"))
         .select(col("doc_id"),
-          md5(concat_ws(" ", expr("slice(toks, ci * 24 + 1, 32)")))
+          TextOps.chunkFingerprint(TextOps.chunkSlice("toks", "ci"))
             .as("chunk_fp"))
         .groupBy(col("chunk_fp"))
         .agg(count(lit(1)).as("n_occ"),

@@ -59,4 +59,33 @@ object TextOps {
   /** Whether the stop set contains a (lowercased) word — driver-side. */
   def isStopWord(w: String): Boolean =
     stopWordsLower.contains(w.toLowerCase(java.util.Locale.UK))
+
+  // ---- token-window chunking (t15/t16/d15 + chunkDedupStream) ------
+  // ONE spelling shared by every batch query and the streaming twin
+  // (the d14/d4 lesson: parity guaranteed by copy-paste is parity
+  // until the first isolated edit). The DuckDB twin is generated from
+  // the same constants in OracleSql.chunkWindowSql.
+
+  /** Tokens per chunk window. */
+  val ChunkSize: Int = 32
+
+  /** Window stride (ChunkSize - stride tokens of overlap). */
+  val ChunkStride: Int = 24
+
+  /** 0-based chunk indices for a token-array column (by name):
+    * floor((n-1)/stride)+1 windows; callers pre-filter size >= 1. */
+  def chunkIndices(toksName: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"sequence(0, (size($toksName) - 1) div $ChunkStride)")
+
+  /** The ci-th window of a token array (1-based slice, end-clamped —
+    * matches DuckDB's inclusive list_slice). */
+  def chunkSlice(toksName: String, ciName: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"slice($toksName, $ciName * $ChunkStride + 1, $ChunkSize)")
+
+  /** Chunk fingerprint: md5 of the space-joined window (t4's doc
+    * fingerprint spelling at window granularity). */
+  def chunkFingerprint(chunk: Column): Column =
+    md5(concat_ws(" ", chunk))
 }

@@ -502,27 +502,36 @@ object StreamPipeline {
       } finally release()
     }
 
-  /** Streaming twin of the d15 duplicated-chunk census: the arriving
-    * document stream is exploded into t15's overlapping 32-token
-    * windows (stride 24) and only FIRST-OCCURRENCE chunks within the
-    * watermark horizon pass — repeated boilerplate windows are
-    * suppressed at ingestion, before they ever reach a training-data
-    * store. State is one fingerprint key per surviving chunk inside
-    * the horizon (bounded by watermark eviction); the window spelling
-    * is byte-identical to t15/d15, so a batch-built duplicate-chunk
-    * census and this stream agree on what counts as a repeat. */
+  /** Streaming sibling of the d15 duplicated-chunk census: the
+    * arriving document stream is exploded into t15's overlapping
+    * token windows ([[graft.functions.TextOps.ChunkSize]]/
+    * [[graft.functions.TextOps.ChunkStride]] — the SAME shared
+    * spelling, so the fingerprints agree by construction) and only
+    * FIRST-OCCURRENCE chunks within the watermark horizon pass —
+    * repeated boilerplate windows are suppressed at ingestion, before
+    * they ever reach a training-data store. State is one fingerprint
+    * key per surviving chunk inside the horizon (watermark-evicted).
+    *
+    * Repeat criterion differs from d15 deliberately: this stream
+    * dedupes at OCCURRENCE level (a window repeated within one
+    * document is also suppressed), while the d15 census reports
+    * fingerprints shared by 2+ DISTINCT documents — an ingestion
+    * filter wants every repeat gone; a governance census wants
+    * cross-document contamination specifically. */
   def chunkDedupStream(df: DataFrame, textCol: String, tsCol: String,
-                       watermark: String): DataFrame =
+                       watermark: String): DataFrame = {
+    import graft.functions.TextOps
     df.select(col(tsCol).cast("timestamp").as(tsCol),
-        graft.functions.TextOps.cleanTokens(col(textCol)).as("__toks"))
+        TextOps.cleanTokens(col(textCol)).as("__toks"))
       .withWatermark(tsCol, watermark)
       .filter(size(col("__toks")) >= 1)
       .select(col(tsCol), col("__toks"),
-        explode(expr("sequence(0, (size(__toks) - 1) div 24)")).as("__ci"))
+        explode(TextOps.chunkIndices("__toks")).as("__ci"))
       .select(col(tsCol),
-        expr("slice(__toks, __ci * 24 + 1, 32)").as("chunk"))
-      .withColumn("chunk_fp", md5(concat_ws(" ", col("chunk"))))
+        TextOps.chunkSlice("__toks", "__ci").as("chunk"))
+      .withColumn("chunk_fp", TextOps.chunkFingerprint(col("chunk")))
       .dropDuplicatesWithinWatermark("chunk_fp")
+  }
 
   def minhashDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                                   watermark: String): DataFrame = {
