@@ -1257,20 +1257,26 @@ private[graft] object OracleQueries {
     "m12_confusion" ->
       s"""WITH $langConfusionCte
          |SELECT lang, pred_lang, n FROM cm""".stripMargin,
-    // integer-div micro-unit ratios, mirroring the Spark spelling
+    // integer-div micro-unit ratios, mirroring the Spark spelling.
+    // Every output column is cast back to BIGINT: DuckDB's sum(BIGINT)
+    // promotes to HUGEINT and would otherwise propagate through the //
+    // divisions — value-identical to the engine but hashed differently
+    // by the type-sensitive driver (the r5 red-row root cause).
     "m13_prf" ->
       s"""WITH $langConfusionCte,
-         |act AS (SELECT lang, sum(n) AS n_actual FROM cm GROUP BY lang),
-         |prd AS (SELECT pred_lang AS lang, sum(n) AS n_pred
+         |act AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_actual
+         |  FROM cm GROUP BY lang),
+         |prd AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS n_pred
          |  FROM cm GROUP BY pred_lang),
          |tp AS (SELECT lang, n AS tp FROM cm WHERE lang = pred_lang)
          |SELECT act.lang, coalesce(tp.tp, 0) AS tp, act.n_actual,
          |  coalesce(prd.n_pred, 0) AS n_pred,
-         |  (1000000 * coalesce(tp.tp, 0))
-         |    // nullif(coalesce(prd.n_pred, 0), 0) AS precision_u,
-         |  (1000000 * coalesce(tp.tp, 0)) // act.n_actual AS recall_u,
-         |  (2000000 * coalesce(tp.tp, 0))
-         |    // (coalesce(prd.n_pred, 0) + act.n_actual) AS f1_u
+         |  CAST((1000000 * coalesce(tp.tp, 0))
+         |    // nullif(coalesce(prd.n_pred, 0), 0) AS BIGINT) AS precision_u,
+         |  CAST((1000000 * coalesce(tp.tp, 0))
+         |    // act.n_actual AS BIGINT) AS recall_u,
+         |  CAST((2000000 * coalesce(tp.tp, 0))
+         |    // (coalesce(prd.n_pred, 0) + act.n_actual) AS BIGINT) AS f1_u
          |FROM act LEFT JOIN tp ON act.lang = tp.lang
          |LEFT JOIN prd ON act.lang = prd.lang""".stripMargin,
     "p7_prep_pipeline" ->
@@ -1375,8 +1381,8 @@ private[graft] object OracleQueries {
          |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nt,
          |    CAST(sum(w_mu) AS BIGINT) AS w_sum FROM w),
          |rates AS (SELECT source, n_s,
-         |    least(1000000, (CAST(nt // 4 AS HUGEINT) * w_mu * 1000000)
-         |      // (CAST(w_sum AS HUGEINT) * n_s)) AS rate_mu
+         |    CAST(least(1000000, (CAST(nt // 4 AS HUGEINT) * w_mu * 1000000)
+         |      // (CAST(w_sum AS HUGEINT) * n_s)) AS BIGINT) AS rate_mu
          |  FROM w CROSS JOIN tot),
          |samp AS (SELECT d.source, count(*) AS c
          |  FROM documents d JOIN rates r ON d.source = r.source
