@@ -219,6 +219,11 @@ object GraphOps {
       // persist in Tungsten binary form — no Row decode/encode per
       // round. The last iteration stays lazy so callers compose
       // (top-k, joins) without an extra pass.
+      // (Round-6 measurement: truncating only every OTHER round — fewer
+      // materialization jobs, 2-round lazy nests — measured no faster
+      // (and slightly slower) at sf0.1 under an identical harness: the
+      // nested round's extra exchanges cancel the saved job
+      // submissions. Per-round truncation stands.)
       pr = if (i == iters) next else {
         val (p, release) = org.apache.spark.sql.graftbridge.DatasetBridge
           .materializedHashPartitioned(next, Seq("node"))

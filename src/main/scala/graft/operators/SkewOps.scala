@@ -35,6 +35,15 @@ object SkewOps {
         .cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // Pin the shuffle-hash strategy: left to its own stats, AQE elects
+    // to BROADCAST the saltFactor-x replicated side (measured at sf0.1:
+    // the whole 8x-replicated table built into one driver-side hash
+    // relation) — which silently un-salts the join (a broadcast join
+    // has no reducer skew to spread) and at the operator's documented
+    // scale (small side too big to broadcast) would OOM the driver.
+    // The hint keeps the (key, salt)-keyed exchange on both sides with
+    // a per-partition hash build — no sort, no broadcast.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 }

@@ -87,6 +87,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(executed("d5_embed_neardup").contains("ReusedExchange"))
   }
 
+  test("q22 salted join keeps the shuffled-hash strategy end to end") {
+    // the regression this pins (round 6): left to stats, AQE elected to
+    // BROADCAST the saltFactor-x replicated small side — which un-salts
+    // the join (a broadcast join has no reducer skew to spread) and at
+    // the operator's documented scale would collect the whole
+    // replicated table onto the driver. The hint must survive into the
+    // executed plan as a ShuffledHashJoin with no broadcast anywhere.
+    val plan = executed("q22_salted_join")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join lost its shuffled-hash pin:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "AQE broadcast the replicated side — the salt is moot")
+  }
+
   test("t14 census plan touches the corpus exactly once (rates are driver-side)") {
     // the regression this pins: deriving the rate table as a dependent
     // DataFrame re-derived the counts subtree under each consumer and
