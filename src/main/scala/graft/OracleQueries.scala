@@ -20,6 +20,51 @@ private[graft] object OracleQueries {
 
   private def sqlQuote(w: String): String = "'" + w.replace("'", "''") + "'"
 
+  /** Unrolled DuckDB twin of [[graft.operators.CorpusOps.bpeFit]]:
+    * words0 is the word-frequency table with each word's characters
+    * individually wrapped in chr(31); each round k counts adjacent
+    * symbol pairs (parallel unnests zip positionally), takes the
+    * argmax merge (count DESC, l, r), and rewrites via the
+    * wrapped-literal replace() — the same leftmost-non-overlapping
+    * semantics as Spark's replace. MATERIALIZED pins keep DuckDB from
+    * inlining the doubly-referenced CTEs (words_{k-1} feeds both p_k
+    * and words_k; inlined, the chain would re-derive 2^k base scans).
+    * Every sum() is cast straight back to BIGINT (the HUGEINT lint). */
+  private def bpeFitSql(n: Int): String = {
+    val sb = new StringBuilder
+    // non-interpolated literal: '\1' must reach DuckDB as a backref
+    sb.append(
+      """WITH words0 AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |    regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS ws
+        |  FROM (SELECT unnest(""".stripMargin)
+    sb.append(sqlToks)
+    sb.append(") AS w FROM documents)\n  GROUP BY w)")
+    for (k <- 1 to n) sb.append(
+      s""",
+         |p$k AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(syms[1:len(syms) - 1]) AS l,
+         |      unnest(syms[2:len(syms)]) AS r
+         |    FROM (SELECT freq, list_transform(string_split(ws, chr(31) || chr(31)),
+         |        x -> trim(x, chr(31))) AS syms FROM words${k - 1}))
+         |  GROUP BY l, r),
+         |m$k AS MATERIALIZED (
+         |  SELECT CAST($k AS BIGINT) AS merge_rank, l AS lsym, r AS rsym, cnt
+         |  FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |words$k AS MATERIALIZED (
+         |  SELECT freq, replace(ws,
+         |      chr(31) || lsym || chr(31) || chr(31) || rsym || chr(31),
+         |      chr(31) || lsym || rsym || chr(31)) AS ws
+         |  FROM words${k - 1} CROSS JOIN m$k)""".stripMargin)
+    sb.append("\n")
+    sb.append((1 to n)
+      .map(k => s"SELECT merge_rank, lsym, rsym, cnt FROM m$k")
+      .mkString(" UNION ALL "))
+    sb.toString
+  }
+
   /** DuckDB WITH-prefix shared by the m7/m10 oracles: the feature CTE
     * `d` plus the 3 unrolled gradient-descent steps ending in `w3` —
     * the same DECIMAL-exact, 6-dp-sigmoid arithmetic as
@@ -1257,6 +1302,10 @@ private[graft] object OracleQueries {
     "m12_confusion" ->
       s"""WITH $langConfusionCte
          |SELECT lang, pred_lang, n FROM cm""".stripMargin,
+    // real BPE fit: 8 unrolled greedy merge rounds (CTE chain built by
+    // bpeFitSql below), mirroring CorpusOps.bpeFit's wrapped-symbol
+    // string encoding and leftmost-non-overlapping replace()
+    "m14_bpe_fit" -> bpeFitSql(8),
     // integer-div micro-unit ratios, mirroring the Spark spelling.
     // Every output column is cast back to BIGINT: DuckDB's sum(BIGINT)
     // promotes to HUGEINT and would otherwise propagate through the //

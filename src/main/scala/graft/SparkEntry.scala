@@ -526,6 +526,13 @@ object SparkEntry {
     // (the q29 lesson), and integer arithmetic is engine-stable by
     // construction. F1 spelled 2·tp div (n_pred + n_actual) since
     // n_pred + n_actual = 2·tp + fp + fn.
+    // real BPE vocabulary fit: 8 greedy pair merges over the corpus
+    // word frequencies (t5 counts merge CANDIDATES; this trains the
+    // merge table itself — the m7 LR-refit loop applied to tokenization)
+    "m14_bpe_fit" -> ((s, dir) =>
+      graft.operators.CorpusOps.bpeFit(
+        t(s, dir, "documents"), cleanTokens, nMerges = 8)),
+
     "m13_prf" -> ((s, dir) => {
       // cm feeds three consumers (act/prd/tp) on DIFFERENT keys, so
       // exchange reuse cannot cover them — persist the <=25-row

@@ -343,4 +343,80 @@ object CorpusOps {
         coalesce(col("__c"), lit(0L)).as("n_sampled"))
     (sampled, census)
   }
+
+  /** Byte-pair-encoding vocabulary fit — the real iterative merge
+    * training (Sennrich et al., ACL 2016), not the merge-candidate
+    * count `t5_bpe_tokens` reports: `nMerges` rounds of (count
+    * adjacent symbol pairs weighted by word frequency) → (merge the
+    * most frequent pair, leftmost-first non-overlapping) over the
+    * whole corpus. Returns the learned merge table
+    * (merge_rank, lsym, rsym, cnt), nMerges rows.
+    *
+    * 100 TB shape: the corpus is touched ONCE — the word-frequency
+    * aggregation (map-side partials, Zipf-bounded output) — and every
+    * merge round runs on that vocabulary-sized table: one pair-count
+    * keyed agg, one 1-row driver argmax (the m7 LR-refit / k-means
+    * centroid loop pattern), one narrow rewrite. No round shuffles
+    * raw corpus rows.
+    *
+    * Engine-stable merge semantics: each word's symbol sequence is
+    * encoded as a string of individually WRAPPED symbols
+    * (` s ` concatenated), so one merge pass is a literal
+    * string replace of `⟨l⟩⟨r⟩` with `⟨lr⟩` — and replace() in both
+    * Spark (UTF8String) and DuckDB scans left-to-right resuming AFTER
+    * each replacement, which is exactly BPE's leftmost-first
+    * non-overlapping rule ("aaaa" + merge (a,a) → [aa][aa], never
+    * [aa][a][a]). Wrapping each symbol in its OWN delimiter pair is
+    * what makes adjacent matches share no characters (a single shared
+    * separator would break the second of two adjacent merges).
+    * Pair counts are exact Long sums; the argmax tie-break is
+    * (count DESC, lsym, rsym) on both engines. Tokens containing the
+    * U+001F wrapper are dropped defensively (the clean+tokenize chain
+    * can never produce one).
+    */
+  def bpeFit(docs: DataFrame, tokens: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val Sep = "\u001f"
+    val base = docs
+      .select(explode(tokens).as("w"))
+      .filter(!col("w").contains(Sep))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var words = base
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to nMerges if !exhausted) {
+      // pairs of adjacent symbols, weighted by word frequency; the
+      // round's winner is a 1-row TakeOrderedAndProject collect
+      val top = words
+        .select(col("freq"),
+          transform(split(col("ws"), Sep + Sep),
+            x => translate(x, Sep, "")).as("syms"))
+        .select(col("freq"), col("syms"),
+          posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)))
+        .select(col("freq"), col("col").as("l"),
+          element_at(col("syms"), col("pos") + 2).as("r"))
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // no adjacent pairs left anywhere
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k.toLong, l, r, c))
+        words = words.withColumn("ws",
+          replace(col("ws"), lit(Sep + l + Sep + Sep + r + Sep),
+            lit(Sep + l + r + Sep)))
+      }
+    }
+    base.unpersist(blocking = false)
+    merges.toSeq.toDF("merge_rank", "lsym", "rsym", "cnt")
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps
+import graft.operators.CorpusOps
+
+/** Specs for the iterative BPE vocabulary fit (m14). The hand-computed
+  * pins below are engine-independent facts about greedy BPE, so they
+  * hold for the DuckDB oracle twin by construction. */
+class BpeFitSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def fit(texts: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    CorpusOps.bpeFit(texts.toDF("text"), TextOps.cleanTokens(col("text")), n)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+  }
+
+  test("merges are leftmost-first NON-overlapping within a pass") {
+    // one doc, tokens [aaaa, aaaa]: round 1 counts (a,a) 3x per word;
+    // the rewrite must produce [aa][aa] (non-overlap), NOT [aa][a][a] —
+    // which round 2 exposes: (aa,aa) exists only under the correct
+    // rewrite ((aa,a)/(a,a) would win under the overlap bug)
+    val got = fit(Seq("aaaa aaaa"), 2)
+    assert(got == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
+  }
+
+  test("count ties break lexicographically on (lsym, rsym)") {
+    // (c,d) and (a,b) both count 1 → (a,b) must win rank 1
+    val got = fit(Seq("cd ab"), 1)
+    assert(got == Seq((1L, "a", "b", 1L)))
+  }
+
+  test("merged symbols cascade into later rounds") {
+    // "abab" x3 words: r1 (a,b) cnt 6 → words become [ab][ab];
+    // r2 (ab,ab) cnt 3; r3 merges across the doc's second token "ab"
+    // with nothing left — rounds stop early and return 2 rows
+    val got = fit(Seq("abab abab abab"), 3)
+    assert(got.take(2) == Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 3L)))
+    // after [abab] every word is a single symbol: no pairs remain, the
+    // fit returns fewer rows than requested instead of failing
+    assert(got.size == 2)
+  }
+
+  test("merge counts are non-increasing (greedy argmax invariant)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = CorpusOps.bpeFit(docs, TextOps.cleanTokens(col("text")), 8)
+      .orderBy("merge_rank").collect().map(_.getLong(3)).toSeq
+    assert(got.size == 8)
+    assert(got.zip(got.tail).forall { case (a, b) => a >= b },
+      s"counts increased across rounds: $got")
+  }
+
+  test("fit is deterministic across runs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run() = CorpusOps.bpeFit(docs, TextOps.cleanTokens(col("text")), 6)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+}
