@@ -2,7 +2,8 @@ package graft
 
 import graft.functions.TextOps
 import graft.operators.DetParams
-import SparkEntry.{FixtureDir, LrFitCols}
+import SparkEntry.FixtureDir
+import QuerySupport.LrFitCols
 
 /** The DuckDB oracle twin of every [[SparkEntry.queries]] entry —
   * moved wholesale out of SparkEntry (it had grown past 2,600 lines)
@@ -70,7 +71,7 @@ private[graft] object OracleQueries {
     * the same DECIMAL-exact, 6-dp-sigmoid arithmetic as
     * [[CorpusOps.logisticFitWeights]]. */
   private lazy val lrFitCtePrefix: String = {
-    val fs = SparkEntry.LrFitCols
+    val fs = QuerySupport.LrFitCols
     def step(i: Int): String = {
       val p = s"p$i"
       val z = fs.map(f => s"$p.w_$f * d.$f").mkString(" + ")

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.{LangMarkers, SparkEntry}
+import graft.QuerySupport._
+import graft.functions.TextOps
+import graft.operators.{CorpusOps, DedupOps, DetParams, GraphOps, SimilarityOps, SketchOps}
+
+/** Similarity search / ANN family over the embeddings table: brute-force, LSH, IVF, PQ, IVF-PQ, TF-IDF pairs, SemDeDup, cross-corpus join, centroids, SQ8, hard negatives, recall eval.
+  *
+  * Split from [[graft.SparkEntry]] (round 6, hygiene item): entry
+  * bodies are byte-identical to the pre-split map; QueryRegistrySpec
+  * proves family disjointness and exact oracle key coverage.
+  */
+private[graft] object SimilarityQueries {
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // == similarity search over embeddings ==
+
+    // brute-force exact cosine top-5 for a broadcast query set
+    "s1_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+
+    // sign-LSH bucketed ANN top-3 (the scale path)
+    "s2_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+    }),
+
+
+    // cross-corpus ANN JOIN: both sides large (even vs odd split of
+    // the embedding table standing in for crawl-vs-training-set), no
+    // broadcast — band-keyed shuffle join + bounded-state top-k
+    "s8_ann_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.lshJoinTopK(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", 3)
+    }),
+
+
+    // embedding-space governance: pairwise cosine between per-label
+    // centroids (classes-separable / sources-drift-together readout,
+    // d12's embedding twin). Engine-stable by construction: each
+    // float is quantized ONCE via floor-micro-units (pure IEEE ops —
+    // the q29 pattern; FLOAT->DECIMAL casts are a dialect trap, Spark
+    // goes through the shortest decimal repr where DuckDB keeps the
+    // exact binary value), the per-dim centroid is an integer-div
+    // mean of exact BIGINT sums (div truncation parity with // is
+    // m13's), and all dots/norms are then exact integer arithmetic —
+    // one irrational sqrt/round at the very end (the safe one-shot
+    // class). Plan: posexplode (narrow) -> one keyed agg to a
+    // |labels|x|dims| table (640 rows here, tiny at ANY corpus size)
+    // -> self-join on dim over that tiny table. The only full-data
+    // pass is the map-side-partial agg; cmu is bounded 1e6 by
+    // construction so nothing overflows at any corpus size.
+    "s9_centroid_sim" -> ((s, dir) => {
+      val cent = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          floor(col("v").cast("double") * lit(1e6)).as("vu"))
+        .groupBy(col("label"), col("dim"))
+        .agg(expr("sum(vu) div count(1)").as("cmu"))
+        .persist()
+      val nrm = cent.groupBy(col("label"))
+        .agg(sum(col("cmu") * col("cmu")).as("nrm2"))
+        .filter(col("nrm2") > 0)
+      cent.as("a")
+        .join(cent.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.cmu") * col("b.cmu")).as("dot"))
+        .join(nrm.as("x"), col("label_a") === col("x.label"))
+        .join(nrm.as("y"), col("label_b") === col("y.label"))
+        .select(col("label_a"), col("label_b"),
+          round(col("dot") / (sqrt(col("x.nrm2")) * sqrt(col("y.nrm2"))), 6)
+            .as("cos_sim"))
+    }),
+
+
+    // IVF-bucketed ANN top-3 (coarse quantizer + probed cells)
+    "s3_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        numCentroids = 16, probes = 2, k = 3)
+    }),
+
+
+    // product-quantization ANN top-3: 4 subspaces x 16-centroid
+    // codebooks (corpus-prefix codebook, like s3's quantizer),
+    // asymmetric distance over the code table
+    "s4_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.pqTopK(
+        e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", subspaces = 4, k = 3)
+    }),
+
+
+    // IVF-PQ composition: coarse cells (full distance = sum of
+    // subspace distances) + ADC over codes, probed cells only
+    "s5_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopK(
+        e, e.filter(col("vec_id") < 10), e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", subspaces = 4, probes = 2, k = 3)
+    }),
+
+
+    // sparse-vector similarity: TF-IDF cosine pairs through an
+    // inverted-index join (CorpusOps.tfidfCosinePairs) — documents
+    // meet only through shared terms, Σ df² bounded by the maxDf
+    // vocabulary cut, never all-pairs. Word-BIGRAM vocabulary (the
+    // unigram vocab of the synthetic corpus is 31 terms — too coarse
+    // to discriminate); sequence() is guarded because Spark's
+    // sequence(1, 0) DESCENDS where DuckDB's range(1, 1) is empty.
+    "s6_tfidf_pairs" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents").select(col("doc_id"), cleanTokens.as("toks"))
+      val bigrams = when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i]))"))
+        .otherwise(array().cast("array<string>"))
+      CorpusOps.tfidfCosinePairs(d0, "doc_id", bigrams,
+        maxDf = 100L, minCos = 0.3)
+    }),
+
+
+    // hard-negative mining — the contrastive-training pair generator:
+    // per anchor, the top-3 MOST SIMILAR vectors with a DIFFERENT
+    // label (easy negatives are useless; the near-boundary ones carry
+    // the gradient signal). s1's broadcast-anchor shape with a label
+    // predicate in the join; deterministic top-k (sim desc, id).
+    "s11_hard_negatives" -> ((s, dir) => {
+      // zero-norm guards on BOTH sides (the s7/s8 lesson: 0/0 is NULL
+      // in Spark but NaN in DuckDB, and NaN sorts FIRST under desc)
+      val e = t(s, dir, "embeddings")
+        .filter(SimilarityOps.dotD(col("embedding"), col("embedding")) > 0)
+      val anchors = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb")))
+      val scored = e.join(anchors,
+          col("vec_id") =!= col("a_id") && col("label") =!= col("a_label"))
+        .select(col("a_id"), col("vec_id"),
+          SimilarityOps.cosine6(col("a_emb"), col("embedding")).as("sim"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    }),
+
+
+    // ANN recall@5 eval — the quality metric every approximate index
+    // deployment tracks: per query, how many of the sign-LSH top-5
+    // (s2's shape) appear in the exact brute-force top-5 (s1's
+    // shape). Both sides are deterministic (sim desc, id tiebreak),
+    // the overlap is an equi-join on unique (q, id) pairs, and recall
+    // is integer micro-units (count ratio — the q29 tie class). At
+    // scale the eval runs on a sampled query set exactly like this
+    // broadcast one; the corpus-side cost is the two operators'.
+    "q54_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = SimilarityOps.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = SimilarityOps.lshTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("q_id"), col("vec_id"))
+      val hits = approx.join(exact, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("__h"))
+      q.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("__h"), lit(0L)).as("n_hit"))
+        .withColumn("recall_mu", expr("(1000000 * n_hit) div 5"))
+    }),
+
+
+    // int8 scalar quantization (SQ8) — the embedding-compression path
+    // every vector index at corpus scale runs (4x storage cut before
+    // the PQ/IVF machinery of s3-s5): per-vector symmetric scale
+    // max|v|/127, code = floor(v*127/vmax + 0.5) (floor(x+0.5) is
+    // identical IEEE in both engines; round() is not), and the
+    // reconstruction-error census in exact integer nano-units —
+    // per-element floor quantization, BIGINT fold, integer-div mean.
+    // Pure narrow transform, no shuffle at any corpus size.
+    "s10_sq8_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(size(col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding"),
+          greatest(abs(expr("cast(array_max(embedding) as double)")),
+            abs(expr("cast(array_min(embedding) as double)"))).as("vmax"))
+        .filter(col("vmax") > 0)
+        .withColumn("codes",
+          expr("transform(embedding, v -> " +
+            "cast(floor(cast(v as double) * 127.0 / vmax + 0.5) as int))"))
+        .select(col("vec_id"),
+          floor(col("vmax") * lit(1e6)).as("vmax_mu"),
+          size(col("codes")).as("n_dims"),
+          // coalesce per element: a NULL array element would NULL the
+          // whole Spark fold while DuckDB's list_sum SKIPS nulls —
+          // treating it as 0 matches the oracle's skip semantics
+          expr("aggregate(zip_with(embedding, codes, (v, c) -> " +
+            "cast(floor(abs(cast(v as double) - c * vmax / 127.0) * 1e9) " +
+            "as bigint)), 0L, (acc, x) -> acc + coalesce(x, 0L))")
+            .as("sum_err_nano"))
+        .withColumn("mean_err_nano", expr("sum_err_nano div n_dims"))),
+
+
+    // SemDeDup (Abbas et al. 2023): nearest-cell assignment against
+    // broadcast coarse cells, within-cell cosine prune at 0.45 (this
+    // corpus's planted near-dup level, cf. d5), min-id kept — the
+    // cell bound is the explicit capacity/recall trade that keeps the
+    // pair stream finite at corpus scale
+    "s7_semantic_dedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCentroids = 16, minCos = 0.45))
+  )
+}

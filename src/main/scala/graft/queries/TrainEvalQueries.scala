@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.{LangMarkers, SparkEntry}
+import graft.QuerySupport._
+import graft.functions.TextOps
+import graft.operators.{CorpusOps, DedupOps, DetParams, GraphOps, SimilarityOps, SketchOps}
+
+/** Train/eval suite: vocab, LR fit, NB fit, χ² keywords, AUC, calibration, confusion, P/R/F1, BPE merge training.
+  *
+  * Split from [[graft.SparkEntry]] (round 6, hygiene item): entry
+  * bodies are byte-identical to the pre-split map; QueryRegistrySpec
+  * proves family disjointness and exact oracle key coverage.
+  */
+private[graft] object TrainEvalQueries {
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // evaluation: confusion matrix of the t3 language-ID heuristic
+    // against the labeled lang column — one keyed aggregate over the
+    // (actual, predicted) pairs; the per-class quality readout every
+    // classifier eval starts with (m10/m11's categorical sibling)
+    "m12_confusion" -> ((s, dir) => langConfusion(s, dir)),
+
+
+    // per-class precision / recall / F1 from the m12 matrix, as
+    // BIGINT micro-units via integer div — ratios of integer counts
+    // are exactly the tie-prone quantity float round(x, 6) mishandles
+    // (the q29 lesson), and integer arithmetic is engine-stable by
+    // construction. F1 spelled 2·tp div (n_pred + n_actual) since
+    // n_pred + n_actual = 2·tp + fp + fn.
+    // real BPE vocabulary fit: 8 greedy pair merges over the corpus
+    // word frequencies (t5 counts merge CANDIDATES; this trains the
+    // merge table itself — the m7 LR-refit loop applied to tokenization)
+    "m14_bpe_fit" -> ((s, dir) =>
+      graft.operators.CorpusOps.bpeFit(
+        t(s, dir, "documents"), cleanTokens, nMerges = 8)),
+
+
+    "m13_prf" -> ((s, dir) => {
+      // cm feeds three consumers (act/prd/tp) on DIFFERENT keys, so
+      // exchange reuse cannot cover them — persist the <=25-row
+      // matrix instead of tokenizing the corpus three times (the
+      // harness clearCache()s between queries; library callers hold
+      // the d4-style release discipline)
+      val cm = langConfusion(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val act = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_actual"))
+      val prd = cm.groupBy(col("pred_lang")).agg(sum(col("n")).as("n_pred"))
+      val tp = cm.filter(col("lang") === col("pred_lang"))
+        .select(col("lang"), col("n").as("tp"))
+      act
+        .join(tp, Seq("lang"), "left_outer")
+        .join(prd.withColumnRenamed("pred_lang", "lang"), Seq("lang"), "left_outer")
+        .select(col("lang"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          col("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          expr("(1000000 * coalesce(tp, 0L)) div nullif(coalesce(n_pred, 0L), 0)")
+            .as("precision_u"),
+          expr("(1000000 * coalesce(tp, 0L)) div n_actual").as("recall_u"),
+          expr("(2000000 * coalesce(tp, 0L)) div (coalesce(n_pred, 0L) + n_actual)")
+            .as("f1_u"))
+    }),
+
+
+    // corpus vocabulary + idf (training-side CountVectorizer/IDF twin)
+    "m6_vocab" -> ((s, dir) =>
+      CorpusOps.vocabularyWithIdf(
+        t(s, dir, "documents"), "doc_id", cleanTokens, limit = 500)),
+
+
+    // distributed re-fit of the reference's LogisticRegression stage
+    // (full-batch gradient descent, 3 steps at lr 0.5; quality
+    // features -> is-English target). One map-reduce pass per step;
+    // only k gradient cells reach the driver. Deterministic to the
+    // bit across engines and cluster sizes (see logisticFitWeights).
+    "m7_lr_fit" -> ((s, dir) => {
+      val w = CorpusOps.logisticFitWeights(
+        lrFitFeatures(s, dir), "y", LrFitCols, iters = 3, lr = 0.5)
+      import s.implicits._
+      Seq(("bias", w(0)), ("x1", w(1)), ("x2", w(2)), ("x3", w(3)))
+        .toDF("feature", "weight")
+    }),
+
+
+    // exact ROC-AUC of the m7-fit classifier WITHOUT a global row
+    // sort: scores quantize to 6 dp, so the rank pass runs over the
+    // score HISTOGRAM — distinct scores are bounded by quantization
+    // (≤ 1e6 + 1 rows) at ANY corpus size, so the ordered window here
+    // is a bounded constant, not an unpartitioned-window scale hazard.
+    // AUC = P(score₊ > score₋) + P(tie)/2 via the Mann–Whitney U
+    // statistic; the numerator stays integer (2·U) until one final
+    // division, so the value is bit-deterministic across engines and
+    // cluster sizes.
+    "m10_auc" -> ((s, dir) => {
+      val feats = lrFitFeatures(s, dir)
+      val w = CorpusOps.logisticFitWeights(feats, "y", LrFitCols,
+        iters = 3, lr = 0.5)
+      val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+        .reduceLeft(_ + _)
+      val hist = feats
+        .select(col("y"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+        .groupBy(col("p"))
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val cum = Window.orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cumneg", sum(col("nn")).over(cum) - col("nn"))
+        .agg(sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("u2"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+        .select((col("u2") / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
+          col("n_pos"), col("n_neg"))
+    }),
+
+
+    // multinomial Naive Bayes fit over the token stream (class =
+    // lang): add-one-smoothed conditionals + class priors, top-10
+    // terms per class. All key-partitioned aggs with map-side
+    // combine; class totals fold from the (class, term) counts.
+    "m8_nb_fit" -> ((s, dir) =>
+      CorpusOps.naiveBayesModel(
+        t(s, dir, "documents"), "lang", cleanTokens, topK = 10)),
+
+
+    // class-indicative keywords (χ² feature selection over the doc-
+    // frequency contingency table): for each (lang, term) with support
+    // ≥ 5, the χ² statistic of term-presence vs class, top 5 terms per
+    // class. All four contingency cells derive from three key-
+    // partitioned aggregations (term×class, term, class) plus a 1-row
+    // doc total riding a broadcast — nothing is ever per-pair. The
+    // per-class top-k is a class-keyed window, and χ² is rounded to
+    // 6 dp before the ordering so the selection is engine-stable.
+    "m9_chi2_keywords" -> ((s, dir) => {
+      // the lang-key join pushes isnotnull(lang) into ITS copy of the
+      // token scan; filtering here puts the same predicate on every
+      // consumer, so the (lang, term) exchange stays canonically equal
+      // across the tt branch and the join branch and AQE reuses it
+      // (one tokenize pass instead of two)
+      val d = t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang"), array_distinct(cleanTokens).as("toks"))
+      val pres = d.select(col("lang"), explode(col("toks")).as("w"))
+      val tc = pres.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("a"))
+      val tt = tc.groupBy(col("w")).agg(sum(col("a")).as("t"))
+      val ct = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val nn = d.agg(count(lit(1)).as("n"))
+      // dev = a*d - b*c of the 2x2 table, spelled identically in the
+      // oracle: double * long products, left-assoc
+      val dev = col("a").cast("double") *
+          (col("n") - col("c") - col("t") + col("a")) -
+        (col("c") - col("a")).cast("double") * (col("t") - col("a"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("chi2").desc, col("w"))
+      tc.filter(col("a") >= 5)
+        .join(tt, "w").join(broadcast(ct), "lang").crossJoin(broadcast(nn))
+        // a term present in EVERY doc has a degenerate 2x2 table
+        // (n - t = 0 → 0/0): drop it, identically in the oracle
+        .filter(col("t") < col("n"))
+        .select(col("lang"), col("w"), col("a"),
+          round(col("n").cast("double") * dev * dev /
+            (col("c").cast("double") * (col("n") - col("c")) *
+              col("t") * (col("n") - col("t"))), 6).as("chi2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("w"), col("a"), col("chi2"))
+    }),
+
+
+    // calibration curve (reliability diagram) of the m7-fit
+    // classifier: bucket predictions by percent, compare mean predicted
+    // probability to the observed positive rate. One key-partitioned
+    // aggregate over the scored stream; DECIMAL sums keep the means
+    // order-free. The eval twin of m10's discrimination measure.
+    "m11_calibration" -> ((s, dir) => {
+      val feats = lrFitFeatures(s, dir)
+      val w = CorpusOps.logisticFitWeights(feats, "y", LrFitCols,
+        iters = 3, lr = 0.5)
+      val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+        .reduceLeft(_ + _)
+      feats
+        .select(col("y"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+        .withColumn("bucket",
+          least(floor(col("p") * 100).cast("long"), lit(99L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("p").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_pred"),
+          (sum(col("y").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("pos_rate"))
+    })
+  )
+}
