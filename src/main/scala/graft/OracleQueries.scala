@@ -1457,6 +1457,72 @@ private[graft] object OracleQueries {
         |UNION ALL
         |SELECT event_type, 'intersect_all' AS op FROM (
         |  SELECT event_type FROM events WHERE user_id % 2 = 0
-        |  INTERSECT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)""".stripMargin
+        |  INTERSECT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)""".stripMargin,
+    // 5-NN majority-vote classifier accuracy per class. Neighbor order
+    // (sim desc, vec_id) and vote tie-break (cnt desc, label) mirror
+    // the Spark spelling; sums CAST to BIGINT (never HUGEINT out).
+    "m15_knn_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    label AS true_label FROM embeddings WHERE vec_id % 5 = 0),
+         |scored AS (SELECT q_id, e.vec_id, e.label,
+         |    ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id),
+         |nn AS (SELECT q_id, label FROM (SELECT q_id, label,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |votes AS (SELECT q_id, label, count(*) AS cnt FROM nn GROUP BY 1, 2),
+         |pred AS (SELECT q_id, label AS pred_label FROM (SELECT q_id, label,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cnt DESC, label) AS vr FROM votes) WHERE vr = 1)
+         |SELECT true_label, count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  (1000000 * CAST(sum(CASE WHEN pred_label = true_label
+         |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS acc_mu
+         |FROM pred JOIN q USING (q_id) GROUP BY true_label""".stripMargin,
+    // held-out bigram LM (fit on src0–src9, score all) + per-lang
+    // tercile banding from the milli-nat histogram. logp quantizes to
+    // DECIMAL(18,6) (t10 recipe); everything after is BIGINT.
+    "t17_heldout_lm" -> {
+      val trainSrc = (0 to 9).map(i => s"'src$i'").mkString("(", ", ", ")")
+      s"""WITH d AS (SELECT doc_id, lang, source IN $trainSrc AS is_train,
+         |    toks FROM (SELECT doc_id, lang, source, $sqlToks AS toks
+         |    FROM documents) WHERE len(toks) >= 2),
+         |bb AS (SELECT doc_id, lang, is_train, b.p AS p, b.w AS w FROM
+         |  (SELECT doc_id, lang, is_train,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> {'p': toks[i], 'w': toks[i+1]})) AS b FROM d)),
+         |c2 AS (SELECT p, w, count(*) AS c2 FROM bb WHERE is_train
+         |  GROUP BY 1, 2),
+         |c1 AS (SELECT p, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY p),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |  (SELECT unnest($sqlToks) AS w FROM documents
+         |   WHERE source IN $trainSrc)),
+         |sc AS (SELECT doc_id, lang,
+         |    CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+         |      / (coalesce(c1.c1, 0) + v.v)), 6) AS DECIMAL(18,6)) AS logp
+         |  FROM bb LEFT JOIN c2 USING (p, w) LEFT JOIN c1 USING (p)
+         |  CROSS JOIN v),
+         |doc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+         |    CAST(-sum(CAST(logp * 1000000 AS BIGINT)) AS BIGINT) AS nl_sum
+         |  FROM sc GROUP BY 1, 2),
+         |doc2 AS (SELECT doc_id, lang, n_bigrams,
+         |    nl_sum // n_bigrams AS nlp_mu,
+         |    (nl_sum // n_bigrams) // 1000 AS score_m FROM doc),
+         |hist AS (SELECT lang, score_m, count(*) AS cnt FROM doc2
+         |  GROUP BY 1, 2),
+         |cum AS (SELECT lang, score_m,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY score_m) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS n FROM hist),
+         |cut AS (SELECT lang,
+         |    min(CASE WHEN cum * 3 >= n THEN score_m END) AS cut1,
+         |    min(CASE WHEN cum * 3 >= 2 * n THEN score_m END) AS cut2
+         |  FROM cum GROUP BY lang)
+         |SELECT doc_id, lang, n_bigrams, nlp_mu,
+         |  1 + CAST(score_m > cut1 AS INT) + CAST(score_m > cut2 AS INT)
+         |    AS band
+         |FROM doc2 JOIN cut USING (lang)""".stripMargin
+    }
   )
 }

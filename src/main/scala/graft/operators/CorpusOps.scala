@@ -93,6 +93,89 @@ object CorpusOps {
         (col("sl").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
 
+  /** Held-out bigram-LM quality banding (the CCNet recipe proper:
+    * train the LM on a trusted slice, score EVERYTHING, band into
+    * head/middle/tail per language). [[bigramLmScores]] fits on the
+    * corpus it scores — fine as a fluency signal, but a self-fit
+    * model can't flag a whole contaminated source because the
+    * contamination is in the training mass; this variant fits
+    * c(p,w)/c(p,·)/|V| on `isTrain` rows only and scores every
+    * document, unseen bigrams backing off to the smoothing floor
+    * (c2=0, and c1=0 for an unseen prefix), so out-of-domain text
+    * pays its true penalty.
+    *
+    * Banding is the q52 bounded-histogram pattern, never a raw-row
+    * sort: per-doc scores quantize to milli-nat buckets (score range
+    * is physically bounded by ln|V|, so the histogram is a few
+    * thousand rows per language regardless of corpus size), tercile
+    * cutoffs come from a cumulative window over that tiny table, and
+    * each doc bands by two comparisons against its language's
+    * broadcast cutoffs.
+    *
+    * Oracle parity: probabilities quantize to DECIMAL(18,6) via
+    * `round(ln(·),6)` (the t10 recipe) and every downstream step is
+    * integer: per-doc sums are exact micro-nat BIGINTs, means are
+    * integer division (values non-negative, so trunc == floor on
+    * both engines), cutoffs are order statistics of integers.
+    * Output: (doc_id, lang, n_bigrams, nlp_mu, band) for docs with
+    * >= 2 tokens; band 1 = most fluent tercile. */
+  def heldOutLmBands(docs: DataFrame, idCol: String, langCol: String,
+                     tokens: Column, isTrain: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(idCol), col(langCol), isTrain.as("is_train"),
+        tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bb = d.select(col(idCol), col(langCol), col("is_train"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("p"),
+            element_at(col("toks"), i + 1).as("w")))).as("b"))
+      .select(col(idCol), col(langCol), col("is_train"),
+        col("b.p").as("p"), col("b.w").as("w"))
+      .filter(col("p").isNotNull && col("w").isNotNull)
+    val c2 = bb.filter(col("is_train"))
+      .groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
+    // prefix totals fold from c(p,w) — no second pass (t10's trick)
+    val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
+    // smoothing vocabulary over TRAIN docs only (incl. <2-token ones):
+    // the held-out semantics — test-only tokens are by definition
+    // unseen mass, not vocabulary
+    val v = broadcast(docs.filter(isTrain)
+      .select(explode(tokens).as("w"))
+      .agg(count_distinct(col("w")).as("v")))
+    val scored = bb
+      .join(c2, Seq("p", "w"), "left")
+      .join(c1, Seq("p"), "left")
+      .crossJoin(v)
+      .select(col(idCol), col(langCol),
+        round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+          .cast("decimal(18,6)").as("logp"))
+    // exact integer from here: micro-nat per-bigram, summed as BIGINT
+    // (logp <= 0 always since c2+1 <= c1+|V|, so the negated sum and
+    // both integer divisions stay non-negative — trunc == floor)
+    val perDoc = scored.groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum((col("logp") * lit(1000000)).cast("long"))).as("nl_sum"))
+      .select(col(idCol), col(langCol), col("n_bigrams"),
+        expr("nl_sum div n_bigrams").as("nlp_mu"))
+      .withColumn("score_m", expr("nlp_mu div 1000"))
+    val hist = perDoc.groupBy(col(langCol), col("score_m"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col(langCol)).orderBy(col("score_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col(langCol))
+    val cuts = hist
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .groupBy(col(langCol))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("score_m"))).as("cut1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score_m"))).as("cut2"))
+    perDoc.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("nlp_mu"),
+        (lit(1) + when(col("score_m") > col("cut1"), 1).otherwise(0)
+          + when(col("score_m") > col("cut2"), 1).otherwise(0)).as("band"))
+  }
+
   /** Multinomial Naive Bayes fit — class priors and add-one-smoothed
     * per-term conditional log-probabilities, the other classic
     * text-classifier training pass (sklearn MultinomialNB over the

@@ -526,4 +526,45 @@ object SimilarityOps {
       .select(col(idCol), col("cell"))
     (kept, () => { asg.unpersist(blocking = true); () })
   }
+
+  /** kNN-classifier evaluation: predict each query vector's label by
+    * majority vote over its `k` exact nearest neighbors (cosine, self
+    * excluded) and report per-class accuracy — the standard embedding
+    * -quality probe for a training-data pipeline (does the embedding
+    * space separate the label structure?).
+    *
+    * Scale shape: rides [[bruteForceTopK]] (broadcast query set, the
+    * corpus never shuffles), then everything downstream is keyed by
+    * q_id — |queries|×k rows, vanishingly small next to the corpus.
+    * The label lookup joins the k-row-per-query neighbor list back to
+    * the corpus on the vector id (hash join on the id key; at corpus
+    * scale the neighbor side is the small side and AQE broadcasts it).
+    *
+    * Determinism: neighbor set fixed by (sim desc, id) — the
+    * bruteForceTopK order — and the vote winner by (count desc,
+    * label), expressed as a min over a (−count, label) struct so it
+    * stays inside the hash aggregate (no per-query sort). Accuracy is
+    * integer micro-units: no float division reaches the output.
+    * Output: (true_label, n_queries, n_correct, acc_mu). */
+  def knnClassifyEval(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      embCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, embCol, k)
+    val votes = nn
+      .join(corpus.select(col(idCol), col(labelCol)), idCol)
+      .groupBy(col("q_id"), col(labelCol))
+      .agg(count(lit(1)).as("cnt"))
+    val pred = votes
+      .groupBy(col("q_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col(labelCol).as("l"))).as("win"))
+      .select(col("q_id"), col("win.l").as("pred_label"))
+    val truth = queries.select(col(idCol).as("q_id"),
+      col(labelCol).as("true_label"))
+    pred.join(truth, "q_id")
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("true_label"), lit(1L))
+          .otherwise(lit(0L))).as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_queries").as("acc_mu"))
+  }
 }

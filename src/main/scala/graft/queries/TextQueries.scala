@@ -267,6 +267,15 @@ private[graft] object TextQueries {
             (col("n_bi").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("bg"))
         .limit(50)
-    })
+    }),
+
+    // held-out bigram-LM quality banding (CorpusOps.heldOutLmBands):
+    // the CCNet recipe proper — fit the LM on the trusted half of the
+    // sources (src0–src9), score every document with smoothing-floor
+    // backoff for unseen bigrams, band per-lang into head/middle/tail
+    // terciles via the q52 bounded-histogram cutoff (no raw-row sort).
+    "t17_heldout_lm" -> ((s, dir) =>
+      CorpusOps.heldOutLmBands(t(s, dir, "documents"), "doc_id", "lang",
+        cleanTokens, col("source").isin((0 to 9).map("src" + _): _*)))
   )
 }

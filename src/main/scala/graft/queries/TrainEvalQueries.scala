@@ -192,6 +192,19 @@ private[graft] object TrainEvalQueries {
             count(lit(1))).as("mean_pred"),
           (sum(col("y").cast("decimal(18,6)")).cast("double") /
             count(lit(1))).as("pos_rate"))
+    }),
+
+    // kNN-classifier eval (SimilarityOps.knnClassifyEval): per-class
+    // accuracy of a majority-vote 5-NN classifier over the embedding
+    // space — the standard "does the space separate the labels" probe.
+    // Query set is a deterministic 1-in-5 sample (broadcast); the
+    // corpus never shuffles; the vote winner is a min over a
+    // (−count, label) struct so no per-query sort exists.
+    "m15_knn_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.knnClassifyEval(
+        e, e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "label", k = 5)
     })
   )
 }
