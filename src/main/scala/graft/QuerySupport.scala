@@ -17,16 +17,27 @@ private[graft] object QuerySupport {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (session-level legacy flag is
-    * set in Verify/Bench; schema-level fallback here) and convert to a
-    * microsecond TimestampType column — same truncation DuckDB applies
-    * casting TIMESTAMP_NS → TIMESTAMP. */
+  /** events.parquet's `ts` physical type has varied across driver
+    * testdata generations — TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only surfaces as long under the nanosAsLong legacy flag)
+    * through round 5, TIMESTAMP(MICROS, isAdjustedToUTC=false) from
+    * round 6 — so normalize whatever we find to a microsecond
+    * session-tz TimestampType column (the session tz is pinned UTC in
+    * Verify/Bench/specs, so the NTZ→LTZ cast is value-preserving and
+    * matches DuckDB's naive TIMESTAMP read of the same file). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    // integer div, not double: ns values overflow double's 2^53 mantissa
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long: integer div, not double — ns values overflow
+        // double's 2^53 mantissa
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   // ---- shared expressions -------------------------------------------
