@@ -31,7 +31,26 @@ private[graft] object OracleQueries {
     * inlining the doubly-referenced CTEs (words_{k-1} feeds both p_k
     * and words_k; inlined, the chain would re-derive 2^k base scans).
     * Every sum() is cast straight back to BIGINT (the HUGEINT lint). */
-  private def bpeFitSql(n: Int): String = {
+  private def bpeFitSql(n: Int): String =
+    bpeCteSql(n) + "\n" + (1 to n)
+      .map(k => s"SELECT merge_rank, lsym, rsym, cnt FROM m$k")
+      .mkString(" UNION ALL ")
+
+  /** DuckDB twin of [[graft.operators.CorpusOps.bpeEncode]]: the same
+    * unrolled fit CTE, then the encoded-vocabulary census — unnest the
+    * post-merge symbol lists of words$n and sum word frequencies per
+    * symbol. sum() cast straight back to BIGINT (the HUGEINT lint). */
+  private def bpeEncodeSql(n: Int): String =
+    bpeCteSql(n) + s"""
+SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+  SELECT freq, unnest(list_transform(string_split(ws, chr(31) || chr(31)),
+      x -> trim(x, chr(31)))) AS sym
+  FROM words$n)
+GROUP BY sym"""
+
+  /** The WITH-prefix shared by [[bpeFitSql]] and [[bpeEncodeSql]]:
+    * words0 .. words$n plus the per-round argmax CTEs m1 .. m$n. */
+  private def bpeCteSql(n: Int): String = {
     val sb = new StringBuilder
     // non-interpolated literal: '\1' must reach DuckDB as a backref
     sb.append(
@@ -59,10 +78,6 @@ private[graft] object OracleQueries {
          |      chr(31) || lsym || chr(31) || chr(31) || rsym || chr(31),
          |      chr(31) || lsym || rsym || chr(31)) AS ws
          |  FROM words${k - 1} CROSS JOIN m$k)""".stripMargin)
-    sb.append("\n")
-    sb.append((1 to n)
-      .map(k => s"SELECT merge_rank, lsym, rsym, cnt FROM m$k")
-      .mkString(" UNION ALL "))
     sb.toString
   }
 
@@ -1307,6 +1322,8 @@ private[graft] object OracleQueries {
     // bpeFitSql below), mirroring CorpusOps.bpeFit's wrapped-symbol
     // string encoding and leftmost-non-overlapping replace()
     "m14_bpe_fit" -> bpeFitSql(8),
+
+    "t18_bpe_encode" -> bpeEncodeSql(8),
     // integer-div micro-unit ratios, mirroring the Spark spelling.
     // Every output column is cast back to BIGINT: DuckDB's sum(BIGINT)
     // promotes to HUGEINT and would otherwise propagate through the //

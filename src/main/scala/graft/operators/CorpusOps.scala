@@ -460,6 +460,43 @@ object CorpusOps {
   def bpeFit(docs: DataFrame, tokens: Column, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeFitCore(docs, tokens, nMerges)._1
+      .toDF("merge_rank", "lsym", "rsym", "cnt")
+  }
+
+  /** BPE encoding census: fit `nMerges` merges (same loop as
+    * [[bpeFit]]), apply them to the whole vocabulary, and return the
+    * encoded corpus's symbol-unigram table (sym, cnt) — how much of
+    * the corpus each learned vocabulary entry covers, the standard
+    * post-fit tokenizer diagnostic (merge coverage vs residual
+    * single characters).
+    *
+    * 100 TB shape: the fit already holds the fully-ENCODED vocabulary
+    * — each round's rewrite IS the encoding step — so applying the
+    * merge table costs nothing extra: the census is one explode + one
+    * keyed agg over the vocabulary-sized table (never the corpus; the
+    * corpus is touched once, in the word-frequency agg). Output is
+    * bounded by |alphabet| + nMerges symbols.
+    */
+  def bpeEncode(docs: DataFrame, tokens: Column, nMerges: Int): DataFrame = {
+    val Sep = "\u001f"
+    bpeFitCore(docs, tokens, nMerges)._2
+      .select(col("freq"),
+        explode(transform(split(col("ws"), Sep + Sep),
+          x => translate(x, Sep, ""))).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Shared merge-training loop: returns (merge table rows, the
+    * vocabulary AFTER all won merges are applied — i.e. the encoded
+    * words `(freq, ws)`). The persisted word-frequency base is
+    * released before returning; evaluating the encoded vocabulary
+    * later recomputes one corpus scan plus nMerges narrow replaces. */
+  private def bpeFitCore(docs: DataFrame, tokens: Column, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val Sep = "\u001f"
     val base = docs
       .select(explode(tokens).as("w"))
@@ -500,6 +537,6 @@ object CorpusOps {
       }
     }
     base.unpersist(blocking = false)
-    merges.toSeq.toDF("merge_rank", "lsym", "rsym", "cnt")
+    (merges.toSeq, words)
   }
 }

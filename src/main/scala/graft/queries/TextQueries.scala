@@ -276,6 +276,15 @@ private[graft] object TextQueries {
     // terciles via the q52 bounded-histogram cutoff (no raw-row sort).
     "t17_heldout_lm" -> ((s, dir) =>
       CorpusOps.heldOutLmBands(t(s, dir, "documents"), "doc_id", "lang",
-        cleanTokens, col("source").isin((0 to 9).map("src" + _): _*)))
+        cleanTokens, col("source").isin((0 to 9).map("src" + _): _*))),
+
+    // BPE ENCODING census (CorpusOps.bpeEncode): m14 trains the merge
+    // table; t18 applies it — the encoded corpus's symbol-unigram
+    // coverage, i.e. how much corpus mass each learned vocabulary
+    // entry absorbs vs residual single characters. The fit loop's
+    // final rewrite already IS the encoded vocabulary, so the census
+    // is one explode + keyed agg on the vocab-sized table.
+    "t18_bpe_encode" -> ((s, dir) =>
+      CorpusOps.bpeEncode(t(s, dir, "documents"), cleanTokens, nMerges = 8))
   )
 }

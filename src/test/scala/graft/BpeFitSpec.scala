@@ -54,6 +54,38 @@ class BpeFitSpec extends AnyFunSuite with SparkSessionFixture {
       s"counts increased across rounds: $got")
   }
 
+  test("encode census: hand-computed example") {
+    import spark.implicits._
+    // "abab ac" x2 docs: r1 merges (a,b) cnt 4 -> words [ab][ab], [a][c];
+    // r2 TIES (ab,ab)=2 vs (a,c)=2 and the (l,r) lex tie-break picks
+    // (a,c) ("a" < "ab") -> [ab][ab], [ac]. census: ab x4, ac x2
+    val got = CorpusOps.bpeEncode(
+        Seq("abab ac", "abab ac").toDF("text"),
+        TextOps.cleanTokens(col("text")), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("ab" -> 4L, "ac" -> 2L))
+  }
+
+  test("encode census conserves characters (merges never drop mass)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextOps.cleanTokens(col("text"))
+    val totalChars = docs
+      .select(explode(toks).as("w"))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    val censusChars = CorpusOps.bpeEncode(docs, toks, 8)
+      .agg(sum(length(col("sym")) * col("cnt"))).collect()(0).getLong(0)
+    assert(censusChars == totalChars,
+      s"encoded census covers $censusChars chars, corpus has $totalChars")
+  }
+
+  test("encode with zero merges is the per-character census") {
+    import spark.implicits._
+    val got = CorpusOps.bpeEncode(
+        Seq("aab ba").toDF("text"), TextOps.cleanTokens(col("text")), 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L))
+  }
+
   test("fit is deterministic across runs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run() = CorpusOps.bpeFit(docs, TextOps.cleanTokens(col("text")), 6)
