@@ -124,6 +124,76 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(n == 1, s"census plan must scan the corpus once, got $n")
   }
 
+  test("t18 encode census plan scans the corpus exactly once") {
+    // the fit loop's 8 argmax collects run at DataFrame-construction
+    // time; the RETURNED census DAG must be one corpus scan -> word
+    // agg -> narrow replaces -> explode -> symbol agg. A second scan
+    // would mean the encode path re-derived the word table.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("t18_bpe_encode")(spark, sf)
+    df.collect()
+    def countScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countScans(a.finalPhysicalPlan)
+      case q: QueryStageExec => countScans(q.plan)
+      case _: FileSourceScanExec => 1
+      case _ => p.children.map(countScans).sum
+    }
+    val n = countScans(df.queryExecution.executedPlan)
+    assert(n == 1, s"encode census must scan the corpus once, got $n")
+  }
+
+  test("t17 windows run over the bounded histogram, never raw corpus rows") {
+    // the tercile cutoffs come from a per-(lang, score_m) HISTOGRAM
+    // aggregate; every WindowExec in the executed plan must therefore
+    // have a HashAggregate strictly below it on every input path — a
+    // window whose subtree reaches a file scan without passing an
+    // aggregate is the unbounded raw-row sort this design forbids.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("t17_heldout_lm")(spark, sf)
+    df.collect()
+    def scanWithoutAgg(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => scanWithoutAgg(a.finalPhysicalPlan)
+      case q: QueryStageExec => scanWithoutAgg(q.plan)
+      case _: BaseAggregateExec => false // aggregate bounds this path
+      case _: FileSourceScanExec => true
+      case _ => p.children.exists(scanWithoutAgg)
+    }
+    def offendingWindows(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => offendingWindows(a.finalPhysicalPlan)
+      case q: QueryStageExec => offendingWindows(q.plan)
+      case w: WindowExec =>
+        (if (scanWithoutAgg(w.child)) 1 else 0) + offendingWindows(w.child)
+      case _ => p.children.map(offendingWindows).sum
+    }
+    val n = offendingWindows(df.queryExecution.executedPlan)
+    assert(n == 0, s"$n window(s) run over raw (un-aggregated) scan rows")
+  }
+
+  test("m15 vote tie-break stays in the hash aggregate (one Window only)") {
+    // the plan's ONLY WindowExec is bruteForceTopK's per-query
+    // row_number (partitioned by q_id, per-partition bounded, gets the
+    // q34/q45 WindowGroupLimit prune). The majority vote + tie-break
+    // is min(struct(-cnt, label)) inside a hash aggregate; a SECOND
+    // window means the vote regressed to a rank-over-partition sort.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("m15_knn_eval")(spark, sf)
+    df.collect()
+    def windows(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.finalPhysicalPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case _: WindowExec => 1
+      case _ => p.children.map(windows).sum
+    }
+    val n = windows(df.queryExecution.executedPlan)
+    assert(n == 1, s"m15 plan must contain exactly the top-k WindowExec, got $n")
+  }
+
   test("q38 final PageRank round shuffles ONLY the rank-sum aggregation") {
     import org.apache.spark.sql.functions._
     // the r5 contract: edges cached clustered by src, nodes by node,
