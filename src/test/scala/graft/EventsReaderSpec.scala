@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's testdata generations have shipped events.ts as
+  * TIMESTAMP(NANOS) (rounds 1–5) and TIMESTAMP(MICROS, NTZ)
+  * (round 6); `QuerySupport.events` must normalize BOTH to the same
+  * microsecond session-tz TimestampType column. The two committed
+  * fixtures carry the same logical rows — the ns file with extra
+  * sub-microsecond digits the ns→µs truncation must drop — so the
+  * reader is correct iff the two reads are value-identical.
+  */
+class EventsReaderSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def readTs(dir: String): Seq[(Long, java.sql.Timestamp)] =
+    QuerySupport.t(spark, dir, "events")
+      .select("event_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .toSeq
+      .sortBy(_._1)
+
+  test("nanos and micros generations read to identical timestamps") {
+    val ns = readTs("fixtures/events_ns")
+    val us = readTs("fixtures/events_us")
+    assert(ns.size == 5)
+    assert(ns == us,
+      s"ns-generation read diverged from us-generation read:\n$ns\n$us")
+  }
+
+  test("normalized ts is session-tz TimestampType in both generations") {
+    import org.apache.spark.sql.types.TimestampType
+    Seq("fixtures/events_ns", "fixtures/events_us").foreach { dir =>
+      val dt = QuerySupport.t(spark, dir, "events").schema("ts").dataType
+      assert(dt == TimestampType, s"$dir read ts as $dt")
+    }
+  }
+}
