@@ -85,8 +85,14 @@ GROUP BY sym"""
     * `d` plus the 3 unrolled gradient-descent steps ending in `w3` —
     * the same DECIMAL-exact, 6-dp-sigmoid arithmetic as
     * [[CorpusOps.logisticFitWeights]]. */
-  private lazy val lrFitCtePrefix: String = {
+  /** The 3 unrolled gradient-descent steps w1$sfx..w3$sfx reading
+    * train rows from `dName` (aliased `d` when distinct) and the zero
+    * vector w0$sfx — factored so m16's per-fraction fits share the
+    * EXACT step spelling with m7/m10 (lrFitCtePrefix is this builder
+    * applied to the full `d`). */
+  private def lrFitStepsSql(dName: String, sfx: String): String = {
     val fs = QuerySupport.LrFitCols
+    val dref = if (dName == "d") "d" else s"$dName d"
     def step(i: Int): String = {
       val p = s"p$i"
       val z = fs.map(f => s"$p.w_$f * d.$f").mkString(" + ")
@@ -94,11 +100,18 @@ GROUP BY sym"""
       val ws = fs.map(f =>
         s"$p.w_$f - 0.5 * (CAST(sum(CAST($err * d.$f AS DECIMAL(28,12))) AS DOUBLE) / count(*)) AS w_$f")
         .mkString(",\n    ")
-      s"""w$i AS (SELECT
+      s"""w$i$sfx AS (SELECT
          |    $ws
-         |  FROM d CROSS JOIN w${i - 1} $p
+         |  FROM $dref CROSS JOIN w${i - 1}$sfx $p
          |  GROUP BY ${fs.map(f => s"$p.w_$f").mkString(", ")})""".stripMargin
     }
+    s"""w0$sfx AS (SELECT ${fs.map(f => s"CAST(0 AS DOUBLE) AS w_$f").mkString(", ")}),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}""".stripMargin
+  }
+
+  private lazy val lrFitCtePrefix: String =
     s"""d AS (SELECT
        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
        |    CAST(1 AS DOUBLE) AS xb,
@@ -107,10 +120,47 @@ GROUP BY sym"""
        |      / nullif(len(toks), 0), CAST(0 AS DOUBLE)) AS x2,
        |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x3
        |  FROM (SELECT $sqlToks AS toks, lang, n_chars FROM documents)),
-       |w0 AS (SELECT ${fs.map(f => s"CAST(0 AS DOUBLE) AS w_$f").mkString(", ")}),
-       |${step(1)},
-       |${step(2)},
-       |${step(3)}""".stripMargin
+       |${lrFitStepsSql("d", "")}""".stripMargin
+
+  /** m16 oracle: the split feature view d16 (features + the two md5
+    * residues), one lrFitStepsSql block per fraction over its nested
+    * train subset, and one eval-fold scoring row per fit. Counts CAST
+    * to BIGINT; BIGINT integer division stays BIGINT (the lint). */
+  private lazy val scalingCurveSql: String = {
+    val fs = QuerySupport.LrFitCols
+    def evalCte(f: Int): String = {
+      val z = fs.map(c => s"w3_$f.w_$c * d.$c").mkString(" + ")
+      s"""e$f AS (SELECT CAST($f AS BIGINT) AS frac_pct,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t$f) AS n_train,
+         |    CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(sum(CASE WHEN (CASE WHEN round(1.0 / (1.0 + exp(-($z))), 6)
+         |        >= 0.5 THEN 1.0 ELSE 0.0 END) = d.y THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct,
+         |    ${fs.map(c => s"any_value(w3_$f.w_$c) AS w_$c").mkString(", ")}
+         |  FROM d16 d CROSS JOIN w3_$f WHERE d.r = 0)""".stripMargin
+    }
+    def trainCte(f: Int): String =
+      s"""t$f AS MATERIALIZED (SELECT y, ${fs.mkString(", ")}
+         |  FROM d16 WHERE r <> 0 AND sub < $f)""".stripMargin
+    val blocks = Seq(25, 50, 100).map(f =>
+      s"${trainCte(f)},\n${lrFitStepsSql(s"t$f", s"_$f")},\n${evalCte(f)}")
+      .mkString(",\n")
+    s"""WITH d16 AS MATERIALIZED (SELECT
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+       |    CAST(1 AS DOUBLE) AS xb,
+       |    CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
+       |    coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / nullif(len(toks), 0), CAST(0 AS DOUBLE)) AS x2,
+       |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x3,
+       |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 4 AS r,
+       |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR) || ':m16'")} % 100 AS sub
+       |  FROM (SELECT $sqlToks AS toks, lang, n_chars, doc_id FROM documents)),
+       |$blocks
+       |SELECT frac_pct, n_train, n_eval, n_correct,
+       |  ${QuerySupport.LrFitCols.map(c => s"w_$c").mkString(", ")},
+       |  (1000000 * n_correct) // n_eval AS acc_mu
+       |FROM (SELECT * FROM e25 UNION ALL SELECT * FROM e50
+       |  UNION ALL SELECT * FROM e100)""".stripMargin
   }
 
   private lazy val sqlStopList: String =
@@ -1322,6 +1372,8 @@ GROUP BY sym"""
     // bpeFitSql below), mirroring CorpusOps.bpeFit's wrapped-symbol
     // string encoding and leftmost-non-overlapping replace()
     "m14_bpe_fit" -> bpeFitSql(8),
+
+    "m16_scaling_curve" -> scalingCurveSql,
 
     "t18_bpe_encode" -> bpeEncodeSql(8),
     // integer-div micro-unit ratios, mirroring the Spark spelling.

@@ -47,14 +47,29 @@ private[graft] object QuerySupport {
     * m10 AUC evaluation): is-English target, bias, scaled token count,
     * type/token ratio, scaled char count. */
   private[graft] val LrFitCols = Seq("xb", "x1", "x2", "x3")
+  /** The single LR feature projection m7/m10/m16 share (edit here and
+    * the oracle `d` CTE together). */
+  private[graft] val lrFeatureProj: Seq[Column] = Seq(
+    when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+    lit(1.0).as("xb"),
+    (size(cleanTokens).cast("double") / lit(100.0)).as("x1"),
+    coalesce(size(array_distinct(cleanTokens)).cast("double") /
+      nullif(size(cleanTokens), lit(0)), lit(0.0)).as("x2"),
+    (col("n_chars").cast("double") / lit(1000.0)).as("x3"))
+
   private[graft] def lrFitFeatures(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-      lit(1.0).as("xb"),
-      (size(cleanTokens).cast("double") / lit(100.0)).as("x1"),
-      coalesce(size(array_distinct(cleanTokens)).cast("double") /
-        nullif(size(cleanTokens), lit(0)), lit(0.0)).as("x2"),
-      (col("n_chars").cast("double") / lit(1000.0)).as("x3"))
+    t(s, dir, "documents").select(lrFeatureProj: _*)
+
+  /** m16's split view: the same features plus the two deterministic
+    * md5 residues — `r` (mod 4; 0 = held-out eval fold) and `sub`
+    * (mod 100; orders the train pool so frac-% subsamples nest). */
+  private[graft] def lrFitFeaturesSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(lrFeatureProj ++ Seq(
+      pmod(graft.operators.DedupOps.md5Hash32(col("doc_id").cast("string")),
+        lit(4)).as("r"),
+      pmod(graft.operators.DedupOps.md5Hash32(
+        concat(col("doc_id").cast("string"), lit(":m16"))),
+        lit(100)).as("sub")): _*)
 
   /** Marker-word language prediction over [[cleanTokens]] — THE
     * heuristic; the single definition t3, m12, and m13 all consume

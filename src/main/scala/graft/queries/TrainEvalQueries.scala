@@ -40,6 +40,45 @@ private[graft] object TrainEvalQueries {
         t(s, dir, "documents"), cleanTokens, nMerges = 8)),
 
 
+    // TRAINING SCALING CURVE: the data-sizing eval a training
+    // pipeline runs before committing corpus budget — fit the m7 LR
+    // on nested 25%/50%/100% deterministic subsamples of the train
+    // folds (md5-residue split: r=0 is the held-out eval fold; the
+    // sub-residue orders the pool so smaller fractions are strict
+    // subsets of larger ones), then score each fit on the SAME eval
+    // fold. Per fraction: one m7-shape fit (k gradient cells to the
+    // driver per step) + one counting agg — constant driver state,
+    // 3x the m7 cost at any corpus size, accuracy in integer
+    // micro-units.
+    "m16_scaling_curve" -> ((s, dir) => {
+      val feats = lrFitFeaturesSplit(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val evalSet = feats.filter(col("r") === 0)
+        val rows = Seq(25, 50, 100).map { frac =>
+          val train = feats.filter(col("r") =!= 0 && col("sub") < frac)
+          val w = CorpusOps.logisticFitWeights(
+            train, "y", LrFitCols, iters = 3, lr = 0.5)
+          val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+            .reduceLeft(_ + _)
+          val agg = evalSet
+            .select(col("y"),
+              when(round(lit(1.0) / (lit(1.0) + exp(-z)), 6) >= 0.5, 1.0)
+                .otherwise(0.0).as("pred"))
+            .agg(count(lit(1)).as("n_eval"),
+              sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+                .as("n_correct"))
+            .head()
+          (frac.toLong, train.count(), agg.getLong(0), agg.getLong(1),
+            w(0), w(1), w(2), w(3))
+        }
+        import s.implicits._
+        rows.toDF("frac_pct", "n_train", "n_eval", "n_correct",
+            "w_xb", "w_x1", "w_x2", "w_x3")
+          .withColumn("acc_mu", expr("(1000000 * n_correct) div n_eval"))
+      } finally { feats.unpersist(blocking = false); () }
+    }),
+
     "m13_prf" -> ((s, dir) => {
       // cm feeds three consumers (act/prd/tp) on DIFFERENT keys, so
       // exchange reuse cannot cover them — persist the <=25-row

@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 121") {
-    assert(SparkEntry.queries.size === 121)
+  test("inventory size is the declared 122") {
+    assert(SparkEntry.queries.size === 122)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
