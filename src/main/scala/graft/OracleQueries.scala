@@ -567,6 +567,44 @@ GROUP BY sym"""
          |WHERE rn <= 3""".stripMargin,
     // recall@5 of the s2 LSH shape against the s1 exact shape — both
     // CTE families reused verbatim at k = 5; integer-ratio recall
+    "s12_dim_recall" -> {
+      def block(d: Int): String = {
+        val emb = s"embedding[1:$d]"
+        s"""t$d AS (SELECT vec_id, $emb AS emb FROM embeddings
+           |  WHERE ${OracleSql.dot(emb, emb)} > 0),
+           |q$d AS (SELECT vec_id AS q_id, emb AS q_emb FROM t$d
+           |  WHERE vec_id < 10),
+           |as$d AS (SELECT q_id, e.vec_id,
+           |  ${OracleSql.cos6("q_emb", "e.emb")} AS sim
+           |  FROM t$d e JOIN q$d ON e.vec_id != q$d.q_id),
+           |a$d AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY sim DESC, vec_id) AS rn FROM as$d) WHERE rn <= 5),
+           |h$d AS (SELECT a.q_id, count(*) AS c
+           |  FROM a$d a JOIN ex ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+           |  GROUP BY a.q_id),
+           |e$d AS (SELECT CAST($d AS BIGINT) AS dim_budget, q.q_id,
+           |  coalesce(CAST(h$d.c AS BIGINT), 0) AS n_hit
+           |  FROM q LEFT JOIN h$d ON q.q_id = h$d.q_id)""".stripMargin
+      }
+      s"""WITH f AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${OracleSql.dot("embedding", "embedding")} > 0),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM f
+         |  WHERE vec_id < 10),
+         |exs AS (SELECT q_id, e.vec_id,
+         |  ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM f e JOIN q ON e.vec_id != q.q_id),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rn FROM exs) WHERE rn <= 5),
+         |${block(8)},
+         |${block(16)},
+         |${block(32)}
+         |SELECT dim_budget, q_id, n_hit, (1000000 * n_hit) // 5 AS recall_mu
+         |FROM (SELECT * FROM e8 UNION ALL SELECT * FROM e16
+         |  UNION ALL SELECT * FROM e32)""".stripMargin
+    },
+
     "q54_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |  FROM embeddings WHERE vec_id < 10),

@@ -159,6 +159,44 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // TRUNCATED-DIMENSION retrieval eval (the Matryoshka-style
+    // dimension-budget table): recall@5 of cosine top-5 computed over
+    // only the first D dims vs the full-dim exact top-5, per query
+    // and budget D in {8, 16, 32}. The tuning readout for trading
+    // index width against retrieval quality before building the
+    // s3-s5 machinery at a given dim budget. Zero-norm guards on the
+    // TRUNCATED prefix too (a nonzero vector can have an all-zero
+    // prefix — the s7/s8 NaN-sorts-first class). At scale each
+    // budget's pass is the s1 broadcast-query shape; the corpus-side
+    // cost is 3 narrow slices + the brute scans, never a cross join
+    // of budgets.
+    "s12_dim_recall" -> ((s, dir) => {
+      val e0 = t(s, dir, "embeddings")
+      val full = e0.filter(
+        SimilarityOps.dotD(col("embedding"), col("embedding")) > 0)
+      val q = full.filter(col("vec_id") < 10)
+      val exact = SimilarityOps
+        .bruteForceTopK(full, q, "vec_id", "embedding", 5)
+        .select(col("q_id"), col("vec_id"))
+      Seq(8, 16, 32).map { d =>
+        val td = e0
+          .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+          .filter(SimilarityOps.dotD(col("embedding"), col("embedding")) > 0)
+        val tq = td.filter(col("vec_id") < 10)
+        val approx = SimilarityOps
+          .bruteForceTopK(td, tq, "vec_id", "embedding", 5)
+          .select(col("q_id"), col("vec_id"))
+        val hits = approx.join(exact, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("__h"))
+        q.select(col("vec_id").as("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(d.toLong).as("dim_budget"), col("q_id"),
+            coalesce(col("__h"), lit(0L)).as("n_hit"))
+      }.reduce(_ union _)
+        .withColumn("recall_mu", expr("(1000000 * n_hit) div 5"))
+    }),
+
+
     // ANN recall@5 eval — the quality metric every approximate index
     // deployment tracks: per query, how many of the sign-LSH top-5
     // (s2's shape) appear in the exact brute-force top-5 (s1's

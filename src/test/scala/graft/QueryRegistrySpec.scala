@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 122") {
-    assert(SparkEntry.queries.size === 122)
+  test("inventory size is the declared 123") {
+    assert(SparkEntry.queries.size === 123)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
