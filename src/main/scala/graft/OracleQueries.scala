@@ -412,6 +412,39 @@ GROUP BY sym"""
       s"""${OracleSql.minhashKeysCte}
          |SELECT doc_id, $cols FROM keys""".stripMargin
     },
+    "d16_lsh_sweep" -> {
+      val cfgs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+      def block(i: Int, b: Int, r: Int): String = {
+        val branches = (0 until b)
+          .map(j => s"SELECT doc_id, $j AS band, ${OracleSql.bandKeyCfg(j, r)} AS bkey FROM sigt")
+          .mkString(" UNION ALL ")
+        s"""bd$i AS MATERIALIZED ($branches),
+           |bk$i AS MATERIALIZED (SELECT band, bkey,
+           |    CAST(count(*) AS BIGINT) AS sz
+           |  FROM bd$i GROUP BY band, bkey HAVING count(*) >= 2),
+           |e$i AS (SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  (SELECT coalesce(CAST(sum(sz * (sz - 1) // 2) AS BIGINT), 0)
+           |    FROM bk$i) AS n_cand,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bk$i) AS n_hot_buckets,
+           |  (SELECT CAST(count(DISTINCT d.doc_id) AS BIGINT)
+           |    FROM bd$i d JOIN bk$i k
+           |    ON d.band = k.band AND d.bkey = k.bkey) AS n_docs_in_hot)""".stripMargin
+      }
+      val blocks = cfgs.zipWithIndex
+        .map { case ((b, r), i) => block(i, b, r) }.mkString(",\n")
+      val union = cfgs.indices
+        .map(i => s"SELECT * FROM e$i").mkString(" UNION ALL ")
+      val sig = (0 until graft.operators.DetParams.MinhashK)
+        .map(OracleSql.sigElem).mkString("[", ", ", "]")
+      s"""WITH tg AS (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM documents),
+         |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${OracleSql.hash32("s")}) AS hs FROM tg),
+         |sigt AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM hsrc),
+         |$blocks
+         |SELECT bands, rows_per_band, n_cand, n_hot_buckets, n_docs_in_hot
+         |FROM ($union)""".stripMargin
+    },
+
     "d2b_minhash_pairs" -> {
       val branches = (0 until DetParams.MinhashBands)
         .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")

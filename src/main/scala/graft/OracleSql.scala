@@ -28,8 +28,12 @@ object OracleSql {
     s"list_min(list_transform(hs, h -> (h*${minhashA(i)} + ${minhashB(i)}) % $MinhashP))"
 
   /** Band key b over a sig (1-indexed list column `sig`). */
-  def bandKey(b: Int): String = {
-    val slots = (0 until MinhashRows).map(r => s"sig[${b * MinhashRows + r + 1}]")
+  def bandKey(b: Int): String = bandKeyCfg(b, MinhashRows)
+
+  /** [[bandKey]] generalized to `rows` slots per band (the d16
+    * banding sweep — same spelling, any (bands x rows) split). */
+  def bandKeyCfg(b: Int, rows: Int): String = {
+    val slots = (0 until rows).map(r => s"sig[${b * rows + r + 1}]")
     s"md5(concat_ws('_', $b, ${slots.mkString(", ")}))"
   }
 

@@ -77,9 +77,16 @@ object DedupOps {
   /** LSH band keys from a MinHash signature: md5 over the band index
     * and its [[DetParams.MinhashRows]] signature slots. */
   def bandKeys(sig: Column): Seq[Column] =
-    (0 until MinhashBands).map { b =>
-      val slots = (0 until MinhashRows).map(r =>
-        element_at(sig, b * MinhashRows + r + 1))
+    bandKeysCfg(sig, MinhashBands, MinhashRows)
+
+  /** [[bandKeys]] generalized to any (bands x rows) split of the
+    * signature — the d16 banding-parameter sweep evaluates several
+    * splits of the SAME signature, so the key spelling must be one
+    * definition. */
+  def bandKeysCfg(sig: Column, bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val slots = (0 until rows).map(r =>
+        element_at(sig, b * rows + r + 1))
       md5(concat_ws("_", lit(b) +: slots: _*))
     }
 

@@ -40,6 +40,49 @@ private[graft] object DedupQueries {
     }),
 
 
+    // LSH BANDING-PARAMETER SWEEP: candidate volume per (bands x
+    // rows) split of the SAME 12-slot MinHash signature — the tuning
+    // table (threshold ~ (1/b)^(1/r)) an operator reads before
+    // committing a banding config to a 100 TB dedup run. The volume
+    // is read from the band-bucket HISTOGRAM (n_cand = sum over
+    // buckets of C(size,2) — exactly the verification count the d2b
+    // join would generate), NOT from materializing pairs: evaluating
+    // a catastrophically loose config costs the same one keyed agg
+    // as a good one. ONE persisted signature pass feeds all configs;
+    // the only distinct is doc-level (bounded by the corpus, never
+    // the pair stream). Release discipline as d13/m16.
+    "d16_lsh_sweep" -> ((s, dir) => {
+      val sig = DedupOps
+        .withMinhashSignature(t(s, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
+          val banded = sig.select(col("doc_id"),
+            posexplode(array(DedupOps.bandKeysCfg(col("sig"), b, r): _*))
+              .as(Seq("band", "bkey")))
+          val buckets = banded.groupBy(col("band"), col("bkey"))
+            .agg(count(lit(1)).as("sz"))
+            .filter(col("sz") >= 2)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val volume = buckets
+              .agg(sum(expr("sz * (sz - 1) div 2")).as("n_cand"),
+                count(lit(1)).as("n_hot"))
+              .head()
+            val nDocs = banded.join(buckets, Seq("band", "bkey"))
+              .agg(count_distinct(col("doc_id"))).head().getLong(0)
+            (b.toLong, r.toLong,
+              if (volume.isNullAt(0)) 0L else volume.getLong(0),
+              volume.getLong(1), nDocs)
+          } finally { buckets.unpersist(blocking = false); () }
+        }
+        import s.implicits._
+        out.toDF("bands", "rows_per_band", "n_cand", "n_hot_buckets",
+          "n_docs_in_hot")
+      } finally { sig.unpersist(blocking = false); () }
+    }),
+
+
     // MinHash LSH candidate pairs (band bucket self-join)
     "d2b_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")),
