@@ -47,39 +47,50 @@ private[graft] object DedupQueries {
     // is read from the band-bucket HISTOGRAM (n_cand = sum over
     // buckets of C(size,2) — exactly the verification count the d2b
     // join would generate), NOT from materializing pairs: evaluating
-    // a catastrophically loose config costs the same one keyed agg
-    // as a good one. ONE persisted signature pass feeds all configs;
-    // the only distinct is doc-level (bounded by the corpus, never
-    // the pair stream). Release discipline as d13/m16.
+    // a catastrophically loose config costs the same pass as a good
+    // one. Fully declarative and SINGLE-PASS: all configs ride one
+    // exploded (cfg, band, bkey) stream off one corpus scan; bucket
+    // sizes come from a per-bucket window (state bounded by bucket
+    // size — the same bound the histogram itself has), rolled up per
+    // config with a doc-level distinct. No driver loop, no collect,
+    // one scan (PlanShapeSpec pin).
     "d16_lsh_sweep" -> ((s, dir) => {
+      val cfgs = Seq((2L, 6L), (3L, 4L), (4L, 3L), (6L, 2L))
       val sig = DedupOps
         .withMinhashSignature(t(s, dir, "documents"), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val out = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
-          val banded = sig.select(col("doc_id"),
-            posexplode(array(DedupOps.bandKeysCfg(col("sig"), b, r): _*))
-              .as(Seq("band", "bkey")))
-          val buckets = banded.groupBy(col("band"), col("bkey"))
-            .agg(count(lit(1)).as("sz"))
-            .filter(col("sz") >= 2)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val volume = buckets
-              .agg(sum(expr("sz * (sz - 1) div 2")).as("n_cand"),
-                count(lit(1)).as("n_hot"))
-              .head()
-            val nDocs = banded.join(buckets, Seq("band", "bkey"))
-              .agg(count_distinct(col("doc_id"))).head().getLong(0)
-            (b.toLong, r.toLong,
-              if (volume.isNullAt(0)) 0L else volume.getLong(0),
-              volume.getLong(1), nDocs)
-          } finally { buckets.unpersist(blocking = false); () }
-        }
-        import s.implicits._
-        out.toDF("bands", "rows_per_band", "n_cand", "n_hot_buckets",
-          "n_docs_in_hot")
-      } finally { sig.unpersist(blocking = false); () }
+      val entries = cfgs.flatMap { case (b, r) =>
+        DedupOps.bandKeysCfg(col("sig"), b.toInt, r.toInt)
+          .zipWithIndex.map { case (k, j) =>
+            struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              lit(j).as("band"), k.as("bkey"))
+          }
+      }
+      val banded = sig
+        .select(col("doc_id"), explode(array(entries: _*)).as("e"))
+        .select(col("doc_id"), col("e.bands"), col("e.rows_per_band"),
+          col("e.band"), col("e.bkey"))
+      val wb = Window.partitionBy(
+        col("bands"), col("rows_per_band"), col("band"), col("bkey"))
+      val sized = banded
+        .withColumn("sz", count(lit(1)).over(wb))
+        .withColumn("rn", row_number().over(wb.orderBy(col("doc_id"))))
+        .filter(col("sz") >= 2)
+      val swept = sized
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(
+          sum(when(col("rn") === 1, expr("sz * (sz - 1) div 2")))
+            .as("n_cand"),
+          sum(when(col("rn") === 1, 1L)).as("n_hot_buckets"),
+          count_distinct(col("doc_id")).as("n_docs_in_hot"))
+      import s.implicits._
+      // canonical config frame: a config whose every bucket is unique
+      // still emits its zero row (the oracle's per-config subselects do)
+      cfgs.toDF("bands", "rows_per_band")
+        .join(swept, Seq("bands", "rows_per_band"), "left")
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hot_buckets"), lit(0L)).as("n_hot_buckets"),
+          coalesce(col("n_docs_in_hot"), lit(0L)).as("n_docs_in_hot"))
     }),
 
 

@@ -194,6 +194,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(n == 1, s"m15 plan must contain exactly the top-k WindowExec, got $n")
   }
 
+  test("d16 sweep scans the corpus once across all four configs") {
+    // all configs ride one exploded stream; the doc-level join is
+    // pinned shuffle-hash so its banded side reuses the bucket agg's
+    // exchange instead of re-deriving the signature pass
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("d16_lsh_sweep")(spark, sf)
+    df.collect()
+    val seen = scala.collection.mutable.Set[Int]()
+    def countScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countScans(a.finalPhysicalPlan)
+      case q: QueryStageExec =>
+        if (seen.add(q.id)) countScans(q.plan) else 0
+      case _: FileSourceScanExec => 1
+      case _ => p.children.map(countScans).sum
+    }
+    val n = countScans(df.queryExecution.executedPlan)
+    assert(n == 1, s"sweep must scan the corpus once, got $n")
+  }
+
   test("q38 final PageRank round shuffles ONLY the rank-sum aggregation") {
     import org.apache.spark.sql.functions._
     // the r5 contract: edges cached clustered by src, nodes by node,
