@@ -27,7 +27,11 @@ private[graft] object OracleQueries {
     * symbol pairs (parallel unnests zip positionally), takes the
     * argmax merge (count DESC, l, r), and rewrites via the
     * wrapped-literal replace() — the same leftmost-non-overlapping
-    * semantics as Spark's replace. MATERIALIZED pins keep DuckDB from
+    * semantics as Spark's replace. The rewrite is a LEFT JOIN ON
+    * TRUE with a coalesce fallback so an EXHAUSTED round (no pairs
+    * anywhere ⇒ empty m_k) carries the vocabulary forward unchanged,
+    * matching Spark's early stop — a CROSS JOIN would empty every
+    * later words CTE and silently zero the t18 encode census. MATERIALIZED pins keep DuckDB from
     * inlining the doubly-referenced CTEs (words_{k-1} feeds both p_k
     * and words_k; inlined, the chain would re-derive 2^k base scans).
     * Every sum() is cast straight back to BIGINT (the HUGEINT lint). */
@@ -74,17 +78,13 @@ GROUP BY sym"""
          |  SELECT CAST($k AS BIGINT) AS merge_rank, l AS lsym, r AS rsym, cnt
          |  FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |words$k AS MATERIALIZED (
-         |  SELECT freq, replace(ws,
+         |  SELECT freq, coalesce(replace(ws,
          |      chr(31) || lsym || chr(31) || chr(31) || rsym || chr(31),
-         |      chr(31) || lsym || rsym || chr(31)) AS ws
-         |  FROM words${k - 1} CROSS JOIN m$k)""".stripMargin)
+         |      chr(31) || lsym || rsym || chr(31)), ws) AS ws
+         |  FROM words${k - 1} LEFT JOIN m$k ON TRUE)""".stripMargin)
     sb.toString
   }
 
-  /** DuckDB WITH-prefix shared by the m7/m10 oracles: the feature CTE
-    * `d` plus the 3 unrolled gradient-descent steps ending in `w3` —
-    * the same DECIMAL-exact, 6-dp-sigmoid arithmetic as
-    * [[CorpusOps.logisticFitWeights]]. */
   /** The 3 unrolled gradient-descent steps w1$sfx..w3$sfx reading
     * train rows from `dName` (aliased `d` when distinct) and the zero
     * vector w0$sfx — factored so m16's per-fraction fits share the
@@ -111,6 +111,10 @@ GROUP BY sym"""
        |${step(3)}""".stripMargin
   }
 
+  /** DuckDB WITH-prefix shared by the m7/m10 oracles: the feature CTE
+    * `d` plus the 3 unrolled gradient-descent steps ending in `w3` —
+    * the same DECIMAL-exact, 6-dp-sigmoid arithmetic as
+    * [[CorpusOps.logisticFitWeights]]. */
   private lazy val lrFitCtePrefix: String =
     s"""d AS (SELECT
        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
@@ -435,11 +439,7 @@ GROUP BY sym"""
         .map { case ((b, r), i) => block(i, b, r) }.mkString(",\n")
       val union = cfgs.indices
         .map(i => s"SELECT * FROM e$i").mkString(" UNION ALL ")
-      val sig = (0 until graft.operators.DetParams.MinhashK)
-        .map(OracleSql.sigElem).mkString("[", ", ", "]")
-      s"""WITH tg AS (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM documents),
-         |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${OracleSql.hash32("s")}) AS hs FROM tg),
-         |sigt AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM hsrc),
+      s"""${OracleSql.minhashSigCte(materialized = true)},
          |$blocks
          |SELECT bands, rows_per_band, n_cand, n_hot_buckets, n_docs_in_hot
          |FROM ($union)""".stripMargin
@@ -598,8 +598,9 @@ GROUP BY sym"""
          |      ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
-    // recall@5 of the s2 LSH shape against the s1 exact shape — both
-    // CTE families reused verbatim at k = 5; integer-ratio recall
+    // s12: truncated-dimension recall — per budget D, the s1 brute
+    // shape over embedding[1:D] scored against the full-dim exact
+    // top-5; zero-norm guards on both the full and truncated sides
     "s12_dim_recall" -> {
       def block(d: Int): String = {
         val emb = s"embedding[1:$d]"
@@ -638,6 +639,8 @@ GROUP BY sym"""
          |  UNION ALL SELECT * FROM e32)""".stripMargin
     },
 
+    // recall@5 of the s2 LSH shape against the s1 exact shape — both
+    // CTE families reused verbatim at k = 5; integer-ratio recall
     "q54_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |  FROM embeddings WHERE vec_id < 10),

@@ -37,14 +37,22 @@ object OracleSql {
     s"md5(concat_ws('_', $b, ${slots.mkString(", ")}))"
   }
 
-  /** Shared CTE prefix: documents → hashed trigrams → minhash sig →
-    * band-key columns b0..b{bands-1}. */
-  val minhashKeysCte: String = {
+  /** Signature CTE prefix: documents → hashed trigrams → minhash
+    * sig (the ONE spelling of the signature chain — d2/d2b consume
+    * it through [[minhashKeysCte]], d16 directly). */
+  def minhashSigCte(materialized: Boolean = false): String = {
     val sig = (0 until MinhashK).map(sigElem).mkString("[", ", ", "]")
-    val keys = (0 until MinhashBands).map(b => s"${bandKey(b)} AS b$b").mkString(", ")
+    val m = if (materialized) " MATERIALIZED" else ""
     s"""WITH tg AS (SELECT doc_id, $trigrams AS tgs FROM documents),
        |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${hash32("s")}) AS hs FROM tg),
-       |sigt AS (SELECT doc_id, $sig AS sig FROM hsrc),
+       |sigt AS$m (SELECT doc_id, $sig AS sig FROM hsrc)""".stripMargin
+  }
+
+  /** Shared CTE prefix: [[minhashSigCte]] plus the default-config
+    * band-key columns b0..b{bands-1}. */
+  val minhashKeysCte: String = {
+    val keys = (0 until MinhashBands).map(b => s"${bandKey(b)} AS b$b").mkString(", ")
+    s"""${minhashSigCte()},
        |keys AS (SELECT doc_id, $keys FROM sigt)""".stripMargin
   }
 

@@ -57,6 +57,11 @@ private[graft] object TrainEvalQueries {
         val evalSet = feats.filter(col("r") === 0)
         val rows = Seq(25, 50, 100).map { frac =>
           val train = feats.filter(col("r") =!= 0 && col("sub") < frac)
+          // fail LOUDLY on a degenerate split (the NaN-fail-loudly
+          // policy): an empty fold would NPE here and diverge from
+          // the oracle's NULL-row behavior in engine-specific ways
+          require(train.limit(1).count() > 0,
+            s"m16: empty $frac% train fraction")
           val w = CorpusOps.logisticFitWeights(
             train, "y", LrFitCols, iters = 3, lr = 0.5)
           val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
@@ -69,6 +74,7 @@ private[graft] object TrainEvalQueries {
               sum(when(col("pred") === col("y"), 1L).otherwise(0L))
                 .as("n_correct"))
             .head()
+          require(agg.getLong(0) > 0, "m16: empty eval fold")
           (frac.toLong, train.count(), agg.getLong(0), agg.getLong(1),
             w(0), w(1), w(2), w(3))
         }

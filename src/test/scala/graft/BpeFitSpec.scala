@@ -86,6 +86,18 @@ class BpeFitSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got == Map("a" -> 3L, "b" -> 2L))
   }
 
+  test("encode census survives merge exhaustion (the round-6 oracle fix)") {
+    import spark.implicits._
+    // "abab abab abab" fully merges after 2 rounds; requesting 8 must
+    // return the merged vocab census, not an empty table (the oracle
+    // twin's words chain is LEFT JOIN + coalesce for exactly this)
+    val got = CorpusOps.bpeEncode(
+        Seq("abab abab abab").toDF("text"),
+        TextOps.cleanTokens(col("text")), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("abab" -> 3L))
+  }
+
   test("fit is deterministic across runs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run() = CorpusOps.bpeFit(docs, TextOps.cleanTokens(col("text")), 6)

@@ -195,9 +195,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("d16 sweep scans the corpus once across all four configs") {
-    // all configs ride one exploded stream; the doc-level join is
-    // pinned shuffle-hash so its banded side reuses the bucket agg's
-    // exchange instead of re-deriving the signature pass
+    // all configs ride one exploded stream; bucket sizes come from a
+    // per-bucket window so the whole sweep is one scan + one shuffle
+    // (the 4-row config frame join adds no second corpus scan)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = SparkEntry.queries("d16_lsh_sweep")(spark, sf)
