@@ -59,7 +59,7 @@ GROUP BY sym"""
     // non-interpolated literal: '\1' must reach DuckDB as a backref
     sb.append(
       """WITH words0 AS MATERIALIZED (
-        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
         |    regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS ws
         |  FROM (SELECT unnest(""".stripMargin)
     sb.append(sqlToks)
@@ -78,7 +78,7 @@ GROUP BY sym"""
          |  SELECT CAST($k AS BIGINT) AS merge_rank, l AS lsym, r AS rsym, cnt
          |  FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |words$k AS MATERIALIZED (
-         |  SELECT freq, coalesce(replace(ws,
+         |  SELECT w, freq, coalesce(replace(ws,
          |      chr(31) || lsym || chr(31) || chr(31) || rsym || chr(31),
          |      chr(31) || lsym || rsym || chr(31)), ws) AS ws
          |  FROM words${k - 1} LEFT JOIN m$k ON TRUE)""".stripMargin)
@@ -1450,6 +1450,19 @@ GROUP BY sym"""
     "m16_scaling_curve" -> scalingCurveSql,
 
     "t18_bpe_encode" -> bpeEncodeSql(8),
+
+    // t19: tokenizer fertility — the words8 vocabulary's per-word
+    // symbol counts joined back onto the exploded corpus
+    "t19_bpe_fertility" -> (bpeCteSql(8) + s""",
+wsyms AS (SELECT w,
+    CAST(len(string_split(ws, chr(31) || chr(31))) AS BIGINT) AS n_syms
+  FROM words8),
+tok AS (SELECT doc_id, lang, unnest($sqlToks) AS w FROM documents)
+SELECT doc_id, lang, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+  CAST(count(*) AS BIGINT) AS n_words,
+  (1000000 * CAST(sum(n_syms) AS BIGINT)) // CAST(count(*) AS BIGINT)
+    AS fertility_mu
+FROM tok JOIN wsyms USING (w) GROUP BY doc_id, lang"""),
     // integer-div micro-unit ratios, mirroring the Spark spelling.
     // Every output column is cast back to BIGINT: DuckDB's sum(BIGINT)
     // promotes to HUGEINT and would otherwise propagate through the //

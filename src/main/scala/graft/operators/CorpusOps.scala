@@ -478,6 +478,16 @@ object CorpusOps {
     * corpus is touched once, in the word-frequency agg). Output is
     * bounded by |alphabet| + nMerges symbols.
     */
+  /** Per-word symbol counts after `nMerges` merges: (w, n_syms) —
+    * the vocabulary-sized table t19 joins back onto the corpus for
+    * the tokenizer-fertility readout. */
+  def bpeWordSymCounts(docs: DataFrame, tokens: Column, nMerges: Int): DataFrame = {
+    val Sep = "\u001f"
+    bpeFitCore(docs, tokens, nMerges)._2
+      .select(col("w"),
+        size(split(col("ws"), Sep + Sep)).cast("long").as("n_syms"))
+  }
+
   def bpeEncode(docs: DataFrame, tokens: Column, nMerges: Int): DataFrame = {
     val Sep = "\u001f"
     bpeFitCore(docs, tokens, nMerges)._2
@@ -503,7 +513,7 @@ object CorpusOps {
       .filter(!col("w").contains(Sep))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var words = base

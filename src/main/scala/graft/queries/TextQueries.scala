@@ -285,6 +285,28 @@ private[graft] object TextQueries {
     // final rewrite already IS the encoded vocabulary, so the census
     // is one explode + keyed agg on the vocab-sized table.
     "t18_bpe_encode" -> ((s, dir) =>
-      CorpusOps.bpeEncode(t(s, dir, "documents"), cleanTokens, nMerges = 8))
+      CorpusOps.bpeEncode(t(s, dir, "documents"), cleanTokens, nMerges = 8)),
+
+    // TOKENIZER FERTILITY (CorpusOps.bpeWordSymCounts): BPE tokens
+    // per word per document under the m14-trained merges — the
+    // standard tokenizer-quality readout (a language the vocabulary
+    // serves badly shows fertility near chars-per-word; a
+    // well-covered one near 1). The vocabulary-sized (w, n_syms)
+    // table BROADCASTS onto the exploded corpus: one narrow join +
+    // one keyed agg, no shuffle of corpus rows beyond the doc agg.
+    "t19_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wsyms = broadcast(
+        CorpusOps.bpeWordSymCounts(docs, cleanTokens, nMerges = 8))
+      docs
+        .select(col("doc_id"), col("lang"), explode(cleanTokens).as("w"))
+        .join(wsyms, "w")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n_syms")).as("n_bpe_tokens"),
+          count(lit(1)).as("n_words"))
+        .select(col("doc_id"), col("lang"), col("n_bpe_tokens"),
+          col("n_words"),
+          expr("(1000000 * n_bpe_tokens) div n_words").as("fertility_mu"))
+    })
   )
 }
