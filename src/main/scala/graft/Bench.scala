@@ -47,18 +47,31 @@ object Bench {
     }
     val firstPass = selected.map { case (name, fn) => name -> runOnce(name, fn) }
     // Retry policy (BenchPolicy, unit-tested in BenchPolicySpec):
-    // VM outliers re-run once and report the min (observed: the same
-    // rollup 3.3s vs 64.1s back to back — reproducible work, not
-    // collector luck); transient first-pass failures re-run once so a
-    // one-off hiccup doesn't report a working query as failed, while
-    // a real failure fails twice and stays -1.0. Retried queries are
-    // listed in the JSON.
-    val cutoff = BenchPolicy.outlierCutoff(firstPass.values)
-    val results = firstPass.map { case (name, t) =>
+    // suspected VM outliers re-run up to best-of-3 and report the min
+    // (observed: the same rollup 3.3s vs 64.1s back to back —
+    // reproducible work, not collector luck; and under SUSTAINED load
+    // a single retry inflates too, which is how two artifacts of
+    // record carried a loaded q38). The outlier cutoff is anchored to
+    // the query's recorded idle-harness time when bench_ref.json has
+    // one, else to the run's median. Transient first-pass failures
+    // re-run once so a one-off hiccup doesn't report a working query
+    // as failed, while a real failure fails twice and stays -1.0.
+    // Retried queries and their extra-run counts are in the JSON.
+    val refTimes = try {
+      BenchPolicy.parseRefTimes(
+        Files.readString(Paths.get("bench_ref.json")))
+    } catch { case _: Exception => Map.empty[String, Double] }
+    val medianCutoff = BenchPolicy.outlierCutoff(firstPass.values)
+    val outcomes = firstPass.map { case (name, t) =>
+      val cutoff = BenchPolicy.cutoffFor(refTimes.get(name), medianCutoff)
       name -> BenchPolicy.finalTime(t, cutoff, () => runOnce(name, selected(name)))
     }
-    val retried = firstPass.collect { case (n, t) if t > cutoff => "\"" + n + "\"" }
-      .mkString("[", ",", "]")
+    val results = outcomes.map { case (n, (t, _)) => n -> t }
+    val retried = outcomes.collect { case (n, (_, extra)) if extra > 0 =>
+      "\"" + n + "\":" + extra }.mkString("{", ",", "}")
+    // kept for cross-round artifact continuity (r1-r6 readers)
+    val retriedNames = outcomes.collect { case (n, (_, extra)) if extra > 0 =>
+      "\"" + n + "\"" }.mkString("[", ",", "]")
     // failures are OMITTED from the per-query map (so summing it equals
     // "value") and listed explicitly instead of hiding behind -1.0
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
@@ -67,7 +80,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retried_outliers":$retried,"failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retries":$retried,"retried_outliers":$retriedNames,"failed":$failed}"""
     // canonical machine-readable copy (stdout can interleave with
     // Spark/sbt log noise; BENCH_r01 came back parsed:null that way)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

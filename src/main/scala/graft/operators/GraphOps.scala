@@ -180,7 +180,9 @@ object GraphOps {
       .union(ed.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val tBuild0 = System.nanoTime()
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
+    System.err.println(f"[pr] edges+nodes build ${(System.nanoTime() - tBuild0) / 1e9}%.2fs n=$n")
     if (n == 0) {
       // empty (or all-null / all-self-loop-free… i.e. no valid) edge
       // set: no nodes, no ranks — and no driver-side division by
@@ -195,6 +197,7 @@ object GraphOps {
     var pr = nodes.select(col("node"), lit(PageRankScale / n).as("pr_fp"))
     var prevRelease: () => Unit = null
     for (i <- 1 to iters) {
+      val tIter0 = System.nanoTime()
       // shuffle_hash on the rank side: sort-merge would re-sort the
       // cached edge blocks every round (sorts aren't cached); a hash
       // build of the O(nodes) rank vector probed by the clustered
@@ -231,6 +234,8 @@ object GraphOps {
         prevRelease = release
         p
       }
+      if (i < iters)
+        System.err.println(f"[pr] iter $i ${(System.nanoTime() - tIter0) / 1e9}%.2fs")
     }
     val lastRelease = prevRelease
     (pr, () => {

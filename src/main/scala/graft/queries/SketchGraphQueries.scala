@@ -62,9 +62,16 @@ private[graft] object SketchGraphQueries {
           (col("o_custkey").cast("long") * 2 + 1).as("dst"))
       // no distinct here: pageRank canonicalizes (repartition + local
       // dedup) anyway — a pre-distinct would add a full extra
-      // exchange of the edge stream for nothing
-      val base = li.join(o, Seq("ok")).select(col("src"), col("dst"))
-      val sym = base.union(base.select(col("dst"), col("src")))
+      // exchange of the edge stream for nothing.
+      // symmetrize with a narrow explode, NOT base.union(base.swap):
+      // the join side is broadcast, so union's two branches have no
+      // exchange to reuse and the scan+join subtree executes TWICE —
+      // explode doubles rows in-partition for one join evaluation
+      val sym = li.join(o, Seq("ok"))
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       GraphOps.pageRank(sym, "src", "dst", iters = 5)
         .select(col("node"),
           (col("pr_fp").cast("double") / lit(1.0e12)).as("pr"))

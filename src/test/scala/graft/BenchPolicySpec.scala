@@ -3,8 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench retry contract (no SparkSession needed): transient
-  * failures and VM outliers get exactly one retry; double failures
-  * stay the -1.0 sentinel; normal times never re-run. */
+  * failures get exactly one retry; double failures stay the -1.0
+  * sentinel; suspected outliers re-run up to best-of-3 with early
+  * stop under the cutoff; cutoffs anchor to the recorded reference
+  * time when one exists; normal times never re-run. */
 class BenchPolicySpec extends AnyFunSuite {
 
   private def counting(results: Double*): (() => Double, () => Int) = {
@@ -21,31 +23,60 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.outlierCutoff(Seq.empty[Double]) == 5.0)
   }
 
+  test("reference cutoff: 1.5x the recorded time, same 5s floor") {
+    assert(BenchPolicy.refCutoff(6.0) == 9.0)
+    assert(BenchPolicy.refCutoff(0.5) == 5.0)
+    // with a reference the median cutoff is ignored; without, used
+    assert(BenchPolicy.cutoffFor(Some(6.0), 30.0) == 9.0)
+    assert(BenchPolicy.cutoffFor(None, 30.0) == 30.0)
+  }
+
   test("forced transient failure: one retry, retry time reported") {
     val (retry, calls) = counting(2.5)
-    assert(BenchPolicy.finalTime(-1.0, 5.0, retry) == 2.5)
+    assert(BenchPolicy.finalTime(-1.0, 5.0, retry) == ((2.5, 1)))
     assert(calls() == 1)
   }
 
   test("real failure: fails twice, sentinel stands, one retry only") {
     val (retry, calls) = counting(-1.0)
-    assert(BenchPolicy.finalTime(-1.0, 5.0, retry) == -1.0)
+    assert(BenchPolicy.finalTime(-1.0, 5.0, retry) == ((-1.0, 1)))
     assert(calls() == 1)
   }
 
-  test("outlier: one retry, min reported; failed retry keeps first") {
-    val (retry, calls) = counting(3.0)
-    assert(BenchPolicy.finalTime(60.0, 5.0, retry) == 3.0)
+  test("outlier landing under cutoff on first retry stops early") {
+    val (retry, calls) = counting(3.0, 99.0)
+    assert(BenchPolicy.finalTime(60.0, 5.0, retry) == ((3.0, 1)))
     assert(calls() == 1)
-    val (retryUp, _) = counting(90.0)
-    assert(BenchPolicy.finalTime(60.0, 5.0, retryUp) == 60.0)
-    val (retryFail, _) = counting(-1.0)
-    assert(BenchPolicy.finalTime(60.0, 5.0, retryFail) == 60.0)
+  }
+
+  test("outlier staying above cutoff takes best-of-3 and reports min") {
+    // the r5/r6 artifact failure mode: retry #1 inflates too
+    val (retry, calls) = counting(12.0, 6.5)
+    assert(BenchPolicy.finalTime(13.0, 9.0, retry) == ((6.5, 2)))
+    assert(calls() == 2)
+    // all three inflated: min of the three stands, exactly 2 extras
+    val (retryUp, callsUp) = counting(90.0, 80.0)
+    assert(BenchPolicy.finalTime(60.0, 5.0, retryUp) == ((60.0, 2)))
+    assert(callsUp() == 2)
+  }
+
+  test("failed retry during outlier re-run keeps the measured min") {
+    val (retry, calls) = counting(-1.0, 3.0)
+    assert(BenchPolicy.finalTime(60.0, 5.0, retry) == ((3.0, 2)))
+    assert(calls() == 2)
   }
 
   test("normal time: no retry at all") {
     var calls = 0
-    val t = BenchPolicy.finalTime(1.2, 5.0, () => { calls += 1; 0.0 })
-    assert(t == 1.2 && calls == 0)
+    val (t, extra) = BenchPolicy.finalTime(1.2, 5.0, () => { calls += 1; 0.0 })
+    assert(t == 1.2 && extra == 0 && calls == 0)
+  }
+
+  test("reference map parse: flat pairs, junk keys harmless, bad input empty") {
+    val m = BenchPolicy.parseRefTimes(
+      """{"metric":"total","value":145.1,"unit":"sec","queries":{"q1_agg":0.5,"q38_pagerank":6.08},"sf":"/x"}""")
+    assert(m("q1_agg") == 0.5 && m("q38_pagerank") == 6.08)
+    assert(m.get("sf").isEmpty) // string-valued keys don't parse as refs
+    assert(BenchPolicy.parseRefTimes("not json at all").isEmpty)
   }
 }
