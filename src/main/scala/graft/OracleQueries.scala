@@ -129,7 +129,15 @@ GROUP BY sym"""
   /** m16 oracle: the split feature view d16 (features + the two md5
     * residues), one lrFitStepsSql block per fraction over its nested
     * train subset, and one eval-fold scoring row per fit. Counts CAST
-    * to BIGINT; BIGINT integer division stays BIGINT (the lint). */
+    * to BIGINT; BIGINT integer division stays BIGINT (the lint).
+    *
+    * Contract asymmetry on DEGENERATE data (r6 ADVICE, deliberate):
+    * on an empty train or eval fold the engine fails loudly
+    * (TrainEvalQueries `require`) while this SQL's empty w3_f CTE
+    * silently DROPS that fraction's row — the engines diverge in
+    * shape rather than both erroring. Acceptable because the md5
+    * residue split cannot produce an empty fold on any driver
+    * testdata SF; revisit if the split columns ever change. */
   private lazy val scalingCurveSql: String = {
     val fs = QuerySupport.LrFitCols
     def evalCte(f: Int): String = {
@@ -723,6 +731,33 @@ GROUP BY sym"""
          |    round(ln((nd + 1) / CAST(df + 1 AS DOUBLE)), 6) AS idf,
          |    row_number() OVER (ORDER BY df DESC, term) AS rn
          |  FROM d CROSS JOIN n) WHERE rn <= 500""".stripMargin,
+    // t20: the engine reads every statistic off the encoded int-array
+    // column; the oracle re-derives the SAME ids from the m6 vocab
+    // rank join (row_number over (df DESC, term) <= 500, OOV -> 0)
+    // over the position-annotated token stream (parallel unnest zips
+    // toks with 1-based range). Sums promote to HUGEINT -> CAST back;
+    // // on non-negative BIGINTs == Spark's div.
+    "t20_token_ids" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |dtk AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk),
+         |d AS (SELECT term, count(*) AS df FROM dtk GROUP BY term),
+         |v AS (SELECT term, id FROM (
+         |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS id
+         |  FROM d) WHERE id <= 500),
+         |tok AS (SELECT doc_id, unnest(toks) AS term,
+         |    unnest(range(1, len(toks) + 1)) AS pos
+         |  FROM tk WHERE len(toks) >= 1),
+         |idt AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+         |  FROM tok LEFT JOIN v USING (term))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+         |  CAST(sum(id) AS BIGINT) AS ids_sum,
+         |  CAST(sum(pos * id) AS BIGINT) AS ids_poschk,
+         |  CAST((1000000 * sum(CASE WHEN id = 0 THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS oov_mu
+         |FROM idt GROUP BY doc_id""".stripMargin,
     "t7_det_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,

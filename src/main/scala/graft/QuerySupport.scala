@@ -36,7 +36,15 @@ private[graft] object QuerySupport {
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType =>
+        raw // already the normalized session-tz form
+      case other =>
+        // fail-loudly policy: a THIRD physical-type generation must not
+        // flow unnormalized into the time queries and silently diverge
+        // from the DuckDB oracle (r6 ADVICE item)
+        throw new IllegalStateException(
+          s"events.ts has unhandled type $other; extend QuerySupport.events " +
+            "for this testdata generation")
     }
   }
 

@@ -35,6 +35,35 @@ object CorpusOps {
       .limit(limit)
   }
 
+  /** Dictionary-encode a token column to 1-based int ids — the
+    * tokenize-ONCE materialization shape every 100 TB text pipeline
+    * stores: downstream operators (dedup signatures, n-gram stats,
+    * packing, filtering) consume fixed-width int arrays instead of
+    * re-splitting raw strings per query, and the string↔id dictionary
+    * lives beside the data, not inside every plan.
+    *
+    * `vocab`'s FIRST column is the term list in priority order (the
+    * [[vocabularyWithIdf]] output's (df desc, term) order); ids are
+    * 1-based positions in that order and out-of-vocabulary tokens
+    * encode as 0, so id 0 is reserved and the id space is exactly
+    * [0, |vocab|]. The dictionary collects to the driver — bounded by
+    * the caller's vocabulary limit, the stop-words/centroids class of
+    * constant-size collect — and ships as ONE map literal probed by a
+    * codegen'd `element_at` inside `transform`: the encode pass is
+    * completely narrow (no join, no shuffle; a scan-project at any
+    * corpus size). Returns `docs` plus the `outCol` int-array column.
+    */
+  def tokenizeToIds(docs: DataFrame, tokens: Column, vocab: DataFrame,
+                    outCol: String = "token_ids"): DataFrame = {
+    val termCol = vocab.columns.head
+    val dict: Map[String, Int] = vocab.select(col(termCol)).collect()
+      .map(_.getString(0)).zipWithIndex.map { case (t, i) => t -> (i + 1) }
+      .toMap
+    val m = typedlit(dict)
+    docs.withColumn(outCol,
+      transform(tokens, t => coalesce(element_at(m, t), lit(0))))
+  }
+
   /** Bigram language-model fluency score per document (the
     * CCNet/KenLM-style quality filter, re-expressed relationally):
     * fit an add-one-smoothed bigram model on the corpus itself —

@@ -307,6 +307,39 @@ private[graft] object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_bpe_tokens"),
           col("n_words"),
           expr("(1000000 * n_bpe_tokens) div n_words").as("fertility_mu"))
+    }),
+
+    // DICTIONARY-ENCODED TOKEN IDS (CorpusOps.tokenizeToIds): the
+    // tokenize-once storage shape — encode the corpus against the m6
+    // vocabulary (ids = 1-based (df desc, term) rank, OOV -> 0) and
+    // read every downstream statistic off the ID ARRAY ONLY: per-doc
+    // token/OOV counts, OOV rate in integer micro-units, distinct-id
+    // census, and two integer checksums (plain id sum + position-
+    // weighted sum) that pin the exact id assignment AND ordering
+    // against the oracle's vocab join. The encode pass is narrow
+    // (broadcast dictionary literal, no join/shuffle); the vocab
+    // build is m6's TakeOrderedAndProject; the dictionary collect is
+    // bounded by the 500-term limit.
+    "t20_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusOps.vocabularyWithIdf(
+        docs, "doc_id", cleanTokens, limit = 500)
+      CorpusOps.tokenizeToIds(
+          docs.select(col("doc_id"), cleanTokens.as("toks")),
+          col("toks"), vocab)
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_toks"),
+          size(filter(col("token_ids"), x => x === 0)).cast("long")
+            .as("n_oov"),
+          size(array_distinct(col("token_ids"))).cast("long").as("n_ids"),
+          aggregate(col("token_ids"), lit(0L), (a, x) => a + x)
+            .as("ids_sum"),
+          aggregate(
+            transform(col("token_ids"),
+              (x, i) => (i + lit(1)).cast("long") * x),
+            lit(0L), (a, x) => a + x).as("ids_poschk"))
+        .withColumn("oov_mu", expr("(1000000 * n_oov) div n_toks"))
     })
   )
 }

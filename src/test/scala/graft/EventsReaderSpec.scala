@@ -12,6 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EventsReaderSpec extends AnyFunSuite with SparkSessionFixture {
 
+  // absolute fixture root (r6 ADVICE item): cwd-relative paths break
+  // when tests run from a non-root working directory. The committed
+  // location is authoritative (consistent with the absolute
+  // /root/testdata paths the other specs use); fall back to the cwd
+  // for a checked-out copy living elsewhere.
+  private val fixturesDir = {
+    val committed = new java.io.File("/root/repo/fixtures")
+    if (committed.isDirectory) committed.getAbsolutePath
+    else new java.io.File("fixtures").getAbsolutePath
+  }
+
   private def readTs(dir: String): Seq[(Long, java.sql.Timestamp)] =
     QuerySupport.t(spark, dir, "events")
       .select("event_id", "ts")
@@ -21,8 +32,8 @@ class EventsReaderSpec extends AnyFunSuite with SparkSessionFixture {
       .sortBy(_._1)
 
   test("nanos and micros generations read to identical timestamps") {
-    val ns = readTs("fixtures/events_ns")
-    val us = readTs("fixtures/events_us")
+    val ns = readTs(s"$fixturesDir/events_ns")
+    val us = readTs(s"$fixturesDir/events_us")
     assert(ns.size == 5)
     assert(ns == us,
       s"ns-generation read diverged from us-generation read:\n$ns\n$us")
@@ -30,7 +41,7 @@ class EventsReaderSpec extends AnyFunSuite with SparkSessionFixture {
 
   test("normalized ts is session-tz TimestampType in both generations") {
     import org.apache.spark.sql.types.TimestampType
-    Seq("fixtures/events_ns", "fixtures/events_us").foreach { dir =>
+    Seq(s"$fixturesDir/events_ns", s"$fixturesDir/events_us").foreach { dir =>
       val dt = QuerySupport.t(spark, dir, "events").schema("ts").dataType
       assert(dt == TimestampType, s"$dir read ts as $dt")
     }

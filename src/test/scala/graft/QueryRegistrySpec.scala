@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 125") {
-    assert(SparkEntry.queries.size === 125)
+  test("inventory size is the declared 126") {
+    assert(SparkEntry.queries.size === 126)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
