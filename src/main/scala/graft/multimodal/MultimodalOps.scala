@@ -21,11 +21,13 @@ import org.apache.spark.sql.types._
   *    so one corrupt blob can't kill a 1000-executor stage.
   *
   * Codec status: IMAGE decode is REAL for PNG/JPEG/GIF/BMP via the
-  * JDK's own `javax.imageio` (no external libs needed);
-  * [[MediaCodec.decodeImage]] falls back to a deterministic
-  * payload-seeded fake for synthetic payloads, and audio/video stay
-  * faked (ffmpeg-class bindings are genuinely absent from this
-  * container) with the plug-in seams marked.
+  * JDK's own `javax.imageio`, and AUDIO decode is REAL for PCM
+  * WAV/AIFF via `javax.sound.sampled.AudioSystem` (no external libs
+  * for either); [[MediaCodec.decodeImage]]/[[MediaCodec.decodeAudio]]
+  * fall back to a deterministic payload-seeded fake for synthetic
+  * payloads. VIDEO (and compressed audio: mp3/mp4) stays faked —
+  * ffmpeg-class bindings are genuinely absent from this container —
+  * with the plug-in seams marked.
   */
 object MultimodalOps {
 
@@ -48,7 +50,7 @@ object MultimodalOps {
 
   /** Container-format sniffing from magic bytes — the intake triage
     * every media crawl runs BEFORE any decode, and the one media
-    * operator that needs no codec at all: an 8-byte prefix compare,
+    * operator that needs no codec at all: a 12-byte prefix compare,
     * spelled entirely in built-ins (substring + hex + when), so it
     * runs inside whole-stage codegen on the scan with payloads never
     * leaving their partition. Truncated/empty payloads classify as
@@ -57,10 +59,16 @@ object MultimodalOps {
     * preceding 4 bytes are the box length, which varies). */
   def sniffFormat(payload: Column): Column = {
     val hex8 = upper(hex(substring(payload, 1, 8)))
+    // bytes 9-12 disambiguate the two 4CC container families: RIFF
+    // carries WAVE/AVI /WEBP there, FORM carries AIFF/AIFC
+    val hex4at9 = upper(hex(substring(payload, 9, 4)))
     when(hex8.startsWith("FFD8FF"), "jpeg")
       .when(hex8.startsWith("89504E47"), "png")
       .when(hex8.startsWith("47494638"), "gif")
-      .when(hex8.startsWith("52494646"), "riff") // wav/avi/webp container
+      .when(hex8.startsWith("52494646") && hex4at9 === "57415645", "wav")
+      .when(hex8.startsWith("52494646"), "riff") // avi/webp container
+      .when(hex8.startsWith("464F524D") &&
+        (hex4at9 === "41494646" || hex4at9 === "41494643"), "aiff")
       .when(substring(hex8, 9, 8) === "66747970", "mp4")
       .when(hex8.startsWith("494433"), "mp3")
       .when(hex8.startsWith("25504446"), "pdf")
@@ -76,6 +84,11 @@ object MultimodalOps {
   final case class ImageFeature(
       media_id: Long, ok: Boolean, error: String,
       out_width: Int, out_height: Int, feature: Array[Float])
+
+  final case class AudioFeature(
+      media_id: Long, ok: Boolean, error: String,
+      sample_rate: Int, channels: Int, n_frames: Long,
+      duration_ms: Long, rms: Float)
 
   /** Deterministic synthetic media table (the container has no real
     * media files); payload bytes are a seeded function of media_id so
@@ -115,6 +128,41 @@ object MultimodalOps {
     }
   }
 
+  /** Audio decode + feature-extract as a partition-local batched
+    * operator — the [[imageFeatures]] twin for the audio rows. REAL
+    * for PCM WAV/AIFF via the JDK's `AudioSystem`
+    * ([[MediaCodec.decodeAudio]]); same narrow/batched/error-routed
+    * shape. Emits the stream parameters plus the clip RMS (the
+    * standard silence/clipping triage signal a crawl runs before
+    * paying for transcription). duration_ms is integer millis
+    * (frames * 1000 / rate, floor). */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeature] = {
+    implicit val enc = Encoders.product[AudioFeature]
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaCodec.decodeAudio(r.payload) match {
+            case Right(clip) =>
+              var s = 0.0
+              var i = 0
+              while (i < clip.samples.length) {
+                s += clip.samples(i).toDouble * clip.samples(i); i += 1
+              }
+              val rms =
+                if (clip.samples.isEmpty) 0f
+                else math.sqrt(s / clip.samples.length).toFloat
+              AudioFeature(r.media_id, ok = true, error = null,
+                clip.sampleRate, clip.channels, clip.frames,
+                clip.frames * 1000L / clip.sampleRate, rms)
+            case Left(err) =>
+              AudioFeature(r.media_id, ok = false, error = err,
+                0, 0, 0L, 0L, 0f)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: every `stepMs` timestamp becomes a
     * (media_id, frame_ts_ms) row; the decode of each frame is again
     * the stub seam. Narrow: one input row → few output rows, no
@@ -137,15 +185,90 @@ object MultimodalOps {
   }
 }
 
-/** The codec seam. IMAGE decode is REAL: PNG/JPEG/GIF/BMP decoders
-  * ship with the JDK (`javax.imageio.ImageIO`), so those containers
-  * decode, resize, and feature-extract with zero external deps.
-  * AUDIO/VIDEO remain clearly-marked deterministic FAKES (ffmpeg-class
-  * bindings are genuinely absent from this container); their
-  * signatures and batch shapes are the real contract, and synthetic
-  * non-container payloads take the same fake path so the pipeline
-  * stays testable end-to-end without media files. */
+/** The codec seam. IMAGE decode is REAL (PNG/JPEG/GIF/BMP via
+  * `javax.imageio.ImageIO`) and AUDIO decode is REAL (PCM WAV/AIFF
+  * via `javax.sound.sampled.AudioSystem`) — both ship with the JDK,
+  * zero external deps. VIDEO and compressed audio (mp3/mp4) remain
+  * the clearly-marked deterministic FAKE (ffmpeg-class bindings are
+  * genuinely absent from this container); the signatures and batch
+  * shapes are the real contract, and synthetic non-container payloads
+  * take the same fake path so the pipeline stays testable end-to-end
+  * without media files. */
 object MediaCodec {
+
+  /** Decoded audio clip: mono-mixed samples normalized to [-1, 1]
+    * plus the stream parameters the features derive from. */
+  final case class AudioClip(
+      sampleRate: Int, channels: Int, frames: Long, samples: Array[Float])
+
+  /** Magic-byte check for the audio containers the JDK decodes
+    * natively (`javax.sound.sampled.AudioSystem`): RIFF/WAVE and
+    * FORM/AIFF-or-AIFC. */
+  private def isJdkAudio(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 && {
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
+        (p(11) == 'F' || p(11) == 'C'))
+    }
+
+  /** Decode a PCM WAV/AIFF payload to mono [-1, 1] floats — REAL via
+    * the JDK's own `AudioSystem` (the ImageIO playbook: no external
+    * libs). The stream is re-coded to 16-bit signed PCM at the source
+    * rate/channel-count first (covers 8-bit and unsigned variants),
+    * then channel-averaged. Non-audio payloads >= 64 bytes fall back
+    * to the deterministic payload-seeded fake (the synthetic-pipeline
+    * stand-in); shorter ones are "corrupt", mimicking truncation
+    * handling. Compressed containers (mp3/mp4) are NOT decodable by
+    * the JDK and land in the error column — the documented env-blocked
+    * residue, like video. */
+  def decodeAudio(payload: Array[Byte]): Either[String, AudioClip] = {
+    if (payload != null && isJdkAudio(payload)) {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            2 * src.getChannels, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          val mono = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var s = 0.0f
+            var c = 0
+            while (c < ch) {
+              val off = (f * ch + c) * 2
+              val v = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort
+              s += v / 32768.0f
+              c += 1
+            }
+            mono(f) = s / ch
+            f += 1
+          }
+          Right(AudioClip(src.getSampleRate.toInt, src.getChannels,
+            nFrames.toLong, mono))
+        } finally in.close()
+      } catch {
+        case e: Exception => Left(s"corrupt: ${e.getMessage}")
+      }
+    } else if (payload == null || payload.length < 64) {
+      Left("corrupt: payload too short")
+    } else {
+      // deterministic fake: seeded 1000-sample clip at 8 kHz
+      val seed = java.util.Arrays.hashCode(payload).toLong
+      val rnd = new scala.util.Random(seed)
+      Right(AudioClip(8000, 1, 1000L,
+        Array.fill(1000)(rnd.nextFloat() * 2f - 1f)))
+    }
+  }
 
   /** Magic-byte check for the containers the JDK decodes natively —
     * the JVM-side twin of [[MultimodalOps.sniffFormat]]'s image rows. */

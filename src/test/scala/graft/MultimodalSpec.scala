@@ -72,7 +72,12 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       ("jpeg", b(0xFF, 0xD8, 0xFF, 0xE0, 0, 0, 0, 0)),
       ("png", b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)),
       ("gif", "GIF89a__".getBytes("ISO-8859-1")),
-      ("riff", "RIFF....".getBytes("ISO-8859-1")),
+      ("wav", "RIFF....WAVE".getBytes("ISO-8859-1")),
+      ("aiff", "FORM....AIFF".getBytes("ISO-8859-1")),
+      ("aiff", "FORM....AIFC".getBytes("ISO-8859-1")),
+      ("riff", "RIFF....".getBytes("ISO-8859-1")), // truncated: no 4CC
+      ("riff", "RIFF....AVI ".getBytes("ISO-8859-1")),
+      ("unknown", "FORM....XXXX".getBytes("ISO-8859-1")),
       ("mp4", b(0, 0, 0, 0x20) ++ "ftyp".getBytes("ISO-8859-1")),
       ("mp3", "ID3....".getBytes("ISO-8859-1")),
       ("pdf", "%PDF-1.7".getBytes("ISO-8859-1")),
@@ -130,6 +135,96 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
         MultimodalOps.sniffFormat(col("payload")).as("got"))
       .collect()
       .foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  // the committed WAV fixture: 16-bit PCM mono 8 kHz, 1600 frames,
+  // sample i = ((i*37) % 20001) - 10000 — a deterministic ramp whose
+  // decode is sample-exact (int16/2^15 is exact in Float)
+  private def toneSample(i: Int): Int = ((i * 37) % 20001) - 10000
+
+  test("REAL audio decode: committed WAV fixture is sample-exact") {
+    val clip = MediaCodec.decodeAudio(fixture("fixture_tone.wav"))
+      .toOption.get
+    assert(clip.sampleRate == 8000 && clip.channels == 1 &&
+      clip.frames == 1600L)
+    assert(clip.samples.length == 1600)
+    for (i <- 0 until 1600)
+      assert(clip.samples(i) == toneSample(i) / 32768.0f,
+        s"sample $i: ${clip.samples(i)} vs ${toneSample(i) / 32768.0f}")
+    // non-audio payloads >= 64 bytes take the fake path, not WAV decode
+    val fake = MediaCodec.decodeAudio(Array.fill[Byte](128)(7)).toOption.get
+    assert(fake.sampleRate == 8000 && fake.frames == 1000L)
+    // truncated WAV: magic passes, decode reports corrupt (Left)
+    assert(MediaCodec.decodeAudio(
+      fixture("fixture_tone.wav").take(16)).isLeft)
+    assert(MediaCodec.decodeAudio(Array[Byte](1, 2, 3)).isLeft)
+  }
+
+  test("AIFF round-trip decodes to the same samples as WAV") {
+    // re-encode the fixture clip as AIFF in memory (big-endian PCM)
+    // via the JDK's own writer, then decode through the same seam
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true)
+    val pcmBE = new Array[Byte](1600 * 2)
+    for (i <- 0 until 1600) {
+      val v = toneSample(i)
+      pcmBE(2 * i) = (v >> 8).toByte
+      pcmBE(2 * i + 1) = v.toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBE), fmt, 1600L)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, out)
+    val aiff = out.toByteArray
+    val wav = MediaCodec.decodeAudio(fixture("fixture_tone.wav")).toOption.get
+    val clip = MediaCodec.decodeAudio(aiff).toOption.get
+    assert(clip.sampleRate == 8000 && clip.frames == 1600L)
+    assert(clip.samples.toSeq == wav.samples.toSeq)
+  }
+
+  test("audioFeatures: narrow plan, real RMS on WAV, fake path intact") {
+    import spark.implicits._
+    val wavBytes = fixture("fixture_tone.wav")
+    val ds = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(1L, "audio", "audio/wav", None, None, None,
+        wavBytes),
+      MultimodalOps.MediaRow(2L, "audio", "audio/x-synthetic", None, None,
+        Some(2000L), Array.fill[Byte](128)(9)),
+      MultimodalOps.MediaRow(3L, "audio", "audio/wav", None, None, None,
+        wavBytes.take(16)), // truncated -> error routed, not thrown
+      MultimodalOps.MediaRow(4L, "image", "image/png", None, None, None,
+        wavBytes)))( // wrong kind -> filtered out
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaRow])
+    val feats = MultimodalOps.audioFeatures(ds)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"audio payloads must not shuffle:\n$plan")
+    val out = feats.collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    val real = out(0)
+    assert(real.ok && real.sample_rate == 8000 && real.channels == 1 &&
+      real.n_frames == 1600L && real.duration_ms == 200L)
+    // RMS of the known ramp, recomputed exactly as the operator does
+    val expectRms = {
+      var s = 0.0
+      for (i <- 0 until 1600) {
+        val v = toneSample(i) / 32768.0f; s += v.toDouble * v
+      }
+      math.sqrt(s / 1600).toFloat
+    }
+    assert(real.rms == expectRms, s"${real.rms} vs $expectRms")
+    assert(out(1).ok && out(1).n_frames == 1000L) // deterministic fake
+    assert(!out(2).ok && out(2).error.contains("corrupt"))
+  }
+
+  test("sniffFormat agrees with the real audio decoder on the fixture") {
+    import spark.implicits._
+    val got = Seq(("wav", fixture("fixture_tone.wav")))
+      .toDF("expect", "payload")
+      .select(MultimodalOps.sniffFormat(col("payload")).as("got"))
+      .collect().head.getString(0)
+    assert(got == "wav")
+    assert(MediaCodec.decodeAudio(fixture("fixture_tone.wav")).isRight)
   }
 
   test("end-to-end imageFeatures over a REAL payload: ok, real feature") {
