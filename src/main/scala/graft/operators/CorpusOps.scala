@@ -527,6 +527,24 @@ object CorpusOps {
       .agg(sum(col("freq")).as("cnt"))
   }
 
+  /** Apply an already-trained BPE merge table to ONE token — the
+    * row-local encode expression batch fit and streaming encode
+    * share. Merges apply in rank order; each is the same wrapped-
+    * symbol string replace the fit loop uses ([[bpeFit]] scaladoc:
+    * replace() scans left-to-right resuming after each replacement =
+    * leftmost-first non-overlapping), so a token encodes here exactly
+    * as the fit's vocabulary rewrite encodes it. Built-ins only —
+    * codegen, no state, broadcast-free (the merge table is a literal
+    * chain, the natural shape for the bounded nMerges a fit emits). */
+  def bpeApplyMerges(token: Column, merges: Seq[(String, String)]): Column = {
+    val Sep = "\u001f"
+    val ws0 = regexp_replace(token, "(.)", Sep + "$1" + Sep)
+    val wsN = merges.foldLeft(ws0) { case (ws, (l, r)) =>
+      replace(ws, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+    transform(split(wsN, Sep + Sep), x => translate(x, Sep, ""))
+  }
+
   /** Shared merge-training loop: returns (merge table rows, the
     * vocabulary AFTER all won merges are applied — i.e. the encoded
     * words `(freq, ws)`). The persisted word-frequency base is

@@ -445,6 +445,27 @@ object StreamPipeline {
       .drop("__ghs")
   }
 
+  /** Streaming twin of the t18 BPE-encode census: encode an unbounded
+    * document stream with an ALREADY-TRAINED merge table (the m14 fit
+    * runs batch-side; its nMerges (lsym, rsym) rows are the frozen
+    * artifact, like the sentiment model's coefficients). Entirely
+    * MAP-SIDE — [[graft.operators.CorpusOps.bpeApplyMerges]] is a
+    * literal replace chain in codegen, so encoding is stateless,
+    * watermark-free, and trivially split-invariant (the
+    * [[decontaminateStream]] class of operator; the downstream census
+    * agg is the caller's ordinary streaming groupBy). Emits one
+    * (sym) row per encoded symbol occurrence; tokens containing the
+    * U+001F wrapper are dropped, matching the fit's defensive
+    * filter. */
+  def bpeEncodeStream(docs: DataFrame, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.functions.TextOps.cleanTokens(col(textCol))
+    docs.select(explode(toks).as("w"))
+      .filter(!col("w").contains("\u001f"))
+      .select(explode(
+        graft.operators.CorpusOps.bpeApplyMerges(col("w"), merges)).as("sym"))
+  }
+
   /** Streaming twin of the d14 incremental-admission operator
     * ([[graft.operators.DedupOps.incrementalDedupReleasable]]): each
     * micro-batch of arriving documents is admitted against the static
