@@ -758,6 +758,25 @@ GROUP BY sym"""
          |  CAST((1000000 * sum(CASE WHEN id = 0 THEN 1 ELSE 0 END))
          |    // count(*) AS BIGINT) AS oov_mu
          |FROM idt GROUP BY doc_id""".stripMargin,
+    // t21: t20's id derivation + adjacent-position self-join; the
+    // (cnt DESC, l_id, r_id) total order makes the LIMIT-50 boundary
+    // deterministic on both engines (the q3/t12 tie class)
+    "t21_id_bigrams" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |dtk AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk),
+         |d AS (SELECT term, count(*) AS df FROM dtk GROUP BY term),
+         |v AS (SELECT term, id FROM (
+         |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS id
+         |  FROM d) WHERE id <= 500),
+         |tok AS (SELECT doc_id, unnest(toks) AS term,
+         |    unnest(range(1, len(toks) + 1)) AS pos
+         |  FROM tk WHERE len(toks) >= 2),
+         |idt AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+         |  FROM tok LEFT JOIN v USING (term))
+         |SELECT CAST(a.id AS BIGINT) AS l_id, CAST(b.id AS BIGINT) AS r_id,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM idt a JOIN idt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |GROUP BY 1, 2 ORDER BY cnt DESC, l_id, r_id LIMIT 50""".stripMargin,
     "t7_det_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,

@@ -340,6 +340,34 @@ private[graft] object TextQueries {
               (x, i) => (i + lit(1)).cast("long") * x),
             lit(0L), (a, x) => a + x).as("ids_poschk"))
         .withColumn("oov_mu", expr("(1000000 * n_oov) div n_toks"))
+    }),
+
+    // ID-SPACE BIGRAM CENSUS: the downstream consumer that proves the
+    // tokenize-once shape COMPOSES — t12's bigram statistics re-read
+    // off t20's int arrays instead of re-splitting strings: adjacent
+    // (l_id, r_id) pairs (OOV id 0 participates; OOV transitions are
+    // a real quality signal), exact counts, deterministic top-50 via
+    // TakeOrderedAndProject (never a global sort). At 100 TB this is
+    // the query class that runs DAILY against stored id arrays while
+    // the string tokenization ran once at ingest.
+    "t21_id_bigrams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusOps.vocabularyWithIdf(
+        docs, "doc_id", cleanTokens, limit = 500)
+      CorpusOps.tokenizeToIds(
+          docs.select(col("doc_id"), cleanTokens.as("toks")),
+          col("toks"), vocab)
+        .filter(size(col("token_ids")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("token_ids")) - 1),
+          i => struct(
+            element_at(col("token_ids"), i).cast("long").as("l_id"),
+            element_at(col("token_ids"), i + 1).cast("long").as("r_id"))))
+          .as("b"))
+        .groupBy(col("b.l_id").as("l_id"), col("b.r_id").as("r_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_id"), col("r_id"))
+        .limit(50)
     })
   )
 }

@@ -46,4 +46,19 @@ class EventsReaderSpec extends AnyFunSuite with SparkSessionFixture {
       assert(dt == TimestampType, s"$dir read ts as $dt")
     }
   }
+
+  test("an unrecognized ts physical type fails loudly, not silently") {
+    // a hypothetical THIRD testdata generation (ts as double) must
+    // throw at read time, never flow unnormalized into time queries
+    // (r6 advice: the old `case _ => raw` arm was a silent diverger)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("events_bad").toString
+    Seq((1L, 1.5)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      QuerySupport.t(spark, dir, "events")
+    }
+    assert(e.getMessage.contains("unhandled type"), e.getMessage)
+  }
 }
