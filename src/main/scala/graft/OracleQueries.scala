@@ -21,6 +21,18 @@ private[graft] object OracleQueries {
 
   private def sqlQuote(w: String): String = "'" + w.replace("'", "''") + "'"
 
+  /** Shared t20/t21/t22 CTE chain: tokenized docs and the m6 vocab's
+    * rank-id table (row_number over (df DESC, term), top 500) — the
+    * ONE spelling of the token-id dictionary derivation. `tk` carries
+    * `source` for t22; t20/t21 simply don't read it. */
+  private lazy val vocabRankCte: String =
+    s"""tk AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
+       |dtk AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk),
+       |d AS (SELECT term, count(*) AS df FROM dtk GROUP BY term),
+       |v AS (SELECT term, id FROM (
+       |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS id
+       |  FROM d) WHERE id <= 500)""".stripMargin
+
   /** Unrolled DuckDB twin of [[graft.operators.CorpusOps.bpeFit]]:
     * words0 is the word-frequency table with each word's characters
     * individually wrapped in chr(31); each round k counts adjacent
@@ -738,12 +750,7 @@ GROUP BY sym"""
     // toks with 1-based range). Sums promote to HUGEINT -> CAST back;
     // // on non-negative BIGINTs == Spark's div.
     "t20_token_ids" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |dtk AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk),
-         |d AS (SELECT term, count(*) AS df FROM dtk GROUP BY term),
-         |v AS (SELECT term, id FROM (
-         |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS id
-         |  FROM d) WHERE id <= 500),
+      s"""WITH $vocabRankCte,
          |tok AS (SELECT doc_id, unnest(toks) AS term,
          |    unnest(range(1, len(toks) + 1)) AS pos
          |  FROM tk WHERE len(toks) >= 1),
@@ -762,12 +769,7 @@ GROUP BY sym"""
     // (cnt DESC, l_id, r_id) total order makes the LIMIT-50 boundary
     // deterministic on both engines (the q3/t12 tie class)
     "t21_id_bigrams" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |dtk AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk),
-         |d AS (SELECT term, count(*) AS df FROM dtk GROUP BY term),
-         |v AS (SELECT term, id FROM (
-         |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS id
-         |  FROM d) WHERE id <= 500),
+      s"""WITH $vocabRankCte,
          |tok AS (SELECT doc_id, unnest(toks) AS term,
          |    unnest(range(1, len(toks) + 1)) AS pos
          |  FROM tk WHERE len(toks) >= 2),
@@ -777,6 +779,42 @@ GROUP BY sym"""
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM idt a JOIN idt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |GROUP BY 1, 2 ORDER BY cnt DESC, l_id, r_id LIMIT 50""".stripMargin,
+    // t22: per-source KL from the corpus unigram distribution over the
+    // vocab-id space. Add-one smoothing over the FULL source x vocab
+    // grid (zero-count terms carry smoothing mass), logs quantized to
+    // micro-nats via the t17 recipe (round(ln,6) -> DECIMAL(18,6) ->
+    // *1e6 -> BIGINT, all exact), then everything is integer: the KL
+    // numerator sums (c+1)*(ls_mu - lc_mu) and one guarded
+    // non-negative division yields micro-nats (greatest(...,0) pins
+    // the both-engines behavior if 6-dp quantization ever nudged a
+    // near-identical source microscopically negative).
+    "t22_source_kl" ->
+      s"""WITH $vocabRankCte,
+         |occ AS (SELECT t.source, t.term, count(*) AS c
+         |  FROM (SELECT source, unnest(toks) AS term FROM tk) t
+         |  JOIN v USING (term) GROUP BY 1, 2),
+         |nv AS (SELECT count(*) AS nv FROM v),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |grid AS (SELECT s.source, v.term FROM srcs s CROSS JOIN v),
+         |f AS (SELECT g.source, g.term, coalesce(o.c, 0) AS c
+         |  FROM grid g LEFT JOIN occ o
+         |    ON g.source = o.source AND g.term = o.term),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+         |  FROM f GROUP BY 1),
+         |cw AS (SELECT term, CAST(sum(c) AS BIGINT) AS c_w
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw),
+         |terms AS (SELECT f.source, f.c, ns.n_s, nv.nv,
+         |    CAST(CAST(round(ln((f.c + 1) / CAST(ns.n_s + nv.nv AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ls_mu,
+         |    CAST(CAST(round(ln((cw.c_w + 1) / CAST(tot.n + nv.nv AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lc_mu
+         |  FROM f JOIN ns USING (source) JOIN cw USING (term)
+         |  CROSS JOIN tot CROSS JOIN nv)
+         |SELECT source, any_value(n_s) AS n_vocab_toks,
+         |  CAST(greatest(CAST(sum((c + 1) * (ls_mu - lc_mu)) AS BIGINT), 0)
+         |    // (any_value(n_s) + any_value(nv)) AS BIGINT) AS kl_mu
+         |FROM terms GROUP BY source""".stripMargin,
     "t7_det_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,

@@ -368,6 +368,55 @@ private[graft] object TextQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_id"), col("r_id"))
         .limit(50)
+    }),
+
+    // PER-SOURCE KL DIVERGENCE from the corpus unigram distribution
+    // over the vocab-id space — the domain-drift governance readout
+    // (which sources' token mix diverges from the corpus mean, i.e.
+    // where a mix rebalance or a dedicated quality pass should look
+    // first). Add-one smoothing over the FULL source x vocab grid so
+    // zero-count terms carry their smoothing mass; logs quantized to
+    // integer micro-nats (the t17 recipe) and everything downstream
+    // is exact integer arithmetic. 100 TB shape: ONE corpus pass
+    // (the occurrence agg over encoded ids, output bounded by
+    // |sources| x |vocab|); the KL algebra runs entirely on that
+    // grid-sized table.
+    "t22_source_kl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusOps.vocabularyWithIdf(
+        docs, "doc_id", cleanTokens, limit = 500)
+      val nVocab = vocab.count()
+      val enc = CorpusOps.tokenizeToIds(
+        docs.select(col("source"), cleanTokens.as("toks")),
+        col("toks"), vocab)
+      val occ = enc
+        .select(col("source"), explode(col("token_ids")).as("id"))
+        .filter(col("id") > 0)
+        .groupBy(col("source"), col("id")).agg(count(lit(1)).as("c"))
+      val grid = docs.select(col("source")).distinct()
+        .select(col("source"),
+          explode(sequence(lit(1), lit(nVocab.toInt))).as("id"))
+      val full = grid.join(occ, Seq("source", "id"), "left")
+        .select(col("source"), col("id"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val ns = full.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val cw = full.groupBy(col("id")).agg(sum(col("c")).as("c_w"))
+      val tot = cw.agg(sum(col("c_w")).as("n"))
+      def microNat(num: Column, den: Column): Column =
+        (round(log(num.cast("double") / den.cast("double")), 6)
+          .cast("decimal(18,6)") * lit(1000000)).cast("long")
+      full.join(ns, "source")
+        .join(broadcast(cw), "id")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("c"), col("n_s"),
+          microNat(col("c") + 1, col("n_s") + lit(nVocab)).as("ls_mu"),
+          microNat(col("c_w") + 1, col("n") + lit(nVocab)).as("lc_mu"))
+        .groupBy(col("source"))
+        .agg(first(col("n_s")).as("n_vocab_toks"),
+          sum((col("c") + 1) * (col("ls_mu") - col("lc_mu"))).as("klnum"))
+        .select(col("source"), col("n_vocab_toks"),
+          expr(s"greatest(klnum, 0L) div (n_vocab_toks + $nVocab)")
+            .as("kl_mu"))
     })
   )
 }
