@@ -383,12 +383,17 @@ private[graft] object TextQueries {
     // grid-sized table.
     "t22_source_kl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val vocab = CorpusOps.vocabularyWithIdf(
-        docs, "doc_id", cleanTokens, limit = 500)
-      val nVocab = vocab.count()
+      // collect the (ordered) vocabulary ONCE and re-feed it as a
+      // local relation: vocab.count() + tokenizeToIds' own collect
+      // would each re-run the corpus-scanning TakeOrdered plan
+      import s.implicits._
+      val terms = CorpusOps.vocabularyWithIdf(
+          docs, "doc_id", cleanTokens, limit = 500)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      val nVocab = terms.size
       val enc = CorpusOps.tokenizeToIds(
         docs.select(col("source"), cleanTokens.as("toks")),
-        col("toks"), vocab)
+        col("toks"), terms.toDF("term"))
       val occ = enc
         .select(col("source"), explode(col("token_ids")).as("id"))
         .filter(col("id") > 0)
