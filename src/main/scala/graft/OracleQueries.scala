@@ -661,6 +661,48 @@ GROUP BY sym"""
 
     // recall@5 of the s2 LSH shape against the s1 exact shape — both
     // CTE families reused verbatim at k = 5; integer-ratio recall
+    // s13: s3's cell CTEs with the probe rank KEPT (rn <= max budget),
+    // each budget a filter over the same candidate stream, q54's
+    // exact/recall tail per budget
+    "s13_ivf_probe_sweep" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |qc AS (SELECT q_id, q_emb, cell, rn AS min_rn FROM (
+         |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10) WHERE rn <= 4),
+         |cand AS (SELECT qc.q_id, a.vec_id, qc.min_rn,
+         |    ${OracleSql.cos6("q_emb", "a.embedding")} AS sim
+         |  FROM qc JOIN asg a ON qc.cell = a.cell AND a.vec_id != qc.q_id),
+         |budgets AS (SELECT unnest([1, 2, 4]) AS probe_budget),
+         |perb AS (SELECT b.probe_budget, cd.q_id, cd.vec_id, cd.sim
+         |  FROM cand cd CROSS JOIN budgets b WHERE cd.min_rn <= b.probe_budget),
+         |ap AS (SELECT probe_budget, q_id, vec_id FROM (
+         |  SELECT probe_budget, q_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_budget, q_id
+         |      ORDER BY sim DESC, vec_id) AS rn FROM perb) WHERE rn <= 5),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 10),
+         |exs AS (SELECT q_id, e.vec_id,
+         |  ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rn FROM exs) WHERE rn <= 5),
+         |h AS (SELECT ap.probe_budget, ap.q_id, count(*) AS c
+         |  FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT CAST(b.probe_budget AS BIGINT) AS probe_budget, q.q_id,
+         |  coalesce(CAST(h.c AS BIGINT), 0) AS n_hit,
+         |  (1000000 * coalesce(CAST(h.c AS BIGINT), 0)) // 5 AS recall_mu
+         |FROM q CROSS JOIN budgets b
+         |LEFT JOIN h ON h.probe_budget = b.probe_budget AND h.q_id = q.q_id""".stripMargin,
     "q54_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |  FROM embeddings WHERE vec_id < 10),

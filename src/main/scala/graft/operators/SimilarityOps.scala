@@ -284,6 +284,83 @@ object SimilarityOps {
     cents
   }
 
+  /** IVF probe-budget sweep — the nprobe tuning table an operator
+    * reads BEFORE committing a probe count to a corpus-scale s3
+    * deployment (the ANN analogue of the d16 banding sweep): per
+    * query and probe budget, recall@k of probing the top-`budget`
+    * cells vs the exact brute-force top-k.
+    *
+    * Single-pass shape: the corpus is cell-assigned ONCE and the
+    * queries cell-ranked ONCE to the LARGEST budget; every (q, v)
+    * candidate carries the probe rank of its admitting cell (unique:
+    * a corpus vector lives in exactly one cell), so each budget is a
+    * `min_rn <= budget` filter over the SAME scored candidate stream
+    * — budgets explode on bounded candidate rows, never re-scan or
+    * re-score the corpus. The exact side is the one brute-force pass
+    * every recall eval pays (q54). Output: one row per
+    * (probe_budget, query) with integer micro-unit recall; a query
+    * whose probed cells hold no exact neighbor still appears with
+    * recall 0 (left join from the full budget x query frame).
+    */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, numCentroids: Int, budgets: Seq[Int],
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxP = budgets.max
+    val cents = broadcast(corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .withColumn("c_nrm", l2norm(col("c_emb"))))
+    def ranked(df: DataFrame, id: String, emb: String, nrm: String, keep: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("c_id"))
+      df.withColumn(nrm, l2norm(col(emb)))
+        .join(cents)
+        .select(col(id), col(emb), col(nrm), col("c_id"),
+          round(dotD(col(emb), col("c_emb")) /
+            (col(nrm) * col("c_nrm")), 6).as("csim"))
+        .withColumn("cell_rn", row_number().over(w))
+        .filter(col("cell_rn") <= keep)
+        .select(col(id), col(emb), col(nrm), col("c_id"), col("cell_rn"))
+    }
+    val assigned = ranked(corpus.select(col(idCol), col(embCol)),
+        idCol, embCol, "c_vnrm", keep = 1)
+      .withColumnRenamed("c_id", "cell").drop("cell_rn")
+    val qcells = broadcast(ranked(
+        queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+        "q_id", "q_emb", "q_nrm", keep = maxP)
+      .withColumnRenamed("c_id", "q_cell")
+      .withColumnRenamed("cell_rn", "min_rn"))
+    // unique (q, v) rows: v's single cell meets at most one probed
+    // cell of q, so min_rn needs no dedup aggregation
+    val cand = assigned.join(qcells,
+        col("cell") === col("q_cell") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), col("min_rn"),
+        round(dotD(col("q_emb"), col(embCol)) /
+          (col("q_nrm") * col("c_vnrm")), 6).as("sim"))
+    val perBudget = cand
+      .select(col("q_id"), col(idCol), col("sim"), col("min_rn"),
+        explode(array(budgets.map(lit(_)): _*)).as("probe_budget"))
+      .filter(col("min_rn") <= col("probe_budget"))
+    val wb = Window.partitionBy(col("probe_budget"), col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    val approx = perBudget
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("probe_budget"), col("q_id"), col(idCol))
+    val exact = bruteForceTopK(corpus, queries, idCol, embCol, k)
+      .select(col("q_id"), col(idCol))
+    val hits = approx.join(exact, Seq("q_id", idCol))
+      .groupBy(col("probe_budget"), col("q_id"))
+      .agg(count(lit(1)).as("__h"))
+    val budgetRows = corpus.sparkSession.range(1)
+      .select(explode(array(budgets.map(lit(_)): _*)).as("probe_budget"))
+    queries.select(col(idCol).as("q_id"))
+      .crossJoin(budgetRows)
+      .join(hits, Seq("probe_budget", "q_id"), "left")
+      .select(col("probe_budget").cast("long").as("probe_budget"),
+        col("q_id"),
+        coalesce(col("__h"), lit(0L)).as("n_hit"))
+      .withColumn("recall_mu", expr(s"(1000000 * n_hit) div $k"))
+  }
+
   /** [[ivfTopK]] with caller-provided (e.g. k-means-learned) centroids
     * instead of the deterministic corpus-prefix quantizer. */
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,

@@ -205,6 +205,20 @@ private[graft] object SimilarityQueries {
     // is integer micro-units (count ratio — the q29 tie class). At
     // scale the eval runs on a sampled query set exactly like this
     // broadcast one; the corpus-side cost is the two operators'.
+    // IVF nprobe tuning sweep (SimilarityOps.ivfProbeSweep) — the
+    // recall-vs-probe-budget curve read before committing an s3
+    // config, the ANN analogue of d16's banding sweep: one corpus
+    // cell-assignment, one query ranking to the largest budget, every
+    // budget a filter over the same scored candidate stream, one
+    // exact brute-force pass (the price of any recall eval).
+    "s13_ivf_probe_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfProbeSweep(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", numCentroids = 16,
+        budgets = Seq(1, 2, 4), k = 5)
+    }),
+
+
     "q54_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
