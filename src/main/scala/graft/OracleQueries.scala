@@ -1391,6 +1391,25 @@ GROUP BY sym"""
          |  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS pos_rate
          |FROM scored GROUP BY 1""".stripMargin
     },
+    // m17: m11's scored stream; ECE folds to |Σp − Σy| per bucket
+    // (the n_b cancels), all exact micro-unit integers, one division
+    "m17_ece" -> {
+      val z = LrFitCols.map(f => s"w3.w_$f * d.$f").mkString(" + ")
+      s"""WITH $lrFitCtePrefix,
+         |scored AS (SELECT d.y,
+         |    round(1.0 / (1.0 + exp(-($z))), 6) AS p
+         |  FROM d CROSS JOIN w3),
+         |b AS (SELECT least(CAST(floor(p * 100) AS BIGINT), 99) AS bucket,
+         |    count(*) AS n,
+         |    CAST(sum(CAST(p AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sp_mu,
+         |    CAST(sum(y) AS BIGINT) AS sy
+         |  FROM scored GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(abs(sp_mu - sy * 1000000)) AS BIGINT)
+         |    // CAST(sum(n) AS BIGINT) AS ece_mu
+         |FROM b""".stripMargin
+    },
     "q35_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  GROUPING(o_orderstatus) AS g_status,

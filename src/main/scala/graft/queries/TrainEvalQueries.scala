@@ -239,6 +239,36 @@ private[graft] object TrainEvalQueries {
             count(lit(1))).as("pos_rate"))
     }),
 
+    // EXPECTED CALIBRATION ERROR — the scalar m11's curve summarizes
+    // to (the standard "can I trust the probabilities" readout):
+    // ECE = Σ_b (n_b/N)·|mean_pred_b − pos_rate_b|. Fully integer by
+    // algebra: the per-bucket term is |Σp − Σy|/N after the n_b
+    // cancels, so the whole statistic is one abs-difference of exact
+    // micro-unit sums and ONE final division — no per-bucket division
+    // anywhere, hence no rounding accumulation at any corpus size.
+    // Same scored stream as m11 (same fit, same 100 buckets).
+    "m17_ece" -> ((s, dir) => {
+      val feats = lrFitFeatures(s, dir)
+      val w = CorpusOps.logisticFitWeights(feats, "y", LrFitCols,
+        iters = 3, lr = 0.5)
+      val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+        .reduceLeft(_ + _)
+      feats
+        .select(col("y"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+        .withColumn("bucket",
+          least(floor(col("p") * 100).cast("long"), lit(99L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("p").cast("decimal(18,6)")) * 1000000).cast("long")
+            .as("sp_mu"),
+          sum(col("y")).cast("long").as("sy"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_buckets"),
+          sum(abs(col("sp_mu") - col("sy") * lit(1000000L))).as("dev_mu"))
+        .select(col("n_docs"), col("n_buckets"),
+          expr("dev_mu div n_docs").as("ece_mu"))
+    }),
+
     // kNN-classifier eval (SimilarityOps.knnClassifyEval): per-class
     // accuracy of a majority-vote 5-NN classifier over the embedding
     // space — the standard "does the space separate the labels" probe.
