@@ -857,6 +857,23 @@ GROUP BY sym"""
          |  CAST(greatest(CAST(sum((c + 1) * (ls_mu - lc_mu)) AS BIGINT), 0)
          |    // (any_value(n_s) + any_value(nv)) AS BIGINT) AS kl_mu
          |FROM terms GROUP BY source""".stripMargin,
+    // t23: nested salted-residue fractions (m16's device), one
+    // token-level census + one doc-level count per fraction
+    "t23_vocab_growth" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR) || ':t23'")} % 100 AS sub
+         |  FROM documents),
+         |f AS (SELECT unnest([25, 50, 100]) AS frac_pct),
+         |nd AS (SELECT frac_pct, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM d CROSS JOIN f WHERE sub < frac_pct GROUP BY 1),
+         |tok AS (SELECT sub, unnest(toks) AS term FROM d),
+         |tg AS (SELECT frac_pct,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+         |  FROM tok CROSS JOIN f WHERE sub < frac_pct GROUP BY 1)
+         |SELECT CAST(frac_pct AS BIGINT) AS frac_pct, n_docs, n_tokens,
+         |  n_terms
+         |FROM nd JOIN tg USING (frac_pct)""".stripMargin,
     "t7_det_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,
@@ -1409,6 +1426,31 @@ GROUP BY sym"""
          |  CAST(sum(abs(sp_mu - sy * 1000000)) AS BIGINT)
          |    // CAST(sum(n) AS BIGINT) AS ece_mu
          |FROM b""".stripMargin
+    },
+    // m18: m11's scored stream x an unnested threshold list; integer
+    // micro-unit ratios with the same empty-cell CASE guards
+    "m18_pr_thresholds" -> {
+      val z = LrFitCols.map(f => s"w3.w_$f * d.$f").mkString(" + ")
+      s"""WITH $lrFitCtePrefix,
+         |scored AS (SELECT d.y,
+         |    CAST(CAST(round(1.0 / (1.0 + exp(-($z))), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS p_mu
+         |  FROM d CROSS JOIN w3),
+         |thr AS (SELECT unnest([300000, 500000, 700000]) AS thr_mu),
+         |agg AS (SELECT thr_mu,
+         |    CAST(sum(CASE WHEN p_mu >= thr_mu THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pred_pos,
+         |    CAST(sum(CASE WHEN p_mu >= thr_mu AND y = 1.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_tp,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos
+         |  FROM scored CROSS JOIN thr GROUP BY thr_mu)
+         |SELECT CAST(thr_mu AS BIGINT) AS thr_mu, n_pred_pos, n_tp, n_pos,
+         |  CASE WHEN n_pred_pos = 0 THEN 0
+         |    ELSE (1000000 * n_tp) // n_pred_pos END AS prec_mu,
+         |  CASE WHEN n_pos = 0 THEN 0
+         |    ELSE (1000000 * n_tp) // n_pos END AS rec_mu
+         |FROM agg""".stripMargin
     },
     "q35_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

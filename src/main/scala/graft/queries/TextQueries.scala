@@ -381,6 +381,38 @@ private[graft] object TextQueries {
     // (the occurrence agg over encoded ids, output bounded by
     // |sources| x |vocab|); the KL algebra runs entirely on that
     // grid-sized table.
+    // VOCABULARY GROWTH CURVE (Heaps' law readout): distinct-term
+    // count at nested 25%/50%/100% corpus fractions — the
+    // tokenizer-budget sizing table (how fast does the vocabulary a
+    // BPE/dictionary build must absorb grow with corpus size?).
+    // Fractions are m16's deterministic salted-residue device, so
+    // the subsets NEST and the curve is a real growth curve, not
+    // three unrelated samples. One token-level pass (fractions ride
+    // a narrow 3x explode) + one doc-level count pass.
+    "t23_vocab_growth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withSub = docs.select(
+        pmod(graft.operators.DedupOps.md5Hash32(
+          concat(col("doc_id").cast("string"), lit(":t23"))), lit(100))
+          .as("sub"),
+        cleanTokens.as("toks"))
+      val fracs = array(lit(25L), lit(50L), lit(100L))
+      val nd = withSub
+        .select(col("sub"), explode(fracs).as("frac_pct"))
+        .filter(col("sub") < col("frac_pct"))
+        .groupBy(col("frac_pct")).agg(count(lit(1)).as("n_docs"))
+      val tg = withSub
+        .select(col("sub"), explode(col("toks")).as("term"))
+        .select(col("sub"), col("term"), explode(fracs).as("frac_pct"))
+        .filter(col("sub") < col("frac_pct"))
+        .groupBy(col("frac_pct"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("term")).as("n_terms"))
+      nd.join(tg, Seq("frac_pct"))
+        .select(col("frac_pct"), col("n_docs"), col("n_tokens"),
+          col("n_terms"))
+    }),
+
     "t22_source_kl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // collect the (ordered) vocabulary ONCE and re-feed it as a

@@ -269,6 +269,40 @@ private[graft] object TrainEvalQueries {
           expr("dev_mu div n_docs").as("ece_mu"))
     }),
 
+    // PRECISION/RECALL THRESHOLD SWEEP — the deployment-side readout
+    // the m10 AUC summarizes away: before shipping a classifier you
+    // pick an operating point, and this is the table you pick it
+    // from. Scores quantize to exact micro-units (the m17 recipe),
+    // thresholds ride one narrow explode over the scored stream (3x
+    // bounded row growth, ONE corpus pass), and the ratios are
+    // integer micro-unit divisions with explicit empty-cell guards
+    // (a threshold above every score must report 0, not NULL/error).
+    "m18_pr_thresholds" -> ((s, dir) => {
+      val feats = lrFitFeatures(s, dir)
+      val w = CorpusOps.logisticFitWeights(feats, "y", LrFitCols,
+        iters = 3, lr = 0.5)
+      val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+        .reduceLeft(_ + _)
+      feats
+        .select(col("y"),
+          (round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+            .cast("decimal(18,6)") * 1000000).cast("long").as("p_mu"))
+        .select(col("y"), col("p_mu"),
+          explode(array(lit(300000L), lit(500000L), lit(700000L)))
+            .as("thr_mu"))
+        .groupBy(col("thr_mu"))
+        .agg(sum(when(col("p_mu") >= col("thr_mu"), 1L).otherwise(0L))
+            .as("n_pred_pos"),
+          sum(when(col("p_mu") >= col("thr_mu") && col("y") === 1.0, 1L)
+            .otherwise(0L)).as("n_tp"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+        .select(col("thr_mu"), col("n_pred_pos"), col("n_tp"), col("n_pos"),
+          expr("CASE WHEN n_pred_pos = 0 THEN 0L " +
+            "ELSE (1000000 * n_tp) div n_pred_pos END").as("prec_mu"),
+          expr("CASE WHEN n_pos = 0 THEN 0L " +
+            "ELSE (1000000 * n_tp) div n_pos END").as("rec_mu"))
+    }),
+
     // kNN-classifier eval (SimilarityOps.knnClassifyEval): per-class
     // accuracy of a majority-vote 5-NN classifier over the embedding
     // space — the standard "does the space separate the labels" probe.

@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 130") {
-    assert(SparkEntry.queries.size === 130)
+  test("inventory size is the declared 132") {
+    assert(SparkEntry.queries.size === 132)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
