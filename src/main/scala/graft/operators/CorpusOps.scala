@@ -56,9 +56,22 @@ object CorpusOps {
   def tokenizeToIds(docs: DataFrame, tokens: Column, vocab: DataFrame,
                     outCol: String = "token_ids"): DataFrame = {
     val termCol = vocab.columns.head
-    val dict: Map[String, Int] = vocab.select(col(termCol)).collect()
-      .map(_.getString(0)).zipWithIndex.map { case (t, i) => t -> (i + 1) }
-      .toMap
+    tokenizeToIds(docs, tokens,
+      vocab.select(col(termCol)).collect().map(_.getString(0)).toSeq,
+      outCol)
+  }
+
+  /** [[tokenizeToIds]] with an already-collected term list — the
+    * frozen-dictionary form: because the encode is a pure narrow
+    * expression, this overload works unchanged on a STREAMING
+    * DataFrame (stateless, watermark-free — the bpeApplyMerges /
+    * decontaminateStream class), which is how an ingest pipeline
+    * encodes arriving documents against the vocabulary the batch fit
+    * froze. */
+  def tokenizeToIds(docs: DataFrame, tokens: Column, terms: Seq[String],
+                    outCol: String): DataFrame = {
+    val dict: Map[String, Int] =
+      terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val m = typedlit(dict)
     docs.withColumn(outCol,
       transform(tokens, t => coalesce(element_at(m, t), lit(0))))

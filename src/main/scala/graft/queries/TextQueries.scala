@@ -425,7 +425,7 @@ private[graft] object TextQueries {
       val nVocab = terms.size
       val enc = CorpusOps.tokenizeToIds(
         docs.select(col("source"), cleanTokens.as("toks")),
-        col("toks"), terms.toDF("term"))
+        col("toks"), terms, "token_ids")
       val occ = enc
         .select(col("source"), explode(col("token_ids")).as("id"))
         .filter(col("id") > 0)
