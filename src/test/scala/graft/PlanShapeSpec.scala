@@ -214,6 +214,75 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(n == 1, s"sweep must scan the corpus once, got $n")
   }
 
+  test("m18 thresholds ride one corpus scan; t22 KL runs on the grid") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val seen = scala.collection.mutable.Set[Int]()
+    def countScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countScans(a.finalPhysicalPlan)
+      case q: QueryStageExec =>
+        if (seen.add(q.id)) countScans(q.plan) else 0
+      case _: FileSourceScanExec => 1
+      case _ => p.children.map(countScans).sum
+    }
+    // m18: the 3x threshold explode must not triple the corpus scan
+    // (the LR fit runs eagerly at build time, outside this lazy plan)
+    val m18 = SparkEntry.queries("m18_pr_thresholds")(spark, sf)
+    m18.collect()
+    seen.clear()
+    assert(countScans(m18.queryExecution.executedPlan) == 1,
+      s"m18 lazy plan must scan documents once:\n${m18.queryExecution.executedPlan}")
+    // t22: the HEAVY column (text) is scanned exactly once — the
+    // occurrence pass; every other documents reference is a
+    // source-only pruned scan (one column, cheap at any corpus size)
+    // because the KL algebra runs on the grid table
+    val t22 = SparkEntry.queries("t22_source_kl")(spark, sf)
+    t22.collect()
+    seen.clear()
+    def textScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => textScans(a.finalPhysicalPlan)
+      case q: QueryStageExec =>
+        if (seen.add(1000 + q.id)) textScans(q.plan) else 0
+      case f: FileSourceScanExec =>
+        if (f.output.exists(_.name == "text")) 1 else 0
+      case _ => p.children.map(textScans).sum
+    }
+    val n22 = textScans(t22.queryExecution.executedPlan)
+    assert(n22 == 1,
+      s"t22 must scan the text column exactly once, got $n22:\n" +
+        t22.queryExecution.executedPlan)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("s13 sweep: more probe budgets do NOT add corpus scans") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.col
+    val seen = scala.collection.mutable.Set[Int]()
+    def countScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countScans(a.finalPhysicalPlan)
+      case q: QueryStageExec =>
+        if (seen.add(q.id)) countScans(q.plan) else 0
+      case _: FileSourceScanExec => 1
+      case _ => p.children.map(countScans).sum
+    }
+    def scansFor(budgets: Seq[Int]): Int = {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val df = graft.operators.SimilarityOps.ivfProbeSweep(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        numCentroids = 16, budgets = budgets, k = 5)
+      df.collect()
+      seen.clear()
+      countScans(df.queryExecution.executedPlan)
+    }
+    // the d16 claim transplanted: every budget is a filter over the
+    // SAME scored candidate stream, so the scan count is independent
+    // of how many budgets the sweep prices
+    assert(scansFor(Seq(1)) == scansFor(Seq(1, 2, 4)))
+  }
+
   test("q38 final PageRank round shuffles ONLY the rank-sum aggregation") {
     import org.apache.spark.sql.functions._
     // the r5 contract: edges cached clustered by src, nodes by node,
