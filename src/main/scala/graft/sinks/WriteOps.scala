@@ -90,4 +90,52 @@ object WriteOps {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Small-file compaction report. */
+  final case class CompactStats(filesBefore: Int, filesAfter: Int,
+                                bytes: Long, compacted: Boolean)
+
+  /** Bin-pack a parquet directory's small files into ~`targetBytes`
+    * outputs — the table-maintenance job every streaming sink needs
+    * at scale: micro-batch appends (S5-S7) accrete one-file-per-batch
+    * layouts whose per-file open/footer cost eventually dominates
+    * every downstream scan. Rewrites ONLY when it would help (2+
+    * files under half the target), into ceil(totalBytes/targetBytes)
+    * outputs via a round-robin repartition (pure size balancing — no
+    * key skew risk), and swaps atomically-per-rename: write to a
+    * sibling `.compact.tmp` dir, move the old dir aside, move the new
+    * one in, delete the old — a crashed job leaves either the old or
+    * the new complete directory, never a mix. Idempotent: a second
+    * run reports `compacted = false` and touches nothing.
+    *
+    * 100 TB shape: the rewrite is one narrow scan→write job per
+    * table (no shuffle beyond the size-balancing round-robin
+    * exchange); at cluster scale you run it per partition directory
+    * under a partition-granularity lock, exactly like open-source
+    * table formats' OPTIMIZE. */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+                        path: String, targetBytes: Long): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val small = files.count(_.getLen < targetBytes / 2)
+    if (files.length < 2 || small < 2)
+      return CompactStats(files.length, files.length, total, compacted = false)
+    val outFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new Path(path + ".compact.tmp")
+    val old = new Path(path + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(path)
+      .repartition(outFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(hPath, old), s"compact: could not move $path aside")
+    require(fs.rename(tmp, hPath), s"compact: could not move new dir in")
+    fs.delete(old, true)
+    val after = fs.listStatus(hPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    CompactStats(files.length, after, total, compacted = true)
+  }
 }

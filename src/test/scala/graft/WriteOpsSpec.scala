@@ -40,6 +40,32 @@ class WriteOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
   }
 
+  test("small-file compaction: fewer files, identical rows, idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(20).write.parquet(dir) // 20 tiny files
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 20)
+    val expected = docs.select("doc_id", "lang").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val stats = WriteOps.compactSmallFiles(spark, dir, 64L * 1024 * 1024)
+    assert(stats.compacted && stats.filesBefore == before)
+    assert(parquetFiles == stats.filesAfter && stats.filesAfter < before)
+    // rows survive the rewrite byte-for-value
+    val after = spark.read.parquet(dir).select("doc_id", "lang")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == expected)
+    // no leftover tmp/old dirs from the swap
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact.")), parent.toSeq.toString)
+    // second run is a no-op
+    val again = WriteOps.compactSmallFiles(spark, dir, 64L * 1024 * 1024)
+    assert(!again.compacted && again.filesAfter == stats.filesAfter)
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
