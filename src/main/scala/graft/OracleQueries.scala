@@ -857,6 +857,26 @@ GROUP BY sym"""
          |  CAST(greatest(CAST(sum((c + 1) * (ls_mu - lc_mu)) AS BIGINT), 0)
          |    // (any_value(n_s) + any_value(nv)) AS BIGINT) AS kl_mu
          |FROM terms GROUP BY source""".stripMargin,
+    // d17: per-doc ordered id sequence re-derived via the shared
+    // vocab rank join; docs with zero tokens keep an EMPTY list (the
+    // tk left join), so all-empty docs collapse into one group
+    // exactly like the engine's empty arrays
+    "d17_id_dedup" ->
+      s"""WITH $vocabRankCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS term,
+         |    unnest(range(1, len(toks) + 1)) AS pos
+         |  FROM tk WHERE len(toks) >= 1),
+         |idt AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+         |  FROM tok LEFT JOIN v USING (term)),
+         |seq AS (SELECT doc_id, list(id ORDER BY pos) AS ids
+         |  FROM idt GROUP BY doc_id),
+         |allseq AS (SELECT tk.doc_id,
+         |    COALESCE(seq.ids, []::BIGINT[]) AS ids
+         |  FROM tk LEFT JOIN seq ON tk.doc_id = seq.doc_id)
+         |SELECT min(doc_id) AS keeper_doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(len(ids) AS BIGINT) AS n_toks
+         |FROM allseq GROUP BY ids""".stripMargin,
     // t23: nested salted-residue fractions (m16's device), one
     // token-level census + one doc-level count per fraction
     "t23_vocab_growth" ->

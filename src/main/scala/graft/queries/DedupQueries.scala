@@ -28,6 +28,30 @@ private[graft] object DedupQueries {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))),
 
 
+    // NORMALIZED exact dedup keyed on the ENCODED token-id sequence
+    // (round 7): two docs collapse when they tokenize+encode
+    // identically — catching the case/punctuation/whitespace variants
+    // d1's raw-text equality misses, at dictionary-encode cost (the
+    // tokenize-once pipeline gets this dedup nearly free: one
+    // groupBy over the already-stored id arrays). Same keyed-agg
+    // shape as d1; the min-id keeper is unique per group, so the
+    // output needs no array column (engine int arrays vs oracle
+    // BIGINT lists would otherwise be a hasher type mismatch).
+    "d17_id_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusOps.vocabularyWithIdf(
+        docs, "doc_id", cleanTokens, limit = 500)
+      CorpusOps.tokenizeToIds(
+          docs.select(col("doc_id"), cleanTokens.as("toks")),
+          col("toks"), vocab)
+        .groupBy(col("token_ids"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keeper_doc_id"), col("n_copies"),
+          size(col("token_ids")).cast("long").as("n_toks"))
+    }),
+
+
     // == dedup family (SURVEY.md §7.6; narrow signature + LSH join) ==
 
     // MinHash signatures → per-doc LSH band keys (char-trigram sets)

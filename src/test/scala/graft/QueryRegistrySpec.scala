@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 132") {
-    assert(SparkEntry.queries.size === 132)
+  test("inventory size is the declared 133") {
+    assert(SparkEntry.queries.size === 133)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
