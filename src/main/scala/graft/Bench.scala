@@ -62,15 +62,21 @@ object Bench {
         Files.readString(Paths.get("bench_ref.json")))
     } catch { case _: Exception => Map.empty[String, Double] }
     val medianCutoff = BenchPolicy.outlierCutoff(firstPass.values)
+    val cutoffs = firstPass.map { case (name, _) =>
+      name -> BenchPolicy.cutoffFor(refTimes.get(name), medianCutoff) }
     val outcomes = firstPass.map { case (name, t) =>
-      val cutoff = BenchPolicy.cutoffFor(refTimes.get(name), medianCutoff)
-      name -> BenchPolicy.finalTime(t, cutoff, () => runOnce(name, selected(name)))
+      name -> BenchPolicy.finalTime(t, cutoffs(name),
+        () => runOnce(name, selected(name)))
     }
     val results = outcomes.map { case (n, (t, _)) => n -> t }
     val retried = outcomes.collect { case (n, (_, extra)) if extra > 0 =>
       "\"" + n + "\":" + extra }.mkString("{", ",", "}")
-    // kept for cross-round artifact continuity (r1-r6 readers)
-    val retriedNames = outcomes.collect { case (n, (_, extra)) if extra > 0 =>
+    // kept for cross-round artifact continuity (r1-r6 readers): ONLY
+    // t > cutoff outlier re-runs, as r1-r6 listed — transient-failure
+    // retries live in the `retries` map alone (r7 advice: mixing them
+    // in skewed cross-round comparisons of this field)
+    val retriedNames = outcomes.collect { case (n, (_, extra))
+        if extra > 0 && firstPass(n) >= 0 && firstPass(n) > cutoffs(n) =>
       "\"" + n + "\"" }.mkString("[", ",", "]")
     // failures are OMITTED from the per-query map (so summing it equals
     // "value") and listed explicitly instead of hiding behind -1.0

@@ -66,11 +66,20 @@ object BenchPolicy {
     * [[Bench]] writes to `bench_out.json` / the curated
     * `bench_ref.json`). Regex-based on purpose: the file is
     * repo-authored, flat, and numeric-valued, and Bench must not grow
-    * a JSON-library dependency for it. Unreadable/absent input is an
-    * empty map (every query falls back to the median cutoff). */
-  def parseRefTimes(json: String): Map[String, Double] =
+    * a JSON-library dependency for it. A full `bench_out.json` line
+    * (the natural curation source) is scoped to its `"queries":{...}`
+    * object FIRST (r7 advice: without that, the trailing
+    * `"retries":{"q38":1}` pairs would overwrite real reference times
+    * with retry counts and collapse cutoffs to the 5s floor); a flat
+    * map with no `"queries"` key is scanned whole. Unreadable/absent
+    * input is an empty map (every query falls back to the median
+    * cutoff). */
+  def parseRefTimes(json: String): Map[String, Double] = {
+    val scope = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(json)
     "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
-      .findAllMatchIn(json)
+      .findAllMatchIn(scope)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
+  }
 }

@@ -213,16 +213,30 @@ object MediaCodec {
         (p(11) == 'F' || p(11) == 'C'))
     }
 
+  /** Magic-byte check for RECOGNIZED compressed-audio containers the
+    * JDK cannot decode (ID3-tagged / bare-frame MP3, Ogg, FLAC): these
+    * must route to the `unsupported:` error column, NOT the synthetic
+    * fake — a real MP3 masquerading as a decoded clip would poison any
+    * downstream audio-quality gate (r7 advice / verdict item 8). */
+  private def isKnownCompressedAudio(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && {
+      (p(0) == 'I' && p(1) == 'D' && p(2) == '3') || // ID3v2-tagged MP3
+      (p(0) == 0xFF.toByte && (p(1) & 0xE0.toByte) == 0xE0.toByte) || // MPEG frame sync
+      (p(0) == 'O' && p(1) == 'g' && p(2) == 'g' && p(3) == 'S') || // Ogg
+      (p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C') // FLAC
+    }
+
   /** Decode a PCM WAV/AIFF payload to mono [-1, 1] floats — REAL via
     * the JDK's own `AudioSystem` (the ImageIO playbook: no external
     * libs). The stream is re-coded to 16-bit signed PCM at the source
     * rate/channel-count first (covers 8-bit and unsigned variants),
-    * then channel-averaged. Non-audio payloads >= 64 bytes fall back
-    * to the deterministic payload-seeded fake (the synthetic-pipeline
-    * stand-in); shorter ones are "corrupt", mimicking truncation
-    * handling. Compressed containers (mp3/mp4) are NOT decodable by
-    * the JDK and land in the error column — the documented env-blocked
-    * residue, like video. */
+    * then channel-averaged. Recognized compressed containers
+    * (mp3/ogg/flac) are NOT decodable by the JDK and land in the
+    * error column as `unsupported:` — the documented env-blocked
+    * residue, like video. Synthetic non-container payloads >= 64
+    * bytes fall back to the deterministic payload-seeded fake (the
+    * synthetic-pipeline stand-in); shorter ones are "corrupt",
+    * mimicking truncation handling. */
   def decodeAudio(payload: Array[Byte]): Either[String, AudioClip] = {
     if (payload != null && isJdkAudio(payload)) {
       try {
@@ -230,6 +244,11 @@ object MediaCodec {
           new java.io.ByteArrayInputStream(payload))
         try {
           val src = in.getFormat
+          // NOT_SPECIFIED (-1) / zero rates or channels would divide-
+          // by-zero (duration math) or underflow downstream — route to
+          // the error column like every other malformed payload
+          if (src.getSampleRate <= 0 || src.getChannels <= 0)
+            return Left("corrupt: bad sample rate or channel count")
           val target = new javax.sound.sampled.AudioFormat(
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             src.getSampleRate, 16, src.getChannels,
@@ -259,6 +278,8 @@ object MediaCodec {
       } catch {
         case e: Exception => Left(s"corrupt: ${e.getMessage}")
       }
+    } else if (payload != null && isKnownCompressedAudio(payload)) {
+      Left("unsupported: compressed audio container (no JDK codec)")
     } else if (payload == null || payload.length < 64) {
       Left("corrupt: payload too short")
     } else {

@@ -15,6 +15,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Per-round timing lines are a debug hook, OFF by default (r7
+    * advice): a library operator must not write to every embedding
+    * app's stderr — tests and callers see clean logs. Enable with
+    * `-Dgraft.timing=true` or `GRAFT_TIMING=1` (the `GRAFT_CC_EXPLAIN`
+    * class of opt-in plan/perf probe). */
+  private def debugTiming(msg: => String): Unit =
+    if (sys.props.get("graft.timing").exists(_.equalsIgnoreCase("true")) ||
+        sys.env.contains("GRAFT_TIMING"))
+      System.err.println(msg)
+
   /** Connected components over an undirected edge list via the
     * alternating large-star / small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", ACM SoCC 2014).
@@ -86,7 +96,7 @@ object GraphOps {
       curRelease = nextRelease
       curSig = nextSig
       cur = nxt
-      System.err.println(f"[cc] round $rounds edges=${nextSig._1} " +
+      debugTiming(f"[cc] round $rounds edges=${nextSig._1} " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     // fixpoint: every edge is (componentMin, member); roots map to
@@ -182,7 +192,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tBuild0 = System.nanoTime()
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
-    System.err.println(f"[pr] edges+nodes build ${(System.nanoTime() - tBuild0) / 1e9}%.2fs n=$n")
+    debugTiming(f"[pr] edges+nodes build ${(System.nanoTime() - tBuild0) / 1e9}%.2fs n=$n")
     if (n == 0) {
       // empty (or all-null / all-self-loop-free… i.e. no valid) edge
       // set: no nodes, no ranks — and no driver-side division by
@@ -235,7 +245,7 @@ object GraphOps {
         p
       }
       if (i < iters)
-        System.err.println(f"[pr] iter $i ${(System.nanoTime() - tIter0) / 1e9}%.2fs")
+        debugTiming(f"[pr] iter $i ${(System.nanoTime() - tIter0) / 1e9}%.2fs")
     }
     val lastRelease = prevRelease
     (pr, () => {

@@ -79,4 +79,16 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(m.get("sf").isEmpty) // string-valued keys don't parse as refs
     assert(BenchPolicy.parseRefTimes("not json at all").isEmpty)
   }
+
+  test("reference map parse: scoped to the queries object — retries/value pairs never shadow times") {
+    // the natural curation workflow copies bench_out.json verbatim;
+    // its trailing retries object must NOT overwrite q38's real time
+    val m = BenchPolicy.parseRefTimes(
+      """{"metric":"total","value":191.1,"unit":"sec","queries":{"q38_pagerank":4.97,"d13_dedup_policies":6.22},"sf":"/x","retries":{"d13_dedup_policies":1,"q38_pagerank":2},"failed":[]}""")
+    assert(m("q38_pagerank") == 4.97 && m("d13_dedup_policies") == 6.22)
+    assert(m.get("value").isEmpty) // top-level numerics stay outside scope
+    // a flat map with no "queries" key still parses whole
+    assert(BenchPolicy.parseRefTimes("""{"q1":1.5,"q2":2.5}""") ==
+      Map("q1" -> 1.5, "q2" -> 2.5))
+  }
 }

@@ -160,6 +160,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(MediaCodec.decodeAudio(Array[Byte](1, 2, 3)).isLeft)
   }
 
+  test("compressed-audio magics route to unsupported, never the fake") {
+    // real container headers the JDK cannot decode: an MP3/Ogg/FLAC
+    // must land in the error column, not masquerade as a decoded clip
+    def pad(head: Array[Byte]): Array[Byte] = head ++ Array.fill[Byte](128)(0)
+    val id3 = pad(Array[Byte]('I', 'D', '3', 4, 0, 0))
+    val mp3 = pad(Array(0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00.toByte))
+    val ogg = pad(Array[Byte]('O', 'g', 'g', 'S', 0))
+    val flac = pad(Array[Byte]('f', 'L', 'a', 'C', 0))
+    for (p <- Seq(id3, mp3, ogg, flac)) {
+      val r = MediaCodec.decodeAudio(p)
+      assert(r.isLeft && r.swap.toOption.get.startsWith("unsupported:"),
+        s"expected unsupported, got $r")
+    }
+    // the synthetic fixture class (no recognized magic) keeps the fake
+    assert(MediaCodec.decodeAudio(Array.fill[Byte](128)(7)).isRight)
+  }
+
   test("AIFF round-trip decodes to the same samples as WAV") {
     // re-encode the fixture clip as AIFF in memory (big-endian PCM)
     // via the JDK's own writer, then decode through the same seam
