@@ -48,10 +48,15 @@ object CorpusOps {
     * encode as 0, so id 0 is reserved and the id space is exactly
     * [0, |vocab|]. The dictionary collects to the driver — bounded by
     * the caller's vocabulary limit, the stop-words/centroids class of
-    * constant-size collect — and ships as ONE map literal probed by a
-    * codegen'd `element_at` inside `transform`: the encode pass is
-    * completely narrow (no join, no shuffle; a scan-project at any
-    * corpus size). Returns `docs` plus the `outCol` int-array column.
+    * constant-size collect — and ships as a lazily-built BROADCAST
+    * probed by a codegen'd expression ([[graft.plans.DictTokenIds]]):
+    * the encode pass is completely narrow (no join, no shuffle; a
+    * scan-project at any corpus size) and the plan carries only the
+    * broadcast handle, so the encode holds its shape at the
+    * reference's own 262,144-term vocabulary where the round-7 map
+    * LITERAL would have bloated every task binary (BASELINE.md
+    * CountVectorizer row; the r7 verdict's scale seam). Returns
+    * `docs` plus the `outCol` int-array column.
     */
   def tokenizeToIds(docs: DataFrame, tokens: Column, vocab: DataFrame,
                     outCol: String = "token_ids"): DataFrame = {
@@ -70,11 +75,9 @@ object CorpusOps {
     * froze. */
   def tokenizeToIds(docs: DataFrame, tokens: Column, terms: Seq[String],
                     outCol: String): DataFrame = {
-    val dict: Map[String, Int] =
-      terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val m = typedlit(dict)
-    docs.withColumn(outCol,
-      transform(tokens, t => coalesce(element_at(m, t), lit(0))))
+    val bc = docs.sparkSession.sparkContext
+      .broadcast(new graft.plans.TokenDict(terms.toArray))
+    docs.withColumn(outCol, graft.plans.DictTokenIds.of(tokens, bc))
   }
 
   /** Bigram language-model fluency score per document (the

@@ -8,8 +8,13 @@ import graft.operators.CorpusOps
 /** CorpusOps.tokenizeToIds — the dictionary-encode contract: ids are
   * 1-based positions in the vocab's priority order, OOV encodes as 0,
   * empty token arrays encode to empty id arrays, and the encode pass
-  * is completely narrow (broadcast dictionary literal — no join, no
-  * shuffle). */
+  * is completely narrow (lazily-broadcast dictionary probed by the
+  * graft.plans.DictTokenIds codegen expression — no join, no shuffle,
+  * no plan-embedded literal). Round-8 addition: proven at the
+  * reference's own 262,144-term vocabulary (BASELINE.md
+  * CountVectorizer vocabSize) with a serialized-expression size
+  * assertion — the task-binary bloat the round-7 typedlit spelling
+  * would have hit at that scale. */
 class TokenIdsSpec extends AnyFunSuite with SparkSessionFixture {
 
   private def docsDf = {
@@ -64,5 +69,53 @@ class TokenIdsSpec extends AnyFunSuite with SparkSessionFixture {
     }
     assert(shuffles(enc.queryExecution.executedPlan) == 0,
       s"dictionary encode must be narrow:\n${enc.queryExecution.executedPlan}")
+  }
+
+  test("reference-scale vocab (262,144 terms): correct ids, literal-free plan, small expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.MapType
+    val n = 262144 // the reference's CountVectorizer vocabSize (BASELINE.md)
+    val terms = (0 until n).map(i => f"term$i%06d")
+    val docs = Seq(
+      (1L, Seq(terms.head, terms(n / 2), terms.last, "zzz_oov")),
+      (2L, Seq.empty[String])
+    ).toDF("doc_id", "toks")
+    val enc = CorpusOps.tokenizeToIds(docs, col("toks"), terms, "token_ids")
+    // correctness at full scale: first/middle/last rank + OOV
+    val out = enc.select("doc_id", "token_ids").as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(out(1L) == Seq(1, n / 2 + 1, n, 0))
+    assert(out(2L) == Seq.empty[Int])
+    // the dictionary must NOT be embedded in the plan as a map literal
+    // (the r7 typedlit spelling): only the broadcast handle rides the
+    // expression tree, so every stage's task binary stays small
+    val mapLits = enc.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: Literal if l.dataType.isInstanceOf[MapType] => l })
+    }.flatten
+    assert(mapLits.isEmpty, s"plan embeds ${mapLits.size} map literal(s)")
+    // task-binary proxy: the serialized encode EXPRESSION (what every
+    // task submission carries) must be orders of magnitude below the
+    // serialized r7 literal spelling of the same dictionary
+    def serializedSize(a: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(a); oos.close(); bos.size
+    }
+    val bc = spark.sparkContext.broadcast(
+      new graft.plans.TokenDict(terms.toArray))
+    val newSize = serializedSize(
+      ColumnBridge.expression(graft.plans.DictTokenIds.of(col("toks"), bc)))
+    assert(newSize < 64 * 1024,
+      s"broadcast-probe expression serialized to $newSize bytes")
+    val dict: Map[String, Int] =
+      terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val oldSize = serializedSize(ColumnBridge.expression(
+      transform(col("toks"),
+        t => coalesce(element_at(typedlit(dict), t), lit(0)))))
+    assert(oldSize > 1024 * 1024,
+      s"typedlit control serialized to only $oldSize bytes — control invalid")
   }
 }
