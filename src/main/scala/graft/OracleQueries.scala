@@ -33,6 +33,22 @@ private[graft] object OracleQueries {
        |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS id
        |  FROM d) WHERE id <= 500)""".stripMargin
 
+  /** The id-bigram census shared by t21 (inline encode) and t24
+    * (stored round-trip): one text, two queries, so the driver's hash
+    * compare proves the stored arrays reproduce the inline encode
+    * byte-for-byte. */
+  private lazy val idBigramCensusSql: String =
+    s"""WITH $vocabRankCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS term,
+       |    unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM tk WHERE len(toks) >= 2),
+       |idt AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+       |  FROM tok LEFT JOIN v USING (term))
+       |SELECT CAST(a.id AS BIGINT) AS l_id, CAST(b.id AS BIGINT) AS r_id,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM idt a JOIN idt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |GROUP BY 1, 2 ORDER BY cnt DESC, l_id, r_id LIMIT 50""".stripMargin
+
   /** Unrolled DuckDB twin of [[graft.operators.CorpusOps.bpeFit]]:
     * words0 is the word-frequency table with each word's characters
     * individually wrapped in chr(31); each round k counts adjacent
@@ -810,17 +826,11 @@ GROUP BY sym"""
     // t21: t20's id derivation + adjacent-position self-join; the
     // (cnt DESC, l_id, r_id) total order makes the LIMIT-50 boundary
     // deterministic on both engines (the q3/t12 tie class)
-    "t21_id_bigrams" ->
-      s"""WITH $vocabRankCte,
-         |tok AS (SELECT doc_id, unnest(toks) AS term,
-         |    unnest(range(1, len(toks) + 1)) AS pos
-         |  FROM tk WHERE len(toks) >= 2),
-         |idt AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS id
-         |  FROM tok LEFT JOIN v USING (term))
-         |SELECT CAST(a.id AS BIGINT) AS l_id, CAST(b.id AS BIGINT) AS r_id,
-         |  CAST(count(*) AS BIGINT) AS cnt
-         |FROM idt a JOIN idt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-         |GROUP BY 1, 2 ORDER BY cnt DESC, l_id, r_id LIMIT 50""".stripMargin,
+    "t21_id_bigrams" -> idBigramCensusSql,
+    // t24: the Spark side stages the encode to parquet and re-reads
+    // the STORED arrays; the oracle is byte-identical to t21's, so a
+    // green t24 IS the stored-vs-inline equality proof
+    "t24_stored_bigrams" -> idBigramCensusSql,
     // t22: per-source KL from the corpus unigram distribution over the
     // vocab-id space. Add-one smoothing over the FULL source x vocab
     // grid (zero-count terms carry smoothing mass), logs quantized to

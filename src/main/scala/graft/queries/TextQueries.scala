@@ -370,6 +370,60 @@ private[graft] object TextQueries {
         .limit(50)
     }),
 
+    // TOKENIZE-ONCE STORAGE ROUND-TRIP (round 8): t21 re-derives the
+    // encode inline; the 100 TB contract is encode ONCE to parquet and
+    // have every consumer read STORED arrays. This query runs that
+    // contract end-to-end: STAGE writes (doc_id, token_ids) range-
+    // clustered+sorted on doc_id via WriteOps.sortedParquet plus the
+    // (id, term) dictionary beside it, then the CONSUMER re-reads the
+    // FILES and reproduces t21's bigram census from the stored arrays
+    // alone — same oracle SQL as t21, so the driver's hash compare
+    // proves stored-vs-inline byte-equality, pinning the on-disk
+    // schema (array<int>, parquet int32) and dictionary placement.
+    // The stage dir is deterministic per input dir and overwritten
+    // per run; the require() fail-fasts if the stored int width ever
+    // drifts (a silent widen would change nothing at sf0.1 and
+    // double the storage at 100 TB).
+    "t24_stored_bigrams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = CorpusOps.vocabularyWithIdf(
+          docs, "doc_id", cleanTokens, limit = 500)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      val stage = sys.props("java.io.tmpdir") +
+        s"/graft_t24_${java.lang.Integer.toHexString(dir.hashCode)}"
+      graft.sinks.WriteOps.sortedParquet(
+        CorpusOps.tokenizeToIds(
+            docs.select(col("doc_id"), cleanTokens.as("toks")),
+            col("toks"), terms, "token_ids")
+          .select(col("doc_id"), col("token_ids")),
+        s"$stage/token_ids", Seq("doc_id"), numFiles = 4)
+      import s.implicits._
+      terms.zipWithIndex.map { case (t, i) => (i + 1, t) }
+        .toDF("id", "term")
+        .write.mode("overwrite").parquet(s"$stage/vocab")
+      val stored = s.read.parquet(s"$stage/token_ids")
+      require(stored.schema("token_ids").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false) ||
+        stored.schema("token_ids").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = true),
+        s"stored token_ids must be array<int>, got " +
+          stored.schema("token_ids").dataType)
+      stored
+        .filter(size(col("token_ids")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("token_ids")) - 1),
+          i => struct(
+            element_at(col("token_ids"), i).cast("long").as("l_id"),
+            element_at(col("token_ids"), i + 1).cast("long").as("r_id"))))
+          .as("b"))
+        .groupBy(col("b.l_id").as("l_id"), col("b.r_id").as("r_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_id"), col("r_id"))
+        .limit(50)
+    }),
+
     // PER-SOURCE KL DIVERGENCE from the corpus unigram distribution
     // over the vocab-id space — the domain-drift governance readout
     // (which sources' token mix diverges from the corpus mean, i.e.

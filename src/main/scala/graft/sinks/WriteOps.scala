@@ -66,6 +66,21 @@ object WriteOps {
       .parquet(path)
   }
 
+  /** Write parquet range-clustered and sorted on `sortCols` into
+    * `numFiles` files — the unpartitioned sibling of
+    * [[partitionedSorted]] for tables read whole but filtered/joined
+    * on a key prefix: one range exchange (sampled bounds, balanced
+    * output tasks) plus an in-task sort gives globally disjoint,
+    * sorted key ranges per file, so parquet min/max row-group stats
+    * prune point and range reads on the sort key. This is the layout
+    * the tokenize-once pipeline stores its encoded id arrays in
+    * (t24's stage step). */
+  def sortedParquet(df: DataFrame, path: String, sortCols: Seq[String],
+                    numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Write parquet clustered in Morton (z-) order over `dims` — the
     * multi-column data-skipping layout: `repartitionByRange` + in-task
     * sort on the interleaved key ([[graft.plans.ZValue]]) places rows
