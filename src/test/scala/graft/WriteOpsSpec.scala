@@ -66,6 +66,80 @@ class WriteOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!again.compacted && again.filesAfter == stats.filesAfter)
   }
 
+  test("partition-aware compaction: per-leaf rewrite, pruning and rows intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compactp").toString + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang").isin("en", "de"))
+    // many tiny files inside each partition directory (the streaming-
+    // append accretion pattern compaction exists for)
+    docs.repartition(10).write.partitionBy("lang").parquet(dir)
+    def filesIn(sub: String) = {
+      val d = new java.io.File(s"$dir/$sub")
+      if (!d.isDirectory) 0
+      else d.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val beforeEn = filesIn("lang=en")
+    val beforeDe = filesIn("lang=de")
+    assert(beforeEn >= 5 && beforeDe >= 5, s"$beforeEn/$beforeDe")
+    val expected = docs.select("doc_id", "lang").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val stats = WriteOps.compactSmallFiles(spark, dir, 64L * 1024 * 1024)
+    // per-partition file counts drop; partition dirs survive by name
+    assert(stats.compacted && stats.filesBefore == beforeEn + beforeDe)
+    assert(filesIn("lang=en") < beforeEn && filesIn("lang=de") < beforeDe)
+    assert(filesIn("lang=en") + filesIn("lang=de") == stats.filesAfter)
+    // rows and the partition column survive the rewrite
+    val after = spark.read.parquet(dir).select("doc_id", "lang")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == expected)
+    // partition pruning still plans off the directory names
+    val scan = spark.read.parquet(dir).filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    // no compact leftovers anywhere under the table root
+    def sweep(f: java.io.File): Seq[String] =
+      f.listFiles.toSeq.flatMap(c =>
+        c.getName +: (if (c.isDirectory) sweep(c) else Seq.empty))
+    assert(!sweep(new java.io.File(dir)).exists(_.contains(".compact.")),
+      sweep(new java.io.File(dir)).toString)
+    // idempotent across the whole tree
+    val again = WriteOps.compactSmallFiles(spark, dir, 64L * 1024 * 1024)
+    assert(!again.compacted && again.filesAfter == stats.filesAfter)
+  }
+
+  test("compaction crash recovery: a parked leaf is restored, then compacted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compactr").toString + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang").isin("en", "de"))
+    docs.repartition(8).write.partitionBy("lang").parquet(dir)
+    val expected = docs.count()
+    // simulate a crash between the two renames: leaf data parked at
+    // .compact.old.<leaf>, nothing at the live path (r7 advice: this
+    // exact state used to require manual recovery)
+    val en = new java.io.File(s"$dir/lang=en")
+    val parked = new java.io.File(s"$dir/.compact.old.lang=en")
+    assert(en.renameTo(parked))
+    assert(!en.exists)
+    // plus an incomplete tmp from the same doomed run
+    val tmp = new java.io.File(s"$dir/.compact.tmp.lang=de")
+    assert(tmp.mkdir())
+    val stats = WriteOps.compactSmallFiles(spark, dir, 64L * 1024 * 1024)
+    // the parked leaf came back and was compacted with the rest
+    assert(stats.compacted && en.isDirectory && !parked.exists && !tmp.exists)
+    assert(spark.read.parquet(dir).count() == expected)
+    // a parked ROOT (flat-table crash) restores too
+    val flat = Files.createTempDirectory("compactr2").toString + "/f"
+    docs.repartition(5).write.parquet(flat)
+    val f = new java.io.File(flat)
+    val fParked = new java.io.File(f.getParent, ".compact.old.f")
+    assert(f.renameTo(fParked))
+    val s2 = WriteOps.compactSmallFiles(spark, flat, 64L * 1024 * 1024)
+    assert(s2.compacted && f.isDirectory && !fParked.exists)
+    assert(spark.read.parquet(flat).count() == expected)
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
