@@ -554,6 +554,35 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("chunk_fp")
   }
 
+  /** Streaming twin of batch d17 (exact dedup keyed on the ENCODED
+    * token-id sequence): arriving documents are dictionary-encoded
+    * map-side against the batch-frozen `terms` vocabulary (the
+    * [[graft.operators.CorpusOps.tokenizeToIds]] streaming contract —
+    * a narrow broadcast-probe projection, no state of its own) and
+    * only the FIRST document per id-sequence inside the watermark
+    * horizon passes — the ingest-side admission filter the
+    * tokenize-once pipeline gets nearly free, suppressing the case/
+    * punctuation/whitespace variants raw-text equality misses.
+    *
+    * State is ONE key per distinct surviving id-sequence inside the
+    * horizon (watermark-evicted), the
+    * [[minhashDedupWithinWatermark]] bound. Documents whose tokens
+    * all fall outside the vocabulary (or that have no tokens) encode
+    * to the same key and collapse together — exactly batch d17's
+    * empty/equal-array grouping; callers wanting OOV docs through
+    * unconditionally should pre-filter on token count. */
+  def idDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
+                             terms: Seq[String], watermark: String): DataFrame = {
+    val toks = graft.functions.TextOps.cleanTokens(col(textCol))
+    graft.operators.CorpusOps.tokenizeToIds(df, toks, terms, "__ids")
+      .withColumn("__idkey",
+        md5(concat_ws(",", org.apache.spark.sql.functions.transform(
+          col("__ids"), x => x.cast("string")))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__idkey")
+      .drop("__ids", "__idkey")
+  }
+
   def minhashDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                                   watermark: String): DataFrame = {
     df.withColumn("__hs", graft.plans.HashedTrigrams32(col(textCol)))
