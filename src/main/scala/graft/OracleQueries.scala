@@ -482,9 +482,7 @@ GROUP BY sym"""
     },
 
     "d2b_minhash_pairs" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},
          |banded AS ($branches)
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
@@ -493,15 +491,13 @@ GROUP BY sym"""
          |GROUP BY 1, 2""".stripMargin
     },
     "d3_simhash" ->
-      s"""WITH hsrc AS (SELECT doc_id,
-         |  list_transform($sqlToks, t -> ${OracleSql.hash60("t")}) AS hs FROM documents)
+      s"""WITH ${OracleSql.simhashHsrcCte(sqlToks)}
          |SELECT doc_id, ${OracleSql.simhashFromHs} AS simhash FROM hsrc""".stripMargin,
     "d3b_simhash_pairs" -> {
       val chunks = (0 until 4)
         .map(c => s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${15 * c}) & 32767 AS chunk_val FROM sh")
         .mkString(" UNION ALL ")
-      s"""WITH hsrc AS (SELECT doc_id,
-         |  list_transform($sqlToks, t -> ${OracleSql.hash60("t")}) AS hs FROM documents),
+      s"""WITH ${OracleSql.simhashHsrcCte(sqlToks)},
          |sh AS (SELECT doc_id, ${OracleSql.simhashFromHs} AS simhash FROM hsrc),
          |chunks AS ($chunks),
          |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -514,9 +510,7 @@ GROUP BY sym"""
     // verify stage intersects hashed trigram sets (same md5-prefix
     // hash as the Spark side, so collisions shrink both identically)
     "d4_ngram_jaccard" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -532,9 +526,7 @@ GROUP BY sym"""
          |WHERE jac_raw >= 0.6""".stripMargin
     },
     "d6_edit_distance" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -931,9 +923,7 @@ GROUP BY sym"""
     // inlines CTEs by default, which would re-evaluate the whole
     // minhash chain on every recursion step (>100x slower).
     "d7_dedup_clusters" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |banded AS ($branches),
          |pairs AS MATERIALIZED (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1022,9 +1012,7 @@ GROUP BY sym"""
     // d4's verified pairs + d7's reachability closure + anti-join;
     // MATERIALIZED again load-bearing for the recursion
     "d10_dedup_keep" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1051,9 +1039,7 @@ GROUP BY sym"""
     // same closure as d10, but keep the longest member per cluster
     // (n_chars DESC, id tiebreak) instead of the min id
     "d11_dedup_keepbest" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1085,9 +1071,7 @@ GROUP BY sym"""
     // both policies over the same closure CTEs (the Spark side pays
     // the prefix once; the oracle just spells each policy's tail)
     "d13_dedup_policies" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1122,9 +1106,7 @@ GROUP BY sym"""
     // delta (doc_id % 5 = 0) admitted against base (the rest):
     // band-keyed cross-set candidates, Jaccard verify, min base id
     "d14_incremental_dedup" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.doc_id AS delta_id, r.doc_id AS base_id
@@ -1349,9 +1331,7 @@ GROUP BY sym"""
          |WHERE cb >= 5
          |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin,
     "d12_source_overlap" -> {
-      val branches = (0 until DetParams.MinhashBands)
-        .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
-        .mkString(" UNION ALL ")
+      val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b

@@ -56,6 +56,22 @@ object OracleSql {
        |keys AS (SELECT doc_id, $keys FROM sigt)""".stripMargin
   }
 
+  /** UNION ALL branch list flattening [[minhashKeysCte]]'s wide
+    * band-key columns to (doc_id, band, bkey) rows — the `banded` CTE
+    * body every pair-generating dedup oracle shares (d2b, d4, d6, d7,
+    * d10-d14). */
+  val bandedBranches: String =
+    (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, b$b AS bkey FROM keys")
+      .mkString(" UNION ALL ")
+
+  /** Token-hash CTE for the SimHash family (d3/d3b): per-doc 60-bit
+    * token hashes, tf-weighted (the token list keeps duplicates).
+    * `toksSql` is the tokenizer spelling (OracleQueries owns it). */
+  def simhashHsrcCte(toksSql: String): String =
+    s"""hsrc AS (SELECT doc_id,
+       |  list_transform($toksSql, t -> ${hash60("t")}) AS hs FROM documents)""".stripMargin
+
   /** Double-precision dot product of two list columns (left fold). */
   def dot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
