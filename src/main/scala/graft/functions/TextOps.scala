@@ -24,7 +24,9 @@ object TextOps {
     * lower() so `A-Z` never matches (kept for as-written parity). */
   val CleanRegex: String = "[^A-Za-z\\n ]|(http\\S+)|(www.\\S+)"
 
-  /** lower + trim + regex-delete. String -> String. */
+  /** lower + trim + regex-delete. String -> String. (The literal
+    * reference spelling — [[cleanTokens]]' ground truth; the hot path
+    * runs the fused scanner instead.) */
   def clean(c: Column): Column =
     regexp_replace(lower(trim(c)), CleanRegex, "")
 
@@ -33,8 +35,22 @@ object TextOps {
   def tokenize(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > lit(0))
 
-  /** Full clean+tokenize chain: String -> Array[String]. */
-  def cleanTokens(c: Column): Column = tokenize(clean(c))
+  /** Reference clean+tokenize as the literal regex chain — kept as
+    * the executable ground truth [[graft.CleanTokensSpec]] pins the
+    * fused scanner against. */
+  def cleanTokensReference(c: Column): Column = tokenize(clean(c))
+
+  /** Full clean+tokenize chain: String -> Array[String].
+    *
+    * Round 8: the regex chain was measured tokenization-BOUND on the
+    * scoring path (~1k docs/s/core vs BASELINE.md's ≥10⁴ target; the
+    * LR scoring UDF added nothing measurable), so the regex-delete +
+    * split + empty-drop stages now run as ONE byte scan
+    * ([[graft.plans.CleanTokens]], codegen'd) with spec-pinned
+    * byte-equality to the regex spelling on the real corpus and
+    * adversarial inputs. `lower`/`trim` stay built-ins in front. */
+  def cleanTokens(c: Column): Column =
+    graft.plans.CleanTokens.of(lower(trim(c)))
 
   /** The 181-word English stop list used by the reference model's
     * StopWordsRemover stage (Spark ML default English list; the
