@@ -84,9 +84,17 @@ object Bench {
       .mkString("[", ",", "]")
     val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // first-pass times (pre-retry), emitted so bench_ref.json can be
+    // curated from what the cutoff is actually compared AGAINST: a
+    // retry-pass minimum structurally undercuts every first pass
+    // (retries reuse compiled codegen classes), which is how q38
+    // earned a retry in every artifact r5-r7 — its ref was a time no
+    // first pass can hit
+    val fps = firstPass.collect { case (k, v) if v >= 0 =>
+      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retries":$retried,"retried_outliers":$retriedNames,"failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retries":$retried,"retried_outliers":$retriedNames,"failed":$failed,"first_pass":$fps}"""
     // canonical machine-readable copy (stdout can interleave with
     // Spark/sbt log noise; BENCH_r01 came back parsed:null that way)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

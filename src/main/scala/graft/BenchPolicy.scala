@@ -32,7 +32,18 @@ object BenchPolicy {
   /** Cutoff for a query WITH a recorded idle-harness reference time:
     * 1.5x the reference, same 5s floor (sub-5s queries jitter across
     * the noise band without threatening any wall-time bar; re-running
-    * them buys nothing). */
+    * them buys nothing).
+    *
+    * Curation rule (round 8): `bench_ref.json` references are idle
+    * FIRST-PASS minimums, because the cutoff is compared against the
+    * first pass. A retry-pass minimum structurally undercuts every
+    * first pass for iterative/codegen-heavy queries (retries reuse
+    * compiled codegen classes; q38's first pass carries ~4s of
+    * one-time compile its steady state never pays), which is how q38
+    * earned a retry in EVERY artifact r5-r7 — its ref was a time no
+    * first pass could reach. Bench emits `first_pass` in the artifact
+    * precisely so the refs can be curated from the right
+    * distribution. */
   def refCutoff(ref: Double): Double = math.max(5.0, 1.5 * ref)
 
   /** Per-query cutoff: reference-anchored when the query has a recorded
