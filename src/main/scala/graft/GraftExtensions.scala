@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, QuantileSketchAgg, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
+import graft.plans.{CleanTokens, EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, QuantileSketchAgg, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -32,6 +32,14 @@ import graft.plans.{EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHa
   *   top_k_rows(ord, id, k)   aggregate: k best (ord desc, id asc) pairs
   *   quantile_sketch(v, k, phi...)  aggregate: mergeable KLL-style
   *                            quantile sketch (n, rank bound, estimates)
+  *   clean_tokens(s)          fused reference clean+tokenize scanner
+  *                            (regex-delete + ws-split + empty-drop;
+  *                            apply lower(trim(s)) first for the full
+  *                            reference chain)
+  *
+  * (DictTokenIds is deliberately NOT SQL-registered: it carries a
+  * broadcast dictionary handle, which SQL children cannot express —
+  * use CorpusOps.tokenizeToIds from the API.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -153,7 +161,8 @@ object GraftExtensions {
     unary("simhash60", classOf[SimHash60], SimHash60(_: Expression)),
     unary("hashed_trigrams32", classOf[HashedTrigrams32], HashedTrigrams32(_: Expression)),
     unary("rolling_hash_min", classOf[RollingHashMin], RollingHashMin(_: Expression)),
-    unary("sketch_bands", classOf[SketchBands], SketchBands(_: Expression)))
+    unary("sketch_bands", classOf[SketchBands], SketchBands(_: Expression)),
+    unary("clean_tokens", classOf[CleanTokens], CleanTokens(_: Expression)))
 
   /** Idempotent registration into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -96,6 +96,20 @@ class CleanTokensSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("clean_tokens is SQL-registered and equals the Column spelling") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    spark.createDataset(Seq("Check http://x.io then ca:t www ok"))
+      .toDF("text").createOrReplaceTempView("ct_sql")
+    val viaSql = spark.sql(
+      "SELECT clean_tokens(lower(trim(text))) AS toks FROM ct_sql")
+      .as[Seq[String]].collect().head
+    val viaCol = spark.table("ct_sql")
+      .select(TextOps.cleanTokensReference(col("text")).as("toks"))
+      .as[Seq[String]].collect().head
+    assert(viaSql == viaCol)
+  }
+
   test("fused scanner stays inside whole-stage codegen") {
     // parquet-backed: a local relation would constant-fold the whole
     // projection into a LocalTableScan and prove nothing
