@@ -41,6 +41,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     s
   }
 
+  test("m5 scoring chain is a pure narrow projection — zero exchanges") {
+    // the 100 TB contract of the scoring path: scan → fused
+    // clean_tokens → stop words → broadcast LR margin, never a
+    // shuffle — scoring a corpus must cost exactly one pass
+    val plan = executed("m5_sentiment")
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("clean_tokens"), plan)
+  }
+
   test("p5 projection prunes the documents scan to the selected columns") {
     val plan = formatted("p5_final_project")
     val schema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
