@@ -80,20 +80,50 @@ object HashedTrigrams32Helper {
 
   def empty(): GenericArrayData = EmptyArray
 
+  private val digestOut = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** Byte length of the UTF-8 code point starting at `b` (same table
+    * UTF8String uses; `substring` slices at code-point granularity,
+    * so the window must step code points, not bytes). */
+  private def cpLen(b: Byte): Int = {
+    val v = b & 0xFF
+    if (v < 0x80) 1
+    else if ((v & 0xE0) == 0xC0) 2
+    else if ((v & 0xF0) == 0xE0) 3
+    else if ((v & 0xF8) == 0xF0) 4
+    else 1
+  }
+
   def hash(s: UTF8String): GenericArrayData = {
     // same lowercase as the built-in lower() (UTF8String full-Unicode)
     val lc = s.toLowerCase
     val n = lc.numChars()
     if (n < 3) return new GenericArrayData(new Array[Long](0))
+    // hash each 3-code-point window's byte slice IN PLACE: the md5 of
+    // the slice equals the md5 of substring(i, i+3).getBytes (same
+    // bytes), without the per-window UTF8String + byte[] + digest
+    // allocations the substring spelling paid — this is the innermost
+    // loop of every MinHash/Jaccard query, ~|corpus bytes| iterations
+    val bytes = lc.getBytes
     val md = digest.get()
+    val out16 = digestOut.get()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // o0/o1/o2/o3: byte offsets of code points i, i+1, i+2, i+3
+    var o0 = 0
+    var o1 = o0 + cpLen(bytes(o0))
+    var o2 = o1 + cpLen(bytes(o1))
     var i = 0
     while (i <= n - 3) {
+      val o3 = o2 + cpLen(bytes(o2))
       md.reset()
-      val d = md.digest(lc.substring(i, i + 3).getBytes)
+      md.update(bytes, o0, o3 - o0)
+      md.digest(out16, 0, 16)
       seen.add(java.lang.Long.valueOf(
-        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)))
+        ((out16(0) & 0xffL) << 24) | ((out16(1) & 0xffL) << 16) |
+          ((out16(2) & 0xffL) << 8) | (out16(3) & 0xffL)))
+      o0 = o1; o1 = o2; o2 = o3
       i += 1
     }
     val out = new Array[Any](seen.size())
