@@ -61,15 +61,21 @@ object Md5Hash32Helper {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val digestOut = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
   def hashAll(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](n)
     val md = digest.get()
+    val d = digestOut.get() // reused output buffer (r8: was per-element)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
+        md.update(arr.getUTF8String(i).getBytes)
+        md.digest(d, 0, 16)
         // first 8 hex chars == first 4 digest bytes, big-endian unsigned
         out(i) = java.lang.Long.valueOf(
           ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
