@@ -84,7 +84,7 @@ class BenchPolicySpec extends AnyFunSuite {
     // the natural curation workflow copies bench_out.json verbatim;
     // its trailing retries object must NOT overwrite q38's real time
     val m = BenchPolicy.parseRefTimes(
-      """{"metric":"total","value":191.1,"unit":"sec","queries":{"q38_pagerank":4.97,"d13_dedup_policies":6.22},"sf":"/x","retries":{"d13_dedup_policies":1,"q38_pagerank":2},"failed":[]}""")
+      """{"metric":"total","value":191.1,"unit":"sec","queries":{"q38_pagerank":4.97,"d13_dedup_policies":6.22},"sf":"/x","retries":{"d13_dedup_policies":1,"q38_pagerank":2},"failed":[],"first_pass":{"q38_pagerank":8.73,"d13_dedup_policies":6.3}}""")
     assert(m("q38_pagerank") == 4.97 && m("d13_dedup_policies") == 6.22)
     assert(m.get("value").isEmpty) // top-level numerics stay outside scope
     // a flat map with no "queries" key still parses whole
