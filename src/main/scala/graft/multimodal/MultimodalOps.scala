@@ -217,14 +217,33 @@ object MediaCodec {
     * JDK cannot decode (ID3-tagged / bare-frame MP3, Ogg, FLAC): these
     * must route to the `unsupported:` error column, NOT the synthetic
     * fake — a real MP3 masquerading as a decoded clip would poison any
-    * downstream audio-quality gate (r7 advice / verdict item 8). */
+    * downstream audio-quality gate (r7 advice / verdict item 8).
+    *
+    * The bare MPEG check validates the FULL 4-byte frame header
+    * (sync + non-reserved version/layer + legal bitrate and
+    * sample-rate indices), not just the 11 sync bits: a 2-byte sync
+    * heuristic matches ~1/2048 of random payloads, which would
+    * silently reroute synthetic fixture rows from the documented
+    * fake-decode path at corpus scale. The residual false-positive
+    * rate of the full header is ~1/20k — and a random payload that
+    * IS a bit-valid MPEG frame header is exactly what a sniffing
+    * intake should refuse to fake-decode anyway. */
   private def isKnownCompressedAudio(p: Array[Byte]): Boolean =
     p != null && p.length >= 4 && {
       (p(0) == 'I' && p(1) == 'D' && p(2) == '3') || // ID3v2-tagged MP3
-      (p(0) == 0xFF.toByte && (p(1) & 0xE0.toByte) == 0xE0.toByte) || // MPEG frame sync
+      isMpegFrameHeader(p) ||
       (p(0) == 'O' && p(1) == 'g' && p(2) == 'g' && p(3) == 'S') || // Ogg
       (p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C') // FLAC
     }
+
+  private def isMpegFrameHeader(p: Array[Byte]): Boolean = {
+    if (p(0) != 0xFF.toByte || (p(1) & 0xE0) != 0xE0) return false // 11 sync bits
+    val version = (p(1) >> 3) & 0x3 // 01 reserved
+    val layer = (p(1) >> 1) & 0x3 // 00 reserved
+    val bitrateIdx = (p(2) >> 4) & 0xF // 1111 invalid
+    val sampleIdx = (p(2) >> 2) & 0x3 // 11 reserved
+    version != 1 && layer != 0 && bitrateIdx != 0xF && sampleIdx != 3
+  }
 
   /** Decode a PCM WAV/AIFF payload to mono [-1, 1] floats — REAL via
     * the JDK's own `AudioSystem` (the ImageIO playbook: no external

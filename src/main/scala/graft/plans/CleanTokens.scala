@@ -99,22 +99,25 @@ object CleanTokensHelper {
     j
   }
 
-  /** UTF-8 code point (value, byteLen) at `i`; malformed lead bytes
-    * degrade to (byte, 1) — regex behavior on invalid UTF-8 is not a
-    * contract anyone holds (UTF8String.toString would have replaced
-    * the sequence before the regex even saw it). */
+  /** UTF-8 code point (value, byteLen) at `i`; malformed or truncated
+    * lead bytes degrade to (byte, 1) — regex behavior on invalid
+    * UTF-8 is not a contract anyone holds (UTF8String.toString would
+    * have replaced the sequence before the regex even saw it).
+    * Lengths come from the shared [[Utf8Scan]] table. */
   private def cpAt(bytes: Array[Byte], i: Int, n: Int): Long = {
     val b0 = bytes(i) & 0xFF
-    if (b0 < 0x80) (b0.toLong << 32) | 1L
-    else if ((b0 & 0xE0) == 0xC0 && i + 1 < n)
-      ((((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F)).toLong << 32) | 2L
-    else if ((b0 & 0xF0) == 0xE0 && i + 2 < n)
-      ((((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
-        (bytes(i + 2) & 0x3F)).toLong << 32) | 3L
-    else if ((b0 & 0xF8) == 0xF0 && i + 3 < n)
-      ((((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
-        ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F)).toLong << 32) | 4L
-    else (b0.toLong << 32) | 1L
+    val len = Utf8Scan.cpLen(bytes(i))
+    if (len == 1 || i + len > n) (b0.toLong << 32) | 1L
+    else len match {
+      case 2 =>
+        ((((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F)).toLong << 32) | 2L
+      case 3 =>
+        ((((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+          (bytes(i + 2) & 0x3F)).toLong << 32) | 3L
+      case _ =>
+        ((((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F)).toLong << 32) | 4L
+    }
   }
 
   // the five code points Java's default-mode `.` refuses

@@ -75,17 +75,27 @@ case class DictTokenIds(child: Expression, dict: Broadcast[TokenDict])
       s"dict_token_ids expects array<string>, got $t")
   }
 
+  // Broadcast.getValue is a SYNCHRONIZED method (TorrentBroadcast):
+  // dereferencing it per ROW would put a shared monitor handoff in
+  // the exact hot loop this expression exists to keep narrow. Both
+  // execution paths dereference ONCE per task/instance instead: the
+  // interpreted path through a transient lazy val (re-resolved after
+  // task deserialization), codegen through a mutable-state field
+  // initialized in the generated class's instance initializer.
+  @transient private lazy val localDict: TokenDict = dict.value
+
   override protected def nullSafeEval(in: Any): Any =
-    DictTokenIdsHelper.encode(dict.value, in.asInstanceOf[ArrayData])
+    DictTokenIdsHelper.encode(localDict, in.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the reference object serialized with the generated class is the
     // Broadcast handle, not the dictionary — task binaries stay small
     val bc = ctx.addReferenceObj("tokenDictBc", dict,
       classOf[Broadcast[TokenDict]].getName)
+    val local = ctx.addMutableState("graft.plans.TokenDict", "tokenDict",
+      v => s"$v = (graft.plans.TokenDict) $bc.value();")
     nullSafeCodeGen(ctx, ev, in =>
-      s"""${ev.value} = graft.plans.DictTokenIdsHelper.encode(
-         |  (graft.plans.TokenDict) $bc.value(), $in);""".stripMargin)
+      s"${ev.value} = graft.plans.DictTokenIdsHelper.encode($local, $in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DictTokenIds =

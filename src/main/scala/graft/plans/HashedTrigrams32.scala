@@ -84,17 +84,9 @@ object HashedTrigrams32Helper {
     override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
 
-  /** Byte length of the UTF-8 code point starting at `b` (same table
-    * UTF8String uses; `substring` slices at code-point granularity,
-    * so the window must step code points, not bytes). */
-  private def cpLen(b: Byte): Int = {
-    val v = b & 0xFF
-    if (v < 0x80) 1
-    else if ((v & 0xE0) == 0xC0) 2
-    else if ((v & 0xF0) == 0xE0) 3
-    else if ((v & 0xF8) == 0xF0) 4
-    else 1
-  }
+  // `substring` slices at code-point granularity, so the window must
+  // step code points, not bytes — lengths from the shared table
+  private def cpLen(b: Byte): Int = Utf8Scan.cpLen(b)
 
   def hash(s: UTF8String): GenericArrayData = {
     // same lowercase as the built-in lower() (UTF8String full-Unicode)

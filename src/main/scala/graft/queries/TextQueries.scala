@@ -17,6 +17,25 @@ import graft.operators.{CorpusOps, DedupOps, DetParams, GraphOps, SimilarityOps,
   * proves family disjointness and exact oracle key coverage.
   */
 private[graft] object TextQueries {
+
+  /** The id-bigram census tail shared by t21 (inline encode) and t24
+    * (stored round-trip) over a frame with a `token_ids` int-array
+    * column — ONE spelling, mirroring the oracle side's single
+    * `idBigramCensusSql` (a tweak to the tie-break/cast/limit lands
+    * in both queries or the stored-vs-inline proof means nothing). */
+  private def idBigramCensus(enc: DataFrame): DataFrame =
+    enc.filter(size(col("token_ids")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("token_ids")) - 1),
+        i => struct(
+          element_at(col("token_ids"), i).cast("long").as("l_id"),
+          element_at(col("token_ids"), i + 1).cast("long").as("r_id"))))
+        .as("b"))
+      .groupBy(col("b.l_id").as("l_id"), col("b.r_id").as("r_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_id"), col("r_id"))
+      .limit(50)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token statistics (token counting)
@@ -354,20 +373,9 @@ private[graft] object TextQueries {
       val docs = t(s, dir, "documents")
       val vocab = CorpusOps.vocabularyWithIdf(
         docs, "doc_id", cleanTokens, limit = 500)
-      CorpusOps.tokenizeToIds(
-          docs.select(col("doc_id"), cleanTokens.as("toks")),
-          col("toks"), vocab)
-        .filter(size(col("token_ids")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), size(col("token_ids")) - 1),
-          i => struct(
-            element_at(col("token_ids"), i).cast("long").as("l_id"),
-            element_at(col("token_ids"), i + 1).cast("long").as("r_id"))))
-          .as("b"))
-        .groupBy(col("b.l_id").as("l_id"), col("b.r_id").as("r_id"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("l_id"), col("r_id"))
-        .limit(50)
+      idBigramCensus(CorpusOps.tokenizeToIds(
+        docs.select(col("doc_id"), cleanTokens.as("toks")),
+        col("toks"), vocab))
     }),
 
     // TOKENIZE-ONCE STORAGE ROUND-TRIP (round 8): t21 re-derives the
@@ -410,18 +418,7 @@ private[graft] object TextQueries {
           org.apache.spark.sql.types.IntegerType, containsNull = true),
         s"stored token_ids must be array<int>, got " +
           stored.schema("token_ids").dataType)
-      stored
-        .filter(size(col("token_ids")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), size(col("token_ids")) - 1),
-          i => struct(
-            element_at(col("token_ids"), i).cast("long").as("l_id"),
-            element_at(col("token_ids"), i + 1).cast("long").as("r_id"))))
-          .as("b"))
-        .groupBy(col("b.l_id").as("l_id"), col("b.r_id").as("r_id"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("l_id"), col("r_id"))
-        .limit(50)
+      idBigramCensus(stored)
     }),
 
     // PER-SOURCE KL DIVERGENCE from the corpus unigram distribution

@@ -149,14 +149,24 @@ object WriteOps {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a parked ROOT (crash between the flat-case renames): restore it
-    // before walking — only the root's own parked name is touched, not
-    // sibling tables that may be mid-compaction themselves
+    // before walking — only the root's own parked names are touched,
+    // not sibling tables that may be mid-compaction themselves
+    val rootParked = new Path(root.getParent, s".compact.old.${root.getName}")
+    val rootTmp = new Path(root.getParent, s".compact.tmp.${root.getName}")
     if (!fs.exists(root)) {
-      val parked = new Path(root.getParent, s".compact.old.${root.getName}")
-      if (fs.exists(parked))
-        require(fs.rename(parked, root), s"compact: could not restore $parked")
+      if (fs.exists(rootParked))
+        require(fs.rename(rootParked, root),
+          s"compact: could not restore $rootParked")
       else return CompactStats(0, 0, 0L, compacted = false)
+    } else {
+      // root LIVE but parked siblings remain: a crash landed after the
+      // swap completed (old not yet deleted) or before the first
+      // rename (tmp written, never swapped) — both are stale; without
+      // this sweep the next swap's rename(root, old) would hit an
+      // EXISTING old dir with filesystem-dependent nest/merge results
+      fs.delete(rootParked, true)
     }
+    fs.delete(rootTmp, true)
 
     def heal(dir: Path): Unit =
       fs.listStatus(dir).filter(_.isDirectory).foreach { s =>
@@ -174,14 +184,19 @@ object WriteOps {
     def leaves(dir: Path): Seq[Path] = {
       heal(dir)
       val st = fs.listStatus(dir)
-      val self =
-        if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-          Seq(dir)
-        else Seq.empty
-      self ++ st
-        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .flatMap(s => leaves(s.getPath))
+      val subs = st.filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      val hasParquet =
+        st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      // a MIXED dir (direct parquet files AND visible subdirs) is not
+      // compactable at its own level: the dir-rename swap would move
+      // the whole subtree aside and the flat rewrite would drop the
+      // nested data. No WriteOps writer produces that shape; skip the
+      // direct files, still compact the subtree. (Hidden dirs like
+      // _spark_metadata don't make a dir mixed.)
+      val self = if (hasParquet && subs.isEmpty) Seq(dir) else Seq.empty
+      self ++ subs.flatMap(s => leaves(s.getPath))
     }
 
     val stats = leaves(root).map(compactLeaf(spark, fs, _, targetBytes))

@@ -569,15 +569,21 @@ object StreamPipeline {
     * [[minhashDedupWithinWatermark]] bound. Documents whose tokens
     * all fall outside the vocabulary (or that have no tokens) encode
     * to the same key and collapse together — exactly batch d17's
-    * empty/equal-array grouping; callers wanting OOV docs through
-    * unconditionally should pre-filter on token count. */
+    * empty/equal-array grouping — while NULL-text documents keep
+    * their own key (batch groupBy keeps null and empty-array as two
+    * distinct groups; `concat_ws` alone would have conflated them —
+    * the 4-char sentinel cannot collide with 32-hex-char md5 keys).
+    * Callers wanting OOV docs through unconditionally should
+    * pre-filter on token count. */
   def idDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                              terms: Seq[String], watermark: String): DataFrame = {
     val toks = graft.functions.TextOps.cleanTokens(col(textCol))
     graft.operators.CorpusOps.tokenizeToIds(df, toks, terms, "__ids")
       .withColumn("__idkey",
-        md5(concat_ws(",", org.apache.spark.sql.functions.transform(
-          col("__ids"), x => x.cast("string")))))
+        when(col("__ids").isNull, lit("null"))
+          .otherwise(md5(concat_ws(",",
+            org.apache.spark.sql.functions.transform(
+              col("__ids"), x => x.cast("string"))))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__idkey")
       .drop("__ids", "__idkey")

@@ -85,4 +85,17 @@ class IdDedupStreamSpec extends AnyFunSuite with SparkSessionFixture {
     assert(oneShot.size == batchGroups.size && halves.size == batchGroups.size)
     assert(keysOf(oneShot) == keysOf(perDoc) && keysOf(halves) == keysOf(perDoc))
   }
+
+  test("null text and zero-token text stay distinct groups (batch d17 parity)") {
+    // batch groupBy(token_ids) keeps null (null text) and [] (tokens
+    // all stripped) as TWO groups; the stream key must too — a bare
+    // concat_ws would conflate them (review finding, round 8)
+    val docs = Seq((null: String, ts(0)), ("12345", ts(1)),
+      (null: String, ts(2)), ("...", ts(3)))
+    val (survivors, state) = streamSurvivors(docs.map(Seq(_)), "idd_null")
+    assert(survivors.size == 2, s"survivors $survivors")
+    assert(state == 2L)
+    assert(survivors.contains(null))
+    assert(survivors.exists(s => s == "12345" || s == "..."))
+  }
 }
