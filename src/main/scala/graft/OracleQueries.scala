@@ -879,6 +879,56 @@ GROUP BY sym"""
          |  CAST(count(*) AS BIGINT) AS n_copies,
          |  CAST(len(ids) AS BIGINT) AS n_toks
          |FROM allseq GROUP BY ids""".stripMargin,
+    // t25: Gopher/MassiveText rule table — raw-text word/line splits,
+    // exact integer micro-units, verdict as 0/1 BIGINT. The // divs
+    // mirror Spark's `div`; every sum casts back to BIGINT (HUGEINT
+    // lint); LIKE spells the bullet/ellipsis checks (prefix/suffix
+    // portability)
+    "t25_gopher_quality" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |      l -> len(l) > 0) AS ls
+        |  FROM documents),
+        |b AS (SELECT * FROM base WHERE len(ws) >= 1),
+        |lc AS (SELECT doc_id, line, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ls) AS line FROM b) GROUP BY 1, 2),
+        |lstats AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |    CAST(sum(len(line) * c) AS BIGINT) AS line_chars,
+        |    CAST(sum(CASE WHEN c > 1 THEN len(line) * c ELSE 0 END) AS BIGINT)
+        |      AS dup_line_chars
+        |  FROM lc GROUP BY 1),
+        |w AS (SELECT b.doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha_words,
+        |    CAST(len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_req_stop,
+        |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
+        |      AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+        |    n_lines, n_dup_lines, line_chars, dup_line_chars
+        |  FROM b JOIN lstats ON b.doc_id = lstats.doc_id),
+        |m AS (SELECT doc_id, n_words,
+        |    CAST((1000000 * word_chars) // n_words AS BIGINT) AS mean_wlen_mu,
+        |    n_req_stop,
+        |    CAST((1000000 * n_dup_lines) // n_lines AS BIGINT) AS dup_line_mu,
+        |    CAST((1000000 * dup_line_chars) // line_chars AS BIGINT) AS dup_char_mu,
+        |    CAST((1000000 * n_bullet) // n_lines AS BIGINT) AS bullet_mu,
+        |    CAST((1000000 * n_ellipsis) // n_lines AS BIGINT) AS ellipsis_mu,
+        |    CAST((1000000 * n_alpha_words) // n_words AS BIGINT) AS alpha_mu
+        |  FROM w)
+        |SELECT *, CAST(n_words BETWEEN 50 AND 100000
+        |  AND mean_wlen_mu BETWEEN 3000000 AND 10000000
+        |  AND n_req_stop >= 2 AND dup_line_mu <= 300000
+        |  AND dup_char_mu <= 200000 AND bullet_mu <= 900000
+        |  AND ellipsis_mu <= 300000 AND alpha_mu >= 800000 AS BIGINT)
+        |  AS pass_gopher
+        |FROM m""".stripMargin,
     // t23: nested salted-residue fractions (m16's device), one
     // token-level census + one doc-level count per fraction
     "t23_vocab_growth" ->
