@@ -20,6 +20,14 @@ object Bench {
     // optional comma-separated subset for isolated timing runs
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // DETERMINISTIC name order (r8): Map iteration order shuffled the
+    // suite every build, so a query's first-pass cost depended on
+    // whichever heavy queries the hash order happened to place before
+    // it (observed: q38's first pass swung 7.9-17.5s with its
+    // predecessor context). Sorted order pins each query's JIT/GC
+    // context run-over-run, making first_pass refs and cross-round
+    // artifact comparisons apples-to-apples.
+    val ordered = selected.toSeq.sortBy(_._1)
     def runOnce(name: String,
                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -45,7 +53,8 @@ object Bench {
       System.gc()
       elapsed
     }
-    val firstPass = selected.map { case (name, fn) => name -> runOnce(name, fn) }
+    val firstPassSeq = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    val firstPass = firstPassSeq.toMap
     // Retry policy (BenchPolicy, unit-tested in BenchPolicySpec):
     // suspected VM outliers re-run up to best-of-3 and report the min
     // (observed: the same rollup 3.3s vs 64.1s back to back —
@@ -64,7 +73,7 @@ object Bench {
     val medianCutoff = BenchPolicy.outlierCutoff(firstPass.values)
     val cutoffs = firstPass.map { case (name, _) =>
       name -> BenchPolicy.cutoffFor(refTimes.get(name), medianCutoff) }
-    val outcomes = firstPass.map { case (name, t) =>
+    val outcomes = firstPassSeq.map { case (name, t) =>
       name -> BenchPolicy.finalTime(t, cutoffs(name),
         () => runOnce(name, selected(name)))
     }
@@ -90,9 +99,9 @@ object Bench {
     // (retries reuse compiled codegen classes), which is how q38
     // earned a retry in every artifact r5-r7 — its ref was a time no
     // first pass can hit
-    val fps = firstPass.collect { case (k, v) if v >= 0 =>
+    val fps = firstPassSeq.collect { case (k, v) if v >= 0 =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retries":$retried,"retried_outliers":$retriedNames,"failed":$failed,"first_pass":$fps}"""
     // canonical machine-readable copy (stdout can interleave with
