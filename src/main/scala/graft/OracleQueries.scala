@@ -929,6 +929,37 @@ GROUP BY sym"""
         |  AND ellipsis_mu <= 300000 AND alpha_mu >= 800000 AS BIGINT)
         |  AS pass_gopher
         |FROM m""".stripMargin,
+    // t26: DSIR importance weights — uni+bigram features hashed into
+    // 1024 buckets, target = src0, add-one smoothing, micro-nat ln
+    // quantization (the t10/t17 recipe), top-100 by weight
+    "t26_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, source, toks FROM
+         |    (SELECT doc_id, source, $sqlToks AS toks FROM documents)
+         |  WHERE len(toks) >= 1),
+         |f AS (SELECT doc_id, source, unnest(toks ||
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]) ELSE []::VARCHAR[] END) AS f
+         |  FROM d),
+         |dc AS (SELECT doc_id, source, ${OracleSql.hash32("f")} % 1024 AS b,
+         |    CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2, 3),
+         |qd AS (SELECT b, CAST(sum(c) AS BIGINT) AS cq FROM dc GROUP BY 1),
+         |td AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM dc
+         |  WHERE source = 'src0' GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nq,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS BIGINT)
+         |      AS nt FROM dc),
+         |w AS (SELECT qd.b,
+         |    CAST(CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+         |        / (nt + 1024)), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |    - CAST(CAST(round(ln(CAST(cq + 1 AS DOUBLE)
+         |        / (nq + 1024)), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS w_mu
+         |  FROM qd LEFT JOIN td ON qd.b = td.b CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |    CAST(sum(c * w_mu) AS BIGINT) AS weight_mu
+         |  FROM dc JOIN w ON dc.b = w.b GROUP BY 1)
+         |SELECT doc_id, n_feats, weight_mu FROM s
+         |ORDER BY weight_mu DESC, doc_id LIMIT 100""".stripMargin,
     // t23: nested salted-residue fractions (m16's device), one
     // token-level census + one doc-level count per fraction
     "t23_vocab_growth" ->

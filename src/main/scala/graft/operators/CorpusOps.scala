@@ -509,6 +509,79 @@ object CorpusOps {
       .toDF("merge_rank", "lsym", "rsym", "cnt")
   }
 
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the public
+    * hashed-n-gram recipe): fit two bag-of-hashed-n-gram bucket
+    * distributions — p over the TARGET slice, q over the full raw
+    * corpus — and score every doc with >= 1 token by its importance
+    * log-weight Σ_f c_f(doc)·(ln p[b(f)] − ln q[b(f)]), add-one
+    * smoothed over the `buckets` hash cells. Features are unigrams
+    * plus space-joined bigrams hashed into one bucket space by
+    * md5-32 % buckets (the cross-engine [[graft.OracleSql.hash32]]
+    * spelling).
+    *
+    * 100 TB shape — DSIR's own two-pass structure, each pass minimal:
+    * the FIT pass folds the corpus straight to <= `buckets` histogram
+    * rows (one map-side-combined agg keyed on the bucket id — the
+    * only shuffle, carrying <= buckets×partitions partial rows) and
+    * collects them; the weight table is computed driver-side (the t14
+    * rates precedent) and re-enters the plan as a `buckets`-long
+    * array literal. The SCORE pass is then a pure NARROW projection —
+    * per-row higher-order fold over the feature array, no explode, no
+    * join, no shuffle, nothing larger than the literal in any task.
+    * Selection (top-k by weight) is the caller's
+    * `orderBy(...).limit(k)` — TakeOrderedAndProject, no full sort.
+    *
+    * Oracle parity: each ln quantizes to DECIMAL(18,6) micro-nats
+    * (the t10/t17 recipe; driver-side spelling is the identical
+    * `BigDecimal(ln).setScale(6, HALF_UP)` — Spark's own `round`
+    * implementation — proven bit-equal in DsirWeightsSpec); weights
+    * are exact BIGINT micro-nat sums from there.
+    * Output: (idCol, n_feats, weight_mu) for docs with >= 1 token. */
+  def dsirWeights(docs: DataFrame, idCol: String, tokens: Column,
+                  isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    // hashed features: unigrams + space-joined bigrams (tokens are
+    // whitespace-split, so the joiner is collision-free) in ONE
+    // bucket space — the DSIR paper's feature set
+    val withF = docs
+      .select(col(idCol), isTarget.as("is_tgt"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), col("is_tgt"),
+        concat(col("toks"),
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat(element_at(col("toks"), i), lit(" "),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("fs"))
+    def bucketOf(f: Column): Column =
+      pmod(DedupOps.md5Hash32(f), lit(buckets))
+    // fit pass: the corpus folds straight to <= buckets rows
+    val hist = withF
+      .select(col("is_tgt"), explode(col("fs")).as("f"))
+      .select(col("is_tgt"), bucketOf(col("f")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cq"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val cq = new Array[Long](buckets); val ct = new Array[Long](buckets)
+    hist.foreach { r =>
+      cq(r.getLong(0).toInt) = r.getLong(1); ct(r.getLong(0).toInt) = r.getLong(2) }
+    val nq = cq.sum; val nt = ct.sum
+    def lnMicro(num: Long, den: Long): Long =
+      (BigDecimal(math.log(num.toDouble / den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    val wMu: Array[Long] = Array.tabulate(buckets)(b =>
+      lnMicro(ct(b) + 1, nt + buckets) - lnMicro(cq(b) + 1, nq + buckets))
+    // score pass: narrow per-row fold against the literal weight table
+    withF.select(col(idCol),
+      size(col("fs")).cast("long").as("n_feats"),
+      aggregate(col("fs"), lit(0L), (acc, f) =>
+        acc + element_at(typedlit(wMu), (bucketOf(f) + 1).cast("int")))
+        .as("weight_mu"))
+  }
+
   /** BPE encoding census: fit `nMerges` merges (same loop as
     * [[bpeFit]]), apply them to the whole vocabulary, and return the
     * encoded corpus's symbol-unigram table (sym, cnt) — how much of

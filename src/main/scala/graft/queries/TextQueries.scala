@@ -534,6 +534,20 @@ private[graft] object TextQueries {
             col("alpha_mu") >= 800000L).cast("long"))
     }),
 
+    // DSIR DATA SELECTION (Xie et al. 2023, importance resampling —
+    // the public hashed-n-gram domain-selection recipe): score every
+    // doc against the src0 target domain over 1024 hashed uni+bigram
+    // buckets and take the top-100 selection. One corpus text scan;
+    // both bucket distributions and the broadcast weight table fold
+    // from the same (doc, bucket, c) frame; the selection is
+    // TakeOrderedAndProject (no full sort). Micro-nat quantization
+    // per the t10/t17 ln recipe.
+    "t26_dsir_weights" -> ((s, dir) =>
+      CorpusOps.dsirWeights(t(s, dir, "documents"), "doc_id",
+          cleanTokens, col("source") === "src0", 1024)
+        .orderBy(col("weight_mu").desc, col("doc_id"))
+        .limit(100)),
+
     "t22_source_kl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // collect the (ordered) vocabulary ONCE and re-feed it as a
