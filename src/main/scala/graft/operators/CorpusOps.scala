@@ -540,27 +540,41 @@ object CorpusOps {
     * Output: (idCol, n_feats, weight_mu) for docs with >= 1 token. */
   def dsirWeights(docs: DataFrame, idCol: String, tokens: Column,
                   isTarget: Column, buckets: Int): DataFrame = {
+    val wMu = dsirFitWeights(docs, tokens, isTarget, buckets)
+    docs.select(col(idCol), tokens.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), dsirFeatures(col("toks")).as("fs"))
+      .select(col(idCol) +: dsirScoreCols(col("fs"), wMu): _*)
+  }
+
+  /** Unigram + space-joined-bigram feature array over a token-array
+    * column — the DSIR feature set (tokens are whitespace-split, so
+    * the joiner is collision-free). ONE spelling shared by the fit
+    * pass, the batch score pass, and the streaming twin. */
+  private[graft] def dsirFeatures(toks: Column): Column =
+    concat(toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "),
+            element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+
+  /** Fit half of [[dsirWeights]]: fold the corpus to the
+    * `buckets`-long micro-nat weight table (one map-side-combined agg
+    * to <= buckets rows, weights computed driver-side — the t14 rates
+    * precedent). The returned array is the FROZEN model artifact the
+    * score side consumes — batch via [[dsirWeights]], ingest via
+    * [[graft.streaming.StreamPipeline.dsirScoreStream]]. */
+  def dsirFitWeights(docs: DataFrame, tokens: Column,
+                     isTarget: Column, buckets: Int): Array[Long] = {
     require(buckets >= 1 && buckets <= (1 << 20),
       s"buckets must be in [1, 2^20], got $buckets")
-    // hashed features: unigrams + space-joined bigrams (tokens are
-    // whitespace-split, so the joiner is collision-free) in ONE
-    // bucket space — the DSIR paper's feature set
-    val withF = docs
-      .select(col(idCol), isTarget.as("is_tgt"), tokens.as("toks"))
+    val hist = docs
+      .select(isTarget.as("is_tgt"), tokens.as("toks"))
       .filter(size(col("toks")) >= 1)
-      .select(col(idCol), col("is_tgt"),
-        concat(col("toks"),
-          when(size(col("toks")) >= 2,
-            transform(sequence(lit(1), size(col("toks")) - 1),
-              i => concat(element_at(col("toks"), i), lit(" "),
-                element_at(col("toks"), i + 1))))
-            .otherwise(array().cast("array<string>"))).as("fs"))
-    def bucketOf(f: Column): Column =
-      pmod(DedupOps.md5Hash32(f), lit(buckets))
-    // fit pass: the corpus folds straight to <= buckets rows
-    val hist = withF
-      .select(col("is_tgt"), explode(col("fs")).as("f"))
-      .select(col("is_tgt"), bucketOf(col("f")).as("b"))
+      .select(col("is_tgt"), explode(dsirFeatures(col("toks"))).as("f"))
+      .select(col("is_tgt"),
+        pmod(DedupOps.md5Hash32(col("f")), lit(buckets)).as("b"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cq"),
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
@@ -569,17 +583,122 @@ object CorpusOps {
     hist.foreach { r =>
       cq(r.getLong(0).toInt) = r.getLong(1); ct(r.getLong(0).toInt) = r.getLong(2) }
     val nq = cq.sum; val nt = ct.sum
+    // the identical quantization Spark's own round() applies —
+    // BigDecimal(double).setScale(6, HALF_UP) — so driver-side
+    // weights are bit-equal to an in-plan round(ln(·),6) spelling
+    // (DsirWeightsSpec pins this against a scalar reference)
     def lnMicro(num: Long, den: Long): Long =
       (BigDecimal(math.log(num.toDouble / den))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
-    val wMu: Array[Long] = Array.tabulate(buckets)(b =>
+    Array.tabulate(buckets)(b =>
       lnMicro(ct(b) + 1, nt + buckets) - lnMicro(cq(b) + 1, nq + buckets))
-    // score pass: narrow per-row fold against the literal weight table
-    withF.select(col(idCol),
-      size(col("fs")).cast("long").as("n_feats"),
-      aggregate(col("fs"), lit(0L), (acc, f) =>
-        acc + element_at(typedlit(wMu), (bucketOf(f) + 1).cast("int")))
+  }
+
+  /** Score half of [[dsirWeights]] over a materialized feature-array
+    * column (from [[dsirFeatures]]): (n_feats, weight_mu) as a pure
+    * narrow per-row fold against the literal weight table — no
+    * explode, no join, no shuffle. Stateless, so the streaming twin
+    * applies it unchanged. */
+  private[graft] def dsirScoreCols(fs: Column, wMu: Array[Long]): Seq[Column] = {
+    val buckets = wMu.length
+    Seq(size(fs).cast("long").as("n_feats"),
+      aggregate(fs, lit(0L), (acc, f) =>
+        acc + element_at(typedlit(wMu),
+          (pmod(DedupOps.md5Hash32(f), lit(buckets)) + 1).cast("int")))
         .as("weight_mu"))
+  }
+
+  // ---- Gopher/MassiveText document rules (Rae et al. 2021, A1) -----
+
+  /** The 8 required stop words of the Gopher rule set (>= 2 must
+    * appear for a doc to pass). */
+  private[graft] val GopherReqStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** RAW-text word split (the rules predate tokenization: symbols
+    * count) — shared by the batch operator and the streaming twin. */
+  private[graft] def gopherWords(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Trimmed non-empty raw lines. */
+  private[graft] def gopherLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** The array-local stat columns over (ws, ls) — every rule input
+    * except the duplicate-line family, which batch and stream derive
+    * differently (keyed agg vs in-row fold). ONE spelling. */
+  private[graft] def gopherArrayStats: Seq[Column] = Seq(
+    size(col("ws")).cast("long").as("n_words"),
+    aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
+      .as("word_chars"),
+    size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long")
+      .as("n_alpha_words"),
+    size(array_intersect(
+      array_distinct(transform(col("ws"), w => lower(w))),
+      typedlit(GopherReqStops))).cast("long").as("n_req_stop"),
+    size(filter(col("ls"),
+      l => l.startsWith("-") || l.startsWith("*"))).cast("long")
+      .as("n_bullet"),
+    size(filter(col("ls"), l => l.endsWith("..."))).cast("long")
+      .as("n_ellipsis"))
+
+  /** Micro-unit ratio columns + the conjunction verdict over the raw
+    * stat columns — the rule thresholds live HERE and nowhere else
+    * (batch and streaming twin share this tail, so a threshold tweak
+    * lands in both or the twin equality spec fails). */
+  private[graft] def gopherRuleTail(stats: DataFrame, idCol: String): DataFrame =
+    stats.select(col(idCol), col("n_words"),
+        expr("(1000000 * word_chars) div n_words").as("mean_wlen_mu"),
+        col("n_req_stop"),
+        expr("(1000000 * n_dup_lines) div n_lines").as("dup_line_mu"),
+        expr("(1000000 * dup_line_chars) div line_chars")
+          .as("dup_char_mu"),
+        expr("(1000000 * n_bullet) div n_lines").as("bullet_mu"),
+        expr("(1000000 * n_ellipsis) div n_lines").as("ellipsis_mu"),
+        expr("(1000000 * n_alpha_words) div n_words").as("alpha_mu"))
+      .withColumn("pass_gopher",
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_wlen_mu").between(3000000L, 10000000L) &&
+          col("n_req_stop") >= 2L &&
+          col("dup_line_mu") <= 300000L &&
+          col("dup_char_mu") <= 200000L &&
+          col("bullet_mu") <= 900000L &&
+          col("ellipsis_mu") <= 300000L &&
+          col("alpha_mu") >= 800000L).cast("long"))
+
+  /** The Gopher/MassiveText per-document rule table (Rae et al.
+    * 2021, table A1 — the public filter set LLM corpus pipelines
+    * standardize on): word-count bounds, mean word length, >= 2 of
+    * the 8 required stop words, duplicate-line and
+    * duplicate-line-char fractions, bullet-/ellipsis-line fractions,
+    * alphabetic-word fraction, and the conjunction verdict — exact
+    * integer micro-units, verdict as 0/1. Words/lines are RAW-text
+    * splits (the rules predate tokenization).
+    *
+    * 100 TB shape: one narrow per-doc projection for the array-local
+    * stats plus ONE (id, line) keyed agg (map-side combined, bounded
+    * by lines-per-doc) for the duplicate-line stats, joined back —
+    * no corpus-wide state, one text scan. The stateless ingest twin
+    * is [[graft.streaming.StreamPipeline.gopherQualityStream]]. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), gopherWords(col(textCol)).as("ws"),
+        gopherLines(col(textCol)).as("ls"))
+      .filter(size(col("ws")) >= 1)
+    val lstats = base
+      .select(col(idCol), explode(col("ls")).as("line"))
+      .groupBy(col(idCol), col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_lines"),
+        sum(length(col("line")).cast("long") * col("c")).as("line_chars"),
+        sum(when(col("c") > 1, length(col("line")).cast("long") * col("c"))
+          .otherwise(0L)).as("dup_line_chars"))
+    gopherRuleTail(
+      base.join(lstats, Seq(idCol))
+        .select(col(idCol) +: gopherArrayStats :+ col("n_lines") :+
+          col("n_dup_lines") :+ col("line_chars") :+ col("dup_line_chars"): _*),
+      idCol)
   }
 
   /** BPE encoding census: fit `nMerges` merges (same loop as

@@ -464,75 +464,13 @@ private[graft] object TextQueries {
           col("n_terms"))
     }),
 
-    // GOPHER/MASSIVETEXT QUALITY RULES (Rae et al. 2021, table A1 —
-    // public filter set every LLM corpus pipeline reimplements): the
-    // per-document rule table t2's simple ratios don't cover —
-    // word-count bounds, mean word length, required-stop-word hits
-    // (>=2 of Gopher's 8), duplicate-line and duplicate-line-CHAR
-    // fractions, bullet-/ellipsis-line fractions, alphabetic-word
-    // fraction — plus the conjunction verdict, all in exact integer
-    // micro-units (the t20 recipe; booleans as 0/1 BIGINT for the
-    // hasher). Words/lines are RAW-text splits (the rules predate
-    // tokenization: symbols count), not cleanTokens.
-    // 100 TB shape: one narrow per-doc projection for every
-    // array-local stat + ONE (doc_id, line) keyed agg for the
-    // duplicate-line stats (map-side combined, bounded by lines per
-    // doc) joined back — no corpus-wide state, no second text scan
-    // (the line explode rides the same scan output).
-    "t25_gopher_quality" -> ((s, dir) => {
-      val req = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val docs = t(s, dir, "documents")
-      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
-      val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
-        l => length(l) > 0)
-      val base = docs
-        .select(col("doc_id"), words.as("ws"), lines.as("ls"))
-        .filter(size(col("ws")) >= 1)
-      val lstats = base
-        .select(col("doc_id"), explode(col("ls")).as("line"))
-        .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_lines"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_lines"),
-          sum(length(col("line")).cast("long") * col("c")).as("line_chars"),
-          sum(when(col("c") > 1, length(col("line")).cast("long") * col("c"))
-            .otherwise(0L)).as("dup_line_chars"))
-      base.join(lstats, Seq("doc_id"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_words"),
-          aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
-            .as("word_chars"),
-          size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long")
-            .as("n_alpha_words"),
-          size(array_intersect(
-            array_distinct(transform(col("ws"), w => lower(w))),
-            typedlit(req))).cast("long").as("n_req_stop"),
-          col("n_lines"), col("n_dup_lines"),
-          col("line_chars"), col("dup_line_chars"),
-          size(filter(col("ls"),
-            l => l.startsWith("-") || l.startsWith("*"))).cast("long")
-            .as("n_bullet"),
-          size(filter(col("ls"), l => l.endsWith("..."))).cast("long")
-            .as("n_ellipsis"))
-        .select(col("doc_id"), col("n_words"),
-          expr("(1000000 * word_chars) div n_words").as("mean_wlen_mu"),
-          col("n_req_stop"),
-          expr("(1000000 * n_dup_lines) div n_lines").as("dup_line_mu"),
-          expr("(1000000 * dup_line_chars) div line_chars")
-            .as("dup_char_mu"),
-          expr("(1000000 * n_bullet) div n_lines").as("bullet_mu"),
-          expr("(1000000 * n_ellipsis) div n_lines").as("ellipsis_mu"),
-          expr("(1000000 * n_alpha_words) div n_words").as("alpha_mu"))
-        .withColumn("pass_gopher",
-          (col("n_words").between(50L, 100000L) &&
-            col("mean_wlen_mu").between(3000000L, 10000000L) &&
-            col("n_req_stop") >= 2L &&
-            col("dup_line_mu") <= 300000L &&
-            col("dup_char_mu") <= 200000L &&
-            col("bullet_mu") <= 900000L &&
-            col("ellipsis_mu") <= 300000L &&
-            col("alpha_mu") >= 800000L).cast("long"))
-    }),
+    // GOPHER/MASSIVETEXT QUALITY RULES (Rae et al. 2021, table A1):
+    // the per-document rule table t2's simple ratios don't cover —
+    // semantics, shape, and thresholds documented on the operator
+    // (promoted there so the gopherQualityStream ingest twin shares
+    // the exact rule spelling)
+    "t25_gopher_quality" -> ((s, dir) =>
+      CorpusOps.gopherQuality(t(s, dir, "documents"), "doc_id", "text")),
 
     // DSIR DATA SELECTION (Xie et al. 2023, importance resampling —
     // the public hashed-n-gram domain-selection recipe): score every

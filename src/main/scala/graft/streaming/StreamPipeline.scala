@@ -466,6 +466,72 @@ object StreamPipeline {
         graft.operators.CorpusOps.bpeApplyMerges(col("w"), merges)).as("sym"))
   }
 
+  /** Streaming twin of the t25 Gopher/MassiveText rule table
+    * ([[graft.operators.CorpusOps.gopherQuality]]): the ingest-side
+    * quality gate — every arriving document gets the full Rae et al.
+    * 2021 rule verdict as a STATELESS per-row projection (the
+    * [[decontaminateStream]]/[[bpeEncodeStream]] class: watermark-free,
+    * no state store, trivially split-invariant).
+    *
+    * The batch operator derives the duplicate-line stats with a
+    * (doc, line) keyed agg; per-row that becomes an in-row fold over
+    * the distinct-line array — O(L²) column work in the doc's line
+    * count, the price of statelessness (a doc's lines all live in its
+    * own row, so L is bounded by document size, not stream length).
+    * Every other stat column and the entire threshold tail are the
+    * SAME column expressions the batch operator uses
+    * (`gopherArrayStats` / `gopherRuleTail`), so the twin cannot
+    * drift from the oracled batch semantics — GopherStreamSpec pins
+    * row equality on multi-line corpora and under micro-batch
+    * splits. */
+  def gopherQualityStream(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val base = docs
+      .select(col(idCol), CorpusOps.gopherWords(col(textCol)).as("ws"),
+        CorpusOps.gopherLines(col(textCol)).as("ls"))
+      .filter(size(col("ws")) >= 1)
+    // (count, chars) per DISTINCT line, in-row. (Qualified: this
+    // object's own `transform` pipeline stage shadows the SQL one.)
+    val lineCounts = org.apache.spark.sql.functions.transform(
+      array_distinct(col("ls")), l => struct(
+      size(filter(col("ls"), x => x === l)).cast("long").as("c"),
+      length(l).cast("long").as("len")))
+    val stats = base
+      .withColumn("lc", lineCounts)
+      .select(col(idCol) +: CorpusOps.gopherArrayStats :+
+        size(col("ls")).cast("long").as("n_lines") :+
+        aggregate(col("lc"), lit(0L), (a, s) =>
+          a + when(s.getField("c") > 1, s.getField("c")).otherwise(0L))
+          .as("n_dup_lines") :+
+        aggregate(col("lc"), lit(0L), (a, s) =>
+          a + s.getField("len") * s.getField("c")).as("line_chars") :+
+        aggregate(col("lc"), lit(0L), (a, s) =>
+          a + when(s.getField("c") > 1, s.getField("len") * s.getField("c"))
+            .otherwise(0L)).as("dup_line_chars"): _*)
+    CorpusOps.gopherRuleTail(stats, idCol)
+  }
+
+  /** Streaming twin of the t26 DSIR scorer: importance-score arriving
+    * documents against a BATCH-FROZEN weight table
+    * ([[graft.operators.CorpusOps.dsirFitWeights]] runs corpus-side;
+    * its `buckets`-long micro-nat array is the frozen artifact, like
+    * the sentiment model's coefficients or the BPE merge table).
+    * Scoring is [[graft.operators.CorpusOps.dsirScoreCols]] verbatim
+    * — a narrow per-row fold against the literal weight table, no
+    * explode, no join, no state — so stream and batch scores are the
+    * same expressions by construction; DsirStreamSpec pins equality
+    * under micro-batch splits and statelessness. */
+  def dsirScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                      wMu: Array[Long]): DataFrame = {
+    import graft.operators.CorpusOps
+    val toks = TextOps.cleanTokens(col(textCol))
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), CorpusOps.dsirFeatures(col("toks")).as("fs"))
+      .select(col(idCol) +: CorpusOps.dsirScoreCols(col("fs"), wMu): _*)
+  }
+
   /** Streaming twin of the d14 incremental-admission operator
     * ([[graft.operators.DedupOps.incrementalDedupReleasable]]): each
     * micro-batch of arriving documents is admitted against the static
