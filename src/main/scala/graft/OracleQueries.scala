@@ -960,6 +960,88 @@ GROUP BY sym"""
          |  FROM dc JOIN w ON dc.b = w.b GROUP BY 1)
          |SELECT doc_id, n_feats, weight_mu FROM s
          |ORDER BY weight_mu DESC, doc_id LIMIT 100""".stripMargin,
+    // t27: Gopher repetition signals — top-{2,3,4}-gram char
+    // fractions (ties on count break to largest gram char mass) and
+    // position-UNION dup-{5..10}-gram char coverage, exact integer
+    // micro-units, the A1 conjunction verdict as 0/1
+    "t27_rep_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |base AS (SELECT doc_id, toks,
+         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+         |      AS tok_chars
+         |  FROM d WHERE len(toks) >= 1),
+         |tn AS (SELECT doc_id, toks, unnest([2, 3, 4]) AS n FROM base),
+         |tg AS (SELECT doc_id, n, unnest(CASE WHEN len(toks) >= n THEN
+         |      list_transform(range(1, len(toks) - n + 2),
+         |        i -> array_to_string(toks[i:i+n-1], ' '))
+         |      ELSE []::VARCHAR[] END) AS gram
+         |  FROM tn),
+         |gc AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(len(gram) - (n - 1) AS BIGINT) AS gchars
+         |  FROM tg GROUP BY 1, 2, 3),
+         |mx AS (SELECT doc_id, n, max(cnt) AS mc FROM gc GROUP BY 1, 2),
+         |topv AS (SELECT gc.doc_id, gc.n,
+         |    CAST(max(gc.gchars) * mx.mc AS BIGINT) AS cover
+         |  FROM gc JOIN mx ON gc.doc_id = mx.doc_id AND gc.n = mx.n
+         |    AND gc.cnt = mx.mc
+         |  GROUP BY gc.doc_id, gc.n, mx.mc),
+         |dn AS (SELECT doc_id, toks, unnest([5, 6, 7, 8, 9, 10]) AS n
+         |  FROM base),
+         |dp AS (SELECT doc_id, toks, n, unnest(CASE WHEN len(toks) >= n
+         |      THEN range(1, len(toks) - n + 2) ELSE []::BIGINT[] END) AS i
+         |  FROM dn),
+         |dg AS (SELECT doc_id, n, i,
+         |    array_to_string(toks[i:i+n-1], ' ') AS gram FROM dp),
+         |dd AS (SELECT doc_id, n, gram, count(*) AS c, list(i) AS poss
+         |  FROM dg GROUP BY 1, 2, 3),
+         |covx AS (SELECT doc_id, n, unnest(flatten(list_transform(poss,
+         |      s -> range(s, s + n)))) AS p
+         |  FROM dd WHERE c >= 2),
+         |cov AS (SELECT DISTINCT doc_id, n, p FROM covx),
+         |dchars AS (SELECT cov.doc_id, cov.n,
+         |    CAST(sum(len(b.toks[p])) AS BIGINT) AS dchars
+         |  FROM cov JOIN base b ON cov.doc_id = b.doc_id GROUP BY 1, 2),
+         |tw AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN n = 2 THEN cover END), 0) AS c2,
+         |    coalesce(max(CASE WHEN n = 3 THEN cover END), 0) AS c3,
+         |    coalesce(max(CASE WHEN n = 4 THEN cover END), 0) AS c4
+         |  FROM topv GROUP BY 1),
+         |dw AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN n = 5 THEN dchars END), 0) AS d5,
+         |    coalesce(max(CASE WHEN n = 6 THEN dchars END), 0) AS d6,
+         |    coalesce(max(CASE WHEN n = 7 THEN dchars END), 0) AS d7,
+         |    coalesce(max(CASE WHEN n = 8 THEN dchars END), 0) AS d8,
+         |    coalesce(max(CASE WHEN n = 9 THEN dchars END), 0) AS d9,
+         |    coalesce(max(CASE WHEN n = 10 THEN dchars END), 0) AS d10
+         |  FROM dchars GROUP BY 1),
+         |m AS (SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_toks,
+         |    b.tok_chars,
+         |    CAST((1000000 * coalesce(c2, 0)) // b.tok_chars AS BIGINT)
+         |      AS top2_mu,
+         |    CAST((1000000 * coalesce(c3, 0)) // b.tok_chars AS BIGINT)
+         |      AS top3_mu,
+         |    CAST((1000000 * coalesce(c4, 0)) // b.tok_chars AS BIGINT)
+         |      AS top4_mu,
+         |    CAST((1000000 * coalesce(d5, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup5_mu,
+         |    CAST((1000000 * coalesce(d6, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup6_mu,
+         |    CAST((1000000 * coalesce(d7, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup7_mu,
+         |    CAST((1000000 * coalesce(d8, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup8_mu,
+         |    CAST((1000000 * coalesce(d9, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup9_mu,
+         |    CAST((1000000 * coalesce(d10, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup10_mu
+         |  FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id
+         |    LEFT JOIN dw ON b.doc_id = dw.doc_id)
+         |SELECT *, CAST(top2_mu <= 200000 AND top3_mu <= 180000
+         |  AND top4_mu <= 160000 AND dup5_mu <= 150000
+         |  AND dup6_mu <= 140000 AND dup7_mu <= 130000
+         |  AND dup8_mu <= 120000 AND dup9_mu <= 110000
+         |  AND dup10_mu <= 100000 AS BIGINT) AS pass_rep
+         |FROM m""".stripMargin,
     // t23: nested salted-residue fractions (m16's device), one
     // token-level census + one doc-level count per fraction
     "t23_vocab_growth" ->

@@ -701,6 +701,111 @@ object CorpusOps {
       idCol)
   }
 
+  /** Gopher/MassiveText REPETITION signals (Rae et al. 2021, table A1
+    * — the repetition sub-table [[gopherQuality]]'s rule set leaves to
+    * a separate pass): per document,
+    *
+    *   - `topN_mu` (n = 2..4): the character fraction absorbed by the
+    *     most frequent n-gram — `count * gram_chars / tok_chars`,
+    *     where `gram_chars` is the n-gram's character mass excluding
+    *     joiner spaces and `tok_chars` the document's total token
+    *     character mass. Ties on count break to the LARGEST gram
+    *     character mass (deterministic without a string sort).
+    *   - `dupN_mu` (n = 5..10): the character fraction COVERED by
+    *     duplicated n-grams — token positions lying inside any
+    *     occurrence of an n-gram that appears >= 2 times in the doc,
+    *     position-UNIONED so overlapping duplicate windows never
+    *     double-count a character (the span-union reading used by the
+    *     public reimplementations, e.g. Dolma / NeMo Curator).
+    *   - `pass_rep`: the table-A1 conjunction (top2 <= 0.20,
+    *     top3 <= 0.18, top4 <= 0.16, dup5 <= 0.15 stepping down to
+    *     dup10 <= 0.10), as 0/1.
+    *
+    * All fractions are exact integer micro-units (`1e6 * num div
+    * den`), the t20/t25 recipe, so the DuckDB oracle hashes equal.
+    *
+    * 100 TB shape: everything is per-document — the n-gram censuses
+    * are (id, n, gram) keyed aggs with map-side combine whose state is
+    * bounded by the document's own length (never corpus-wide), the
+    * position-union is a distinct on (id, n, pos), and the only joins
+    * are id-equi-joins between frames already hash-partitioned on id.
+    * One pass over the heavy text column (the `base` projection);
+    * every later frame carries only ids, small ints, and grams. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        tokens: Column): DataFrame = {
+    val base = docs
+      .select(col(idCol), tokens.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), col("toks"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .as("tok_chars"))
+    def gramsFor(ns: Seq[Int], withPos: Boolean): DataFrame = {
+      val exploded = base
+        .select(col(idCol), col("toks"),
+          explode(typedlit(ns)).as("n"))
+        .select(col(idCol), col("toks"), col("n"),
+          explode(when(size(col("toks")) >= col("n"),
+            sequence(lit(1), size(col("toks")) - col("n") + 1))
+            .otherwise(typedlit(Seq.empty[Int]))).as("i"))
+      val g = exploded.select(col(idCol), col("n"), col("i"),
+        array_join(slice(col("toks"), col("i"), col("n")), " ").as("gram"))
+      if (withPos) g else g.drop("i")
+    }
+    // top family: most-frequent n-gram's occurrence char mass
+    val topCover = {
+      val gc = gramsFor(Seq(2, 3, 4), withPos = false)
+        .groupBy(col(idCol), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col(idCol), col("n"), col("cnt"),
+          (length(col("gram")) - (col("n") - 1)).cast("long").as("gchars"))
+      gc.groupBy(col(idCol), col("n"))
+        .agg(max(struct(col("cnt"), col("gchars"))).as("m"))
+        .select(col(idCol), col("n"),
+          (col("m.cnt") * col("m.gchars")).as("cover"))
+    }
+    // dup family: position-union coverage of duplicated n-grams
+    val dupChars = {
+      val occ = gramsFor((5 to 10), withPos = true)
+      val dups = occ
+        .groupBy(col(idCol), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"), collect_list(col("i")).as("poss"))
+        .filter(col("c") >= 2)
+      val covered = dups
+        .select(col(idCol), col("n"),
+          explode(flatten(transform(col("poss"),
+            s => sequence(s, s + col("n") - 1)))).as("p"))
+        .distinct()
+      covered.join(base.select(col(idCol), col("toks")), Seq(idCol))
+        .groupBy(col(idCol), col("n"))
+        .agg(sum(length(element_at(col("toks"), col("p").cast("int")))
+          .cast("long")).as("dchars"))
+    }
+    def pick(valueCol: String, n: Int, out: String): Column =
+      max(when(col("n") === n, col(valueCol))).as(out)
+    val tops = topCover.groupBy(col(idCol)).agg(
+      pick("cover", 2, "c2"), pick("cover", 3, "c3"), pick("cover", 4, "c4"))
+    val dups = dupChars.groupBy(col(idCol)).agg(
+      pick("dchars", 5, "d5"), pick("dchars", 6, "d6"),
+      pick("dchars", 7, "d7"), pick("dchars", 8, "d8"),
+      pick("dchars", 9, "d9"), pick("dchars", 10, "d10"))
+    val muCols = (Seq("c2" -> "top2_mu", "c3" -> "top3_mu",
+      "c4" -> "top4_mu") ++ (5 to 10).map(n => s"d$n" -> s"dup${n}_mu"))
+      .map { case (in, out) =>
+        expr(s"(1000000 * coalesce($in, 0L)) div tok_chars").as(out)
+      }
+    val wide = base.select(col(idCol), size(col("toks")).cast("long")
+        .as("n_toks"), col("tok_chars"))
+      .join(tops, Seq(idCol), "left")
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol) +: col("n_toks") +: col("tok_chars") +: muCols: _*)
+    wide.withColumn("pass_rep",
+      (col("top2_mu") <= 200000L && col("top3_mu") <= 180000L &&
+        col("top4_mu") <= 160000L && col("dup5_mu") <= 150000L &&
+        col("dup6_mu") <= 140000L && col("dup7_mu") <= 130000L &&
+        col("dup8_mu") <= 120000L && col("dup9_mu") <= 110000L &&
+        col("dup10_mu") <= 100000L).cast("long"))
+  }
+
   /** BPE encoding census: fit `nMerges` merges (same loop as
     * [[bpeFit]]), apply them to the whole vocabulary, and return the
     * encoded corpus's symbol-unigram table (sym, cnt) — how much of

@@ -486,6 +486,15 @@ private[graft] object TextQueries {
         .orderBy(col("weight_mu").desc, col("doc_id"))
         .limit(100)),
 
+    // GOPHER REPETITION SIGNALS (Rae et al. 2021, table A1, the
+    // repetition sub-table t25's rule set leaves to a separate pass):
+    // top-{2,3,4}-gram char fractions and position-union dup-{5..10}-
+    // gram char coverage + the A1 conjunction verdict — semantics,
+    // tie-breaks, and the 100 TB shape documented on the operator.
+    "t27_rep_ngrams" -> ((s, dir) =>
+      CorpusOps.repetitionSignals(t(s, dir, "documents"), "doc_id",
+        cleanTokens)),
+
     "t22_source_kl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // collect the (ordered) vocabulary ONCE and re-feed it as a
