@@ -1042,6 +1042,32 @@ GROUP BY sym"""
          |  AND dup8_mu <= 120000 AND dup9_mu <= 110000
          |  AND dup10_mu <= 100000 AS BIGINT) AS pass_rep
          |FROM m""".stripMargin,
+    // t28: Zipf slope — top-500 occurrence census, micro-nat ln
+    // quantization, exact BIGINT OLS sums, HUGEINT final combination
+    // (mirrors Spark's DECIMAL(38,0)), neg slope in micro-units
+    "t28_zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS term FROM documents),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok
+         |  GROUP BY 1 ORDER BY freq DESC, term LIMIT 500),
+         |r AS (SELECT freq,
+         |    row_number() OVER (ORDER BY freq DESC, term) AS rank FROM c),
+         |q AS (SELECT
+         |    CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS x,
+         |    CAST(CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS y
+         |  FROM r),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM q)
+         |SELECT n_terms,
+         |  CAST((CAST(1000000 AS HUGEINT) *
+         |      (CAST(sx AS HUGEINT) * sy - CAST(n_terms AS HUGEINT) * sxy))
+         |    // (CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+         |    AS BIGINT) AS neg_slope_mu
+         |FROM a""".stripMargin,
     // t23: nested salted-residue fractions (m16's device), one
     // token-level census + one doc-level count per fraction
     "t23_vocab_growth" ->

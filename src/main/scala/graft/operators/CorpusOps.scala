@@ -806,6 +806,59 @@ object CorpusOps {
         col("dup10_mu") <= 100000L).cast("long"))
   }
 
+  /** Zipf's-law slope of the corpus term-frequency distribution: the
+    * OLS fit of ln(freq) against ln(rank) over the top `limit`
+    * occurrence-frequency terms (rank 1 = most frequent; ties on
+    * freq order by term, which cannot change the fit — tied terms
+    * share the same y, so permuting their x's permutes addends of
+    * the same sums). A healthy natural-language corpus sits near
+    * slope -1; the deviation is the standard corpus-health / domain-
+    * shift diagnostic next to [[vocabularyWithIdf]]'s coverage view.
+    *
+    * Exact integer pipeline (the t10/t17 recipe): ln values are
+    * micro-nat quantized (`round(ln, 6)` as DECIMAL(18,6), scaled by
+    * 1e6 — an exact integer-valued decimal, so the long cast cannot
+    * diverge between engines), the OLS sums are exact BIGINTs, and
+    * the final slope combination runs in DECIMAL(38,0) (HUGEINT on
+    * the oracle side) because n*Sxy-style products exceed 2^63.
+    * Returns ONE row: (n_terms, neg_slope_mu) with `neg_slope_mu` =
+    * 1e6 * -slope, non-negative by construction (freq is
+    * non-increasing in rank, so the covariance can't be positive).
+    *
+    * 100 TB shape: one corpus scan into a (term, freq) keyed agg with
+    * map-side combine; the rank/fit stages run on the `limit`-row
+    * TakeOrderedAndProject result — the unbounded term set never
+    * funnels through a single partition. */
+  def zipfSlope(docs: DataFrame, tokens: Column, limit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs
+      .select(explode(tokens).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(limit)
+    def microNat(c: Column): Column =
+      (round(log(c.cast("double")), 6).cast("decimal(18,6)") *
+        lit(1000000)).cast("long")
+    // the window runs on the bounded `limit`-row frame — single
+    // partition by design, not an accident
+    val ranked = census
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+      .select(microNat(col("rank")).as("x"), microNat(col("freq")).as("y"))
+    ranked
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        expr("""cast((cast(1000000 as decimal(38,0)) *
+            (cast(sx as decimal(38,0)) * sy -
+             cast(n_terms as decimal(38,0)) * sxy)) div
+            (cast(n_terms as decimal(38,0)) * sxx -
+             cast(sx as decimal(38,0)) * sx) as bigint)""")
+          .as("neg_slope_mu"))
+  }
+
   /** BPE encoding census: fit `nMerges` merges (same loop as
     * [[bpeFit]]), apply them to the whole vocabulary, and return the
     * encoded corpus's symbol-unigram table (sym, cnt) — how much of

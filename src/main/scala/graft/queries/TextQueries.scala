@@ -495,6 +495,12 @@ private[graft] object TextQueries {
       CorpusOps.repetitionSignals(t(s, dir, "documents"), "doc_id",
         cleanTokens)),
 
+    // ZIPF SLOPE: OLS ln(freq)-vs-ln(rank) over the top-500 term
+    // census — corpus-health diagnostic; exact-integer pipeline and
+    // the 100 TB shape documented on the operator.
+    "t28_zipf_slope" -> ((s, dir) =>
+      CorpusOps.zipfSlope(t(s, dir, "documents"), cleanTokens, 500)),
+
     "t22_source_kl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // collect the (ordered) vocabulary ONCE and re-feed it as a
