@@ -724,86 +724,37 @@ object CorpusOps {
     * All fractions are exact integer micro-units (`1e6 * num div
     * den`), the t20/t25 recipe, so the DuckDB oracle hashes equal.
     *
-    * 100 TB shape: everything is per-document — the n-gram censuses
-    * are (id, n, gram) keyed aggs with map-side combine whose state is
-    * bounded by the document's own length (never corpus-wide), the
-    * position-union is a distinct on (id, n, pos), and the only joins
-    * are id-equi-joins between frames already hash-partitioned on id.
-    * One pass over the heavy text column (the `base` projection);
-    * every later frame carries only ids, small ints, and grams. */
+    * 100 TB shape: every statistic is a function of ONE document, so
+    * the whole table is a single narrow projection — the
+    * [[graft.plans.RepetitionStats]] expression computes all nine
+    * numerators in one pass over the token array (bounded hash maps,
+    * rolling window char mass) and NO exchange exists at any scale.
+    * The first cut spelled this compositionally (explode both n-gram
+    * families, keyed aggs, coverage join): seven stages shuffling
+    * ~180 rows per document to rebuild per-document state —
+    * structurally wrong even though each agg was map-side combined;
+    * the expression collapse is the same move CleanTokens made on the
+    * tokenizer chain. */
   def repetitionSignals(docs: DataFrame, idCol: String,
                         tokens: Column): DataFrame = {
-    val base = docs
+    val muCols = (Seq(2, 3, 4).map(n => s"c$n" -> s"top${n}_mu") ++
+      (5 to 10).map(n => s"d$n" -> s"dup${n}_mu"))
+      .map { case (in, out) =>
+        expr(s"(1000000 * st.$in) div st.tok_chars").as(out)
+      }
+    docs
       .select(col(idCol), tokens.as("toks"))
       .filter(size(col("toks")) >= 1)
-      .select(col(idCol), col("toks"),
-        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
-          .as("tok_chars"))
-    def gramsFor(ns: Seq[Int], withPos: Boolean): DataFrame = {
-      val exploded = base
-        .select(col(idCol), col("toks"),
-          explode(typedlit(ns)).as("n"))
-        .select(col(idCol), col("toks"), col("n"),
-          explode(when(size(col("toks")) >= col("n"),
-            sequence(lit(1), size(col("toks")) - col("n") + 1))
-            .otherwise(typedlit(Seq.empty[Int]))).as("i"))
-      val g = exploded.select(col(idCol), col("n"), col("i"),
-        array_join(slice(col("toks"), col("i"), col("n")), " ").as("gram"))
-      if (withPos) g else g.drop("i")
-    }
-    // top family: most-frequent n-gram's occurrence char mass
-    val topCover = {
-      val gc = gramsFor(Seq(2, 3, 4), withPos = false)
-        .groupBy(col(idCol), col("n"), col("gram"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col(idCol), col("n"), col("cnt"),
-          (length(col("gram")) - (col("n") - 1)).cast("long").as("gchars"))
-      gc.groupBy(col(idCol), col("n"))
-        .agg(max(struct(col("cnt"), col("gchars"))).as("m"))
-        .select(col(idCol), col("n"),
-          (col("m.cnt") * col("m.gchars")).as("cover"))
-    }
-    // dup family: position-union coverage of duplicated n-grams
-    val dupChars = {
-      val occ = gramsFor((5 to 10), withPos = true)
-      val dups = occ
-        .groupBy(col(idCol), col("n"), col("gram"))
-        .agg(count(lit(1)).as("c"), collect_list(col("i")).as("poss"))
-        .filter(col("c") >= 2)
-      val covered = dups
-        .select(col(idCol), col("n"),
-          explode(flatten(transform(col("poss"),
-            s => sequence(s, s + col("n") - 1)))).as("p"))
-        .distinct()
-      covered.join(base.select(col(idCol), col("toks")), Seq(idCol))
-        .groupBy(col(idCol), col("n"))
-        .agg(sum(length(element_at(col("toks"), col("p").cast("int")))
-          .cast("long")).as("dchars"))
-    }
-    def pick(valueCol: String, n: Int, out: String): Column =
-      max(when(col("n") === n, col(valueCol))).as(out)
-    val tops = topCover.groupBy(col(idCol)).agg(
-      pick("cover", 2, "c2"), pick("cover", 3, "c3"), pick("cover", 4, "c4"))
-    val dups = dupChars.groupBy(col(idCol)).agg(
-      pick("dchars", 5, "d5"), pick("dchars", 6, "d6"),
-      pick("dchars", 7, "d7"), pick("dchars", 8, "d8"),
-      pick("dchars", 9, "d9"), pick("dchars", 10, "d10"))
-    val muCols = (Seq("c2" -> "top2_mu", "c3" -> "top3_mu",
-      "c4" -> "top4_mu") ++ (5 to 10).map(n => s"d$n" -> s"dup${n}_mu"))
-      .map { case (in, out) =>
-        expr(s"(1000000 * coalesce($in, 0L)) div tok_chars").as(out)
-      }
-    val wide = base.select(col(idCol), size(col("toks")).cast("long")
-        .as("n_toks"), col("tok_chars"))
-      .join(tops, Seq(idCol), "left")
-      .join(dups, Seq(idCol), "left")
-      .select(col(idCol) +: col("n_toks") +: col("tok_chars") +: muCols: _*)
-    wide.withColumn("pass_rep",
-      (col("top2_mu") <= 200000L && col("top3_mu") <= 180000L &&
-        col("top4_mu") <= 160000L && col("dup5_mu") <= 150000L &&
-        col("dup6_mu") <= 140000L && col("dup7_mu") <= 130000L &&
-        col("dup8_mu") <= 120000L && col("dup9_mu") <= 110000L &&
-        col("dup10_mu") <= 100000L).cast("long"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_toks"),
+        graft.plans.RepetitionStats.of(col("toks")).as("st"))
+      .select(col(idCol) +: col("n_toks") +:
+        col("st.tok_chars").as("tok_chars") +: muCols: _*)
+      .withColumn("pass_rep",
+        (col("top2_mu") <= 200000L && col("top3_mu") <= 180000L &&
+          col("top4_mu") <= 160000L && col("dup5_mu") <= 150000L &&
+          col("dup6_mu") <= 140000L && col("dup7_mu") <= 130000L &&
+          col("dup8_mu") <= 120000L && col("dup9_mu") <= 110000L &&
+          col("dup10_mu") <= 100000L).cast("long"))
   }
 
   /** Zipf's-law slope of the corpus term-frequency distribution: the

@@ -77,6 +77,24 @@ class RepetitionSignalsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r.getAs[Long]("dup5_mu") === 1000000L)
   }
 
+  test("the whole table is one narrow projection: zero exchanges") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    def countShuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.finalPhysicalPlan)
+      case s: ShuffleQueryStageExec => 1 + countShuffles(s.plan)
+      case q: QueryStageExec => countShuffles(q.plan)
+      case _ => p.children.map(countShuffles).sum
+    }
+    val df = CorpusOps.repetitionSignals(
+      docsDf(Seq(1L -> Seq("a", "b", "a"))), "doc_id", col("toks"))
+    df.write.format("noop").mode("overwrite").save()
+    val n = countShuffles(df.queryExecution.executedPlan)
+    assert(n === 0,
+      s"repetition signals must not exchange, got $n:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("diverse doc passes the A1 conjunction; short docs default 0") {
     // all-distinct tokens: top2 cover = 1*2/26 chars, no dups at all
     val div = ('a' to 'z').map(_.toString)
