@@ -1068,6 +1068,33 @@ GROUP BY sym"""
          |    // (CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
          |    AS BIGINT) AS neg_slope_mu
          |FROM a""".stripMargin,
+    // t29: C4 filter table — trimmed-line retention rule (terminal
+    // punct + >= 5 words + no "javascript"), terminal-punct count,
+    // brace/lorem drops; mirrors the Spark spelling exactly
+    "t29_c4_filters" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS ls
+        |  FROM documents),
+        |f AS (SELECT * FROM b WHERE len(ls) >= 1),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(list_filter(string_split_regex(l, '\s+'),
+        |        w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript'))) AS BIGINT)
+        |      AS n_kept,
+        |    CAST(len(text) - len(translate(text, '.!?', '')) AS BIGINT)
+        |      AS n_term,
+        |    CAST(contains(text, '{') AS BIGINT) AS has_brace,
+        |    CAST(contains(lower(text), 'lorem ipsum') AS BIGINT)
+        |      AS has_lorem
+        |  FROM f)
+        |SELECT *, CAST((1000000 * n_kept) // n_lines AS BIGINT) AS kept_mu,
+        |  CAST(n_term >= 3 AND has_brace = 0 AND has_lorem = 0 AS BIGINT)
+        |    AS pass_c4
+        |FROM m""".stripMargin,
     // t23: nested salted-residue fractions (m16's device), one
     // token-level census + one doc-level count per fraction
     "t23_vocab_growth" ->

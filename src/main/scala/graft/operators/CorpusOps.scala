@@ -757,6 +757,53 @@ object CorpusOps {
           col("dup10_mu") <= 100000L).cast("long"))
   }
 
+  /** C4 heuristic filter table (Raffel et al. 2020 §2.2 — the other
+    * public rule set next to the Gopher table): per document,
+    *
+    *   - `n_lines`: trimmed non-empty raw lines (the [[gopherLines]]
+    *     spelling);
+    *   - `n_kept` / `kept_mu`: lines C4's line filter RETAINS — ends
+    *     in terminal punctuation (`.` `!` `?` `"`), carries >= 5
+    *     whitespace words, and does not mention "javascript"
+    *     (case-insensitive) — count and micro-fraction;
+    *   - `n_term`: terminal-punctuation characters in the raw text
+    *     (the deterministic stand-in for C4's sentence count — no
+    *     sentence segmenter ships in a SQL engine, and the >= 3 rule
+    *     only needs a count);
+    *   - `has_brace` / `has_lorem`: the code (`{`) and boilerplate
+    *     ("lorem ipsum") document drops, as 0/1;
+    *   - `pass_c4`: n_term >= 3 AND no brace AND no lorem.
+    *
+    * Like the repetition table, every statistic is a function of one
+    * document: the whole table is a single stateless narrow
+    * projection (higher-order array functions, no custom expression
+    * needed) — no exchange at any scale, and the SAME operator runs
+    * unchanged on a streaming frame. */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = (l: Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 5 &&
+        !contains(lower(l), lit("javascript"))
+    docs
+      .select(col(idCol), col(textCol).as("text"),
+        gopherLines(col(textCol)).as("ls"))
+      .filter(size(col("ls")) >= 1)
+      .select(col(idCol),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(filter(col("ls"), keep)).cast("long").as("n_kept"),
+        (length(col("text")) -
+          length(translate(col("text"), ".!?", ""))).cast("long")
+          .as("n_term"),
+        contains(col("text"), lit("{")).cast("long").as("has_brace"),
+        contains(lower(col("text")), lit("lorem ipsum")).cast("long")
+          .as("has_lorem"))
+      .withColumn("kept_mu", expr("(1000000 * n_kept) div n_lines"))
+      .withColumn("pass_c4",
+        (col("n_term") >= 3L && col("has_brace") === 0L &&
+          col("has_lorem") === 0L).cast("long"))
+  }
+
   /** Zipf's-law slope of the corpus term-frequency distribution: the
     * OLS fit of ln(freq) against ln(rank) over the top `limit`
     * occurrence-frequency terms (rank 1 = most frequent; ties on

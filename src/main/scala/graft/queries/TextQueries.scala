@@ -501,6 +501,14 @@ private[graft] object TextQueries {
     "t28_zipf_slope" -> ((s, dir) =>
       CorpusOps.zipfSlope(t(s, dir, "documents"), cleanTokens, 500)),
 
+    // C4 FILTER TABLE (Raffel et al. 2020 §2.2): terminal-punct /
+    // 5-word / javascript line retention, sentence-count stand-in,
+    // brace + lorem-ipsum drops — the third public rule set beside
+    // Gopher (t25/t27) and DSIR (t26). Stateless narrow projection;
+    // semantics on the operator.
+    "t29_c4_filters" -> ((s, dir) =>
+      CorpusOps.c4Filters(t(s, dir, "documents"), "doc_id", "text")),
+
     "t22_source_kl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // collect the (ordered) vocabulary ONCE and re-feed it as a

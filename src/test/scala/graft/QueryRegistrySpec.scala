@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 138") {
-    assert(SparkEntry.queries.size === 138)
+  test("inventory size is the declared 139") {
+    assert(SparkEntry.queries.size === 139)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
