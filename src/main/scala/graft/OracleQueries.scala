@@ -544,6 +544,53 @@ GROUP BY sym"""
          |  ${OracleSql.cos6("l.embedding", "r.embedding")} AS sim
          |FROM banded l JOIN banded r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
          |WHERE ${OracleSql.cos6("l.embedding", "r.embedding")} >= 0.45""".stripMargin,
+    // s14: greedy MMR unrolled to 5 step-CTEs (the m7 GD-unroll
+    // discipline — no recursive CTE, every double spelled exactly as
+    // the MmrSelect helper computes it: 0.7/0.3 literals, 6-dp
+    // rounded cosines, score ties to the smaller id)
+    "s14_mmr" -> {
+      val steps = (2 to 5).map { st =>
+        val selu = (1 until st).map(i => s"SELECT q_id, vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""selu$st AS ($selu),
+           |cand$st AS (SELECT p.q_id, p.vec_id, p.sim,
+           |    0.7 * p.sim - 0.3 * (SELECT max(pr.s) FROM pairs pr
+           |      WHERE pr.q_id = p.q_id AND pr.i = p.vec_id
+           |        AND pr.j IN (SELECT vec_id FROM selu$st u
+           |          WHERE u.q_id = p.q_id)) AS score
+           |  FROM pv p WHERE NOT EXISTS (SELECT 1 FROM selu$st u
+           |    WHERE u.q_id = p.q_id AND u.vec_id = p.vec_id)),
+           |s$st AS (SELECT q_id, CAST($st AS BIGINT) AS sel_rank, vec_id,
+           |    sim, round(score, 6) AS mmr
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score DESC, vec_id) AS rn FROM cand$st)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT q_id, e.vec_id,
+         |    ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id),
+         |pool AS (SELECT q_id, vec_id, sim FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 16),
+         |pv AS (SELECT pool.q_id, pool.vec_id, pool.sim,
+         |    e.embedding AS emb
+         |  FROM pool JOIN embeddings e USING (vec_id)),
+         |pairs AS (SELECT a.q_id, a.vec_id AS i, b.vec_id AS j,
+         |    ${OracleSql.cos6("a.emb", "b.emb")} AS s
+         |  FROM pv a JOIN pv b ON a.q_id = b.q_id
+         |    AND a.vec_id != b.vec_id),
+         |s1 AS (SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, sim,
+         |    round(0.7 * sim, 6) AS mmr
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY 0.7 * sim DESC, vec_id) AS rn FROM pv)
+         |  WHERE rn = 1),
+         |$steps
+         |$out""".stripMargin
+    },
     "s1_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |scored AS (SELECT q_id, e.vec_id,

@@ -78,6 +78,44 @@ object SimilarityOps {
   /** L2 norm of an embedding column (double). */
   def l2norm(emb: Column): Column = sqrt(dotD(emb, emb))
 
+  /** MMR diversity selection: for each query anchor, take its
+    * top-`poolK` exact-cosine candidate pool, then greedily pick `k`
+    * of them maximizing `lambda * sim(q,c) - mu * max_sel sim(c,s)` —
+    * relevance traded against redundancy, the standard re-rank for
+    * building DIVERSE training/eval subsets where plain top-k returns
+    * near-duplicates of one mode. Selection semantics (tie-breaks,
+    * rounding, why `mu` is a separate parameter instead of
+    * `1 - lambda`) live on [[graft.plans.MmrSelect]].
+    *
+    * Output: (q_id, sel_rank, vec_id, sim, mmr), `sel_rank` 1-based
+    * in pick order.
+    *
+    * 100 TB shape: the ONLY corpus-sized work is the pool stage
+    * (here [[bruteForceTopK]] — broadcast queries, no corpus
+    * shuffle; swap in [[lshTopK]]/IVF for the ANN scale path since
+    * any (q_id, vec_id, sim) pool frame composes). Everything after
+    * is bounded: poolK rows per anchor flow into one keyed
+    * collect_list, and the O(poolK^2) pairwise cosines run inside
+    * the per-group expression — quadratic in the POOL bound, never
+    * the corpus. */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, poolK: Int, k: Int,
+                lambda: Double, mu: Double): DataFrame = {
+    val pool = bruteForceTopK(corpus, queries, idCol, embCol, poolK)
+    val vecs = corpus.select(col(idCol),
+      col(embCol).cast("array<double>").as("emb"))
+    pool.join(vecs, Seq(idCol))
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("sim"),
+        col(idCol).cast("long").as("vid"), col("emb"))).as("cands"))
+      .select(col("q_id"),
+        explode(graft.plans.MmrSelect.of(col("cands"), k, lambda, mu))
+          .as("s"))
+      .select(col("q_id"), col("s.sel_rank").as("sel_rank"),
+        col("s.vec_id").as("vec_id"), col("s.sim").as("sim"),
+        col("s.mmr").as("mmr"))
+  }
+
   /** Exact brute-force top-k neighbors for a small query set.
     * `queries` must be broadcastable; the corpus side never shuffles
     * (broadcast nested-loop join + per-query top-k). Norms are

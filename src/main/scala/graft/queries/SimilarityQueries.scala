@@ -219,6 +219,20 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // MMR DIVERSITY SELECTION (Carbonell & Goldstein 1998): per
+    // anchor, top-16 cosine pool then greedy pick-5 trading
+    // relevance (0.7) against redundancy (0.3) — the re-rank that
+    // keeps a curated subset from collapsing into near-duplicates of
+    // one mode. Semantics on MmrSelect; pool stage swappable for the
+    // ANN scale path.
+    "s14_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.mmrSelect(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", poolK = 16, k = 5,
+        lambda = 0.7, mu = 0.3)
+    }),
+
+
     "q54_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
