@@ -226,6 +226,160 @@ GROUP BY sym"""
   }
 
   // ---- oracle SQL ----------------------------------------------------
+  /** Per-document verdict tables for the three public filter
+    * families, shared verbatim between their standalone oracles
+    * (t25/t27/t29) and the t30 funnel, which embeds them as
+    * nested subqueries — one spelling of each rule set. */
+  private lazy val gopherDocSql: String =
+    """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |      l -> len(l) > 0) AS ls
+        |  FROM documents),
+        |b AS (SELECT * FROM base WHERE len(ws) >= 1),
+        |lc AS (SELECT doc_id, line, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ls) AS line FROM b) GROUP BY 1, 2),
+        |lstats AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |    CAST(sum(len(line) * c) AS BIGINT) AS line_chars,
+        |    CAST(sum(CASE WHEN c > 1 THEN len(line) * c ELSE 0 END) AS BIGINT)
+        |      AS dup_line_chars
+        |  FROM lc GROUP BY 1),
+        |w AS (SELECT b.doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha_words,
+        |    CAST(len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_req_stop,
+        |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
+        |      AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+        |    n_lines, n_dup_lines, line_chars, dup_line_chars
+        |  FROM b JOIN lstats ON b.doc_id = lstats.doc_id),
+        |m AS (SELECT doc_id, n_words,
+        |    CAST((1000000 * word_chars) // n_words AS BIGINT) AS mean_wlen_mu,
+        |    n_req_stop,
+        |    CAST((1000000 * n_dup_lines) // n_lines AS BIGINT) AS dup_line_mu,
+        |    CAST((1000000 * dup_line_chars) // line_chars AS BIGINT) AS dup_char_mu,
+        |    CAST((1000000 * n_bullet) // n_lines AS BIGINT) AS bullet_mu,
+        |    CAST((1000000 * n_ellipsis) // n_lines AS BIGINT) AS ellipsis_mu,
+        |    CAST((1000000 * n_alpha_words) // n_words AS BIGINT) AS alpha_mu
+        |  FROM w)
+        |SELECT *, CAST(n_words BETWEEN 50 AND 100000
+        |  AND mean_wlen_mu BETWEEN 3000000 AND 10000000
+        |  AND n_req_stop >= 2 AND dup_line_mu <= 300000
+        |  AND dup_char_mu <= 200000 AND bullet_mu <= 900000
+        |  AND ellipsis_mu <= 300000 AND alpha_mu >= 800000 AS BIGINT)
+        |  AS pass_gopher
+        |FROM m""".stripMargin
+
+  private lazy val repDocSql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |base AS (SELECT doc_id, toks,
+         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+         |      AS tok_chars
+         |  FROM d WHERE len(toks) >= 1),
+         |tn AS (SELECT doc_id, toks, unnest([2, 3, 4]) AS n FROM base),
+         |tg AS (SELECT doc_id, n, unnest(CASE WHEN len(toks) >= n THEN
+         |      list_transform(range(1, len(toks) - n + 2),
+         |        i -> array_to_string(toks[i:i+n-1], ' '))
+         |      ELSE []::VARCHAR[] END) AS gram
+         |  FROM tn),
+         |gc AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(len(gram) - (n - 1) AS BIGINT) AS gchars
+         |  FROM tg GROUP BY 1, 2, 3),
+         |mx AS (SELECT doc_id, n, max(cnt) AS mc FROM gc GROUP BY 1, 2),
+         |topv AS (SELECT gc.doc_id, gc.n,
+         |    CAST(max(gc.gchars) * mx.mc AS BIGINT) AS cover
+         |  FROM gc JOIN mx ON gc.doc_id = mx.doc_id AND gc.n = mx.n
+         |    AND gc.cnt = mx.mc
+         |  GROUP BY gc.doc_id, gc.n, mx.mc),
+         |dn AS (SELECT doc_id, toks, unnest([5, 6, 7, 8, 9, 10]) AS n
+         |  FROM base),
+         |dp AS (SELECT doc_id, toks, n, unnest(CASE WHEN len(toks) >= n
+         |      THEN range(1, len(toks) - n + 2) ELSE []::BIGINT[] END) AS i
+         |  FROM dn),
+         |dg AS (SELECT doc_id, n, i,
+         |    array_to_string(toks[i:i+n-1], ' ') AS gram FROM dp),
+         |dd AS (SELECT doc_id, n, gram, count(*) AS c, list(i) AS poss
+         |  FROM dg GROUP BY 1, 2, 3),
+         |covx AS (SELECT doc_id, n, unnest(flatten(list_transform(poss,
+         |      s -> range(s, s + n)))) AS p
+         |  FROM dd WHERE c >= 2),
+         |cov AS (SELECT DISTINCT doc_id, n, p FROM covx),
+         |dchars AS (SELECT cov.doc_id, cov.n,
+         |    CAST(sum(len(b.toks[p])) AS BIGINT) AS dchars
+         |  FROM cov JOIN base b ON cov.doc_id = b.doc_id GROUP BY 1, 2),
+         |tw AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN n = 2 THEN cover END), 0) AS c2,
+         |    coalesce(max(CASE WHEN n = 3 THEN cover END), 0) AS c3,
+         |    coalesce(max(CASE WHEN n = 4 THEN cover END), 0) AS c4
+         |  FROM topv GROUP BY 1),
+         |dw AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN n = 5 THEN dchars END), 0) AS d5,
+         |    coalesce(max(CASE WHEN n = 6 THEN dchars END), 0) AS d6,
+         |    coalesce(max(CASE WHEN n = 7 THEN dchars END), 0) AS d7,
+         |    coalesce(max(CASE WHEN n = 8 THEN dchars END), 0) AS d8,
+         |    coalesce(max(CASE WHEN n = 9 THEN dchars END), 0) AS d9,
+         |    coalesce(max(CASE WHEN n = 10 THEN dchars END), 0) AS d10
+         |  FROM dchars GROUP BY 1),
+         |m AS (SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_toks,
+         |    b.tok_chars,
+         |    CAST((1000000 * coalesce(c2, 0)) // b.tok_chars AS BIGINT)
+         |      AS top2_mu,
+         |    CAST((1000000 * coalesce(c3, 0)) // b.tok_chars AS BIGINT)
+         |      AS top3_mu,
+         |    CAST((1000000 * coalesce(c4, 0)) // b.tok_chars AS BIGINT)
+         |      AS top4_mu,
+         |    CAST((1000000 * coalesce(d5, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup5_mu,
+         |    CAST((1000000 * coalesce(d6, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup6_mu,
+         |    CAST((1000000 * coalesce(d7, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup7_mu,
+         |    CAST((1000000 * coalesce(d8, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup8_mu,
+         |    CAST((1000000 * coalesce(d9, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup9_mu,
+         |    CAST((1000000 * coalesce(d10, 0)) // b.tok_chars AS BIGINT)
+         |      AS dup10_mu
+         |  FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id
+         |    LEFT JOIN dw ON b.doc_id = dw.doc_id)
+         |SELECT *, CAST(top2_mu <= 200000 AND top3_mu <= 180000
+         |  AND top4_mu <= 160000 AND dup5_mu <= 150000
+         |  AND dup6_mu <= 140000 AND dup7_mu <= 130000
+         |  AND dup8_mu <= 120000 AND dup9_mu <= 110000
+         |  AND dup10_mu <= 100000 AS BIGINT) AS pass_rep
+         |FROM m""".stripMargin
+
+  private lazy val c4DocSql: String =
+    """WITH b AS (SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS ls
+        |  FROM documents),
+        |f AS (SELECT * FROM b WHERE len(ls) >= 1),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(list_filter(string_split_regex(l, '\s+'),
+        |        w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript'))) AS BIGINT)
+        |      AS n_kept,
+        |    CAST(len(text) - len(translate(text, '.!?', '')) AS BIGINT)
+        |      AS n_term,
+        |    CAST(contains(text, '{') AS BIGINT) AS has_brace,
+        |    CAST(contains(lower(text), 'lorem ipsum') AS BIGINT)
+        |      AS has_lorem
+        |  FROM f)
+        |SELECT *, CAST((1000000 * n_kept) // n_lines AS BIGINT) AS kept_mu,
+        |  CAST(n_term >= 3 AND has_brace = 0 AND has_lorem = 0 AS BIGINT)
+        |    AS pass_c4
+        |FROM m""".stripMargin
+
   val all: Map[String, String] = Map(
     "p1_cast_project" ->
       "SELECT doc_id, decode(encode(text)) AS message FROM documents",
@@ -931,51 +1085,7 @@ GROUP BY sym"""
     // mirror Spark's `div`; every sum casts back to BIGINT (HUGEINT
     // lint); LIKE spells the bullet/ellipsis checks (prefix/suffix
     // portability)
-    "t25_gopher_quality" ->
-      """WITH base AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws,
-        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-        |      l -> len(l) > 0) AS ls
-        |  FROM documents),
-        |b AS (SELECT * FROM base WHERE len(ws) >= 1),
-        |lc AS (SELECT doc_id, line, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(ls) AS line FROM b) GROUP BY 1, 2),
-        |lstats AS (SELECT doc_id,
-        |    CAST(sum(c) AS BIGINT) AS n_lines,
-        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
-        |    CAST(sum(len(line) * c) AS BIGINT) AS line_chars,
-        |    CAST(sum(CASE WHEN c > 1 THEN len(line) * c ELSE 0 END) AS BIGINT)
-        |      AS dup_line_chars
-        |  FROM lc GROUP BY 1),
-        |w AS (SELECT b.doc_id,
-        |    CAST(len(ws) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS word_chars,
-        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-        |      AS n_alpha_words,
-        |    CAST(len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
-        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
-        |      AS n_req_stop,
-        |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
-        |      AS n_bullet,
-        |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
-        |    n_lines, n_dup_lines, line_chars, dup_line_chars
-        |  FROM b JOIN lstats ON b.doc_id = lstats.doc_id),
-        |m AS (SELECT doc_id, n_words,
-        |    CAST((1000000 * word_chars) // n_words AS BIGINT) AS mean_wlen_mu,
-        |    n_req_stop,
-        |    CAST((1000000 * n_dup_lines) // n_lines AS BIGINT) AS dup_line_mu,
-        |    CAST((1000000 * dup_line_chars) // line_chars AS BIGINT) AS dup_char_mu,
-        |    CAST((1000000 * n_bullet) // n_lines AS BIGINT) AS bullet_mu,
-        |    CAST((1000000 * n_ellipsis) // n_lines AS BIGINT) AS ellipsis_mu,
-        |    CAST((1000000 * n_alpha_words) // n_words AS BIGINT) AS alpha_mu
-        |  FROM w)
-        |SELECT *, CAST(n_words BETWEEN 50 AND 100000
-        |  AND mean_wlen_mu BETWEEN 3000000 AND 10000000
-        |  AND n_req_stop >= 2 AND dup_line_mu <= 300000
-        |  AND dup_char_mu <= 200000 AND bullet_mu <= 900000
-        |  AND ellipsis_mu <= 300000 AND alpha_mu >= 800000 AS BIGINT)
-        |  AS pass_gopher
-        |FROM m""".stripMargin,
+    "t25_gopher_quality" -> gopherDocSql,
     // t26: DSIR importance weights — uni+bigram features hashed into
     // 1024 buckets, target = src0, add-one smoothing, micro-nat ln
     // quantization (the t10/t17 recipe), top-100 by weight
@@ -1011,84 +1121,7 @@ GROUP BY sym"""
     // fractions (ties on count break to largest gram char mass) and
     // position-UNION dup-{5..10}-gram char coverage, exact integer
     // micro-units, the A1 conjunction verdict as 0/1
-    "t27_rep_ngrams" ->
-      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |base AS (SELECT doc_id, toks,
-         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
-         |      AS tok_chars
-         |  FROM d WHERE len(toks) >= 1),
-         |tn AS (SELECT doc_id, toks, unnest([2, 3, 4]) AS n FROM base),
-         |tg AS (SELECT doc_id, n, unnest(CASE WHEN len(toks) >= n THEN
-         |      list_transform(range(1, len(toks) - n + 2),
-         |        i -> array_to_string(toks[i:i+n-1], ' '))
-         |      ELSE []::VARCHAR[] END) AS gram
-         |  FROM tn),
-         |gc AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
-         |    CAST(len(gram) - (n - 1) AS BIGINT) AS gchars
-         |  FROM tg GROUP BY 1, 2, 3),
-         |mx AS (SELECT doc_id, n, max(cnt) AS mc FROM gc GROUP BY 1, 2),
-         |topv AS (SELECT gc.doc_id, gc.n,
-         |    CAST(max(gc.gchars) * mx.mc AS BIGINT) AS cover
-         |  FROM gc JOIN mx ON gc.doc_id = mx.doc_id AND gc.n = mx.n
-         |    AND gc.cnt = mx.mc
-         |  GROUP BY gc.doc_id, gc.n, mx.mc),
-         |dn AS (SELECT doc_id, toks, unnest([5, 6, 7, 8, 9, 10]) AS n
-         |  FROM base),
-         |dp AS (SELECT doc_id, toks, n, unnest(CASE WHEN len(toks) >= n
-         |      THEN range(1, len(toks) - n + 2) ELSE []::BIGINT[] END) AS i
-         |  FROM dn),
-         |dg AS (SELECT doc_id, n, i,
-         |    array_to_string(toks[i:i+n-1], ' ') AS gram FROM dp),
-         |dd AS (SELECT doc_id, n, gram, count(*) AS c, list(i) AS poss
-         |  FROM dg GROUP BY 1, 2, 3),
-         |covx AS (SELECT doc_id, n, unnest(flatten(list_transform(poss,
-         |      s -> range(s, s + n)))) AS p
-         |  FROM dd WHERE c >= 2),
-         |cov AS (SELECT DISTINCT doc_id, n, p FROM covx),
-         |dchars AS (SELECT cov.doc_id, cov.n,
-         |    CAST(sum(len(b.toks[p])) AS BIGINT) AS dchars
-         |  FROM cov JOIN base b ON cov.doc_id = b.doc_id GROUP BY 1, 2),
-         |tw AS (SELECT doc_id,
-         |    coalesce(max(CASE WHEN n = 2 THEN cover END), 0) AS c2,
-         |    coalesce(max(CASE WHEN n = 3 THEN cover END), 0) AS c3,
-         |    coalesce(max(CASE WHEN n = 4 THEN cover END), 0) AS c4
-         |  FROM topv GROUP BY 1),
-         |dw AS (SELECT doc_id,
-         |    coalesce(max(CASE WHEN n = 5 THEN dchars END), 0) AS d5,
-         |    coalesce(max(CASE WHEN n = 6 THEN dchars END), 0) AS d6,
-         |    coalesce(max(CASE WHEN n = 7 THEN dchars END), 0) AS d7,
-         |    coalesce(max(CASE WHEN n = 8 THEN dchars END), 0) AS d8,
-         |    coalesce(max(CASE WHEN n = 9 THEN dchars END), 0) AS d9,
-         |    coalesce(max(CASE WHEN n = 10 THEN dchars END), 0) AS d10
-         |  FROM dchars GROUP BY 1),
-         |m AS (SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_toks,
-         |    b.tok_chars,
-         |    CAST((1000000 * coalesce(c2, 0)) // b.tok_chars AS BIGINT)
-         |      AS top2_mu,
-         |    CAST((1000000 * coalesce(c3, 0)) // b.tok_chars AS BIGINT)
-         |      AS top3_mu,
-         |    CAST((1000000 * coalesce(c4, 0)) // b.tok_chars AS BIGINT)
-         |      AS top4_mu,
-         |    CAST((1000000 * coalesce(d5, 0)) // b.tok_chars AS BIGINT)
-         |      AS dup5_mu,
-         |    CAST((1000000 * coalesce(d6, 0)) // b.tok_chars AS BIGINT)
-         |      AS dup6_mu,
-         |    CAST((1000000 * coalesce(d7, 0)) // b.tok_chars AS BIGINT)
-         |      AS dup7_mu,
-         |    CAST((1000000 * coalesce(d8, 0)) // b.tok_chars AS BIGINT)
-         |      AS dup8_mu,
-         |    CAST((1000000 * coalesce(d9, 0)) // b.tok_chars AS BIGINT)
-         |      AS dup9_mu,
-         |    CAST((1000000 * coalesce(d10, 0)) // b.tok_chars AS BIGINT)
-         |      AS dup10_mu
-         |  FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id
-         |    LEFT JOIN dw ON b.doc_id = dw.doc_id)
-         |SELECT *, CAST(top2_mu <= 200000 AND top3_mu <= 180000
-         |  AND top4_mu <= 160000 AND dup5_mu <= 150000
-         |  AND dup6_mu <= 140000 AND dup7_mu <= 130000
-         |  AND dup8_mu <= 120000 AND dup9_mu <= 110000
-         |  AND dup10_mu <= 100000 AS BIGINT) AS pass_rep
-         |FROM m""".stripMargin,
+    "t27_rep_ngrams" -> repDocSql,
     // t28: Zipf slope — top-500 occurrence census, micro-nat ln
     // quantization, exact BIGINT OLS sums, HUGEINT final combination
     // (mirrors Spark's DECIMAL(38,0)), neg slope in micro-units
@@ -1118,30 +1151,60 @@ GROUP BY sym"""
     // t29: C4 filter table — trimmed-line retention rule (terminal
     // punct + >= 5 words + no "javascript"), terminal-punct count,
     // brace/lorem drops; mirrors the Spark spelling exactly
-    "t29_c4_filters" ->
-      """WITH b AS (SELECT doc_id, text,
-        |    list_filter(list_transform(string_split(text, chr(10)),
-        |      l -> trim(l)), l -> len(l) > 0) AS ls
-        |  FROM documents),
-        |f AS (SELECT * FROM b WHERE len(ls) >= 1),
-        |m AS (SELECT doc_id,
-        |    CAST(len(ls) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(ls, l ->
-        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
-        |      AND len(list_filter(string_split_regex(l, '\s+'),
-        |        w -> len(w) > 0)) >= 5
-        |      AND NOT contains(lower(l), 'javascript'))) AS BIGINT)
-        |      AS n_kept,
-        |    CAST(len(text) - len(translate(text, '.!?', '')) AS BIGINT)
-        |      AS n_term,
-        |    CAST(contains(text, '{') AS BIGINT) AS has_brace,
-        |    CAST(contains(lower(text), 'lorem ipsum') AS BIGINT)
-        |      AS has_lorem
-        |  FROM f)
-        |SELECT *, CAST((1000000 * n_kept) // n_lines AS BIGINT) AS kept_mu,
-        |  CAST(n_term >= 3 AND has_brace = 0 AND has_lorem = 0 AS BIGINT)
-        |    AS pass_c4
-        |FROM m""".stripMargin,
+    "t29_c4_filters" -> c4DocSql,
+    // t30: filter funnel — per-source attrition through Gopher, then
+    // +repetition, then +C4, each verdict table embedded verbatim
+    // (the shared vals above); docs a family's own table excludes
+    // (empty word/token/line sets) count as failing it
+    "t30_filter_funnel" ->
+      s"""WITH g AS (SELECT doc_id, pass_gopher FROM ($gopherDocSql)),
+         |r AS (SELECT doc_id, pass_rep FROM ($repDocSql)),
+         |c AS (SELECT doc_id, pass_c4 FROM ($c4DocSql)),
+         |j AS (SELECT d.source,
+         |    coalesce(g.pass_gopher, 0) AS pg,
+         |    coalesce(r.pass_rep, 0) AS pr,
+         |    coalesce(c.pass_c4, 0) AS pc
+         |  FROM documents d LEFT JOIN g USING (doc_id)
+         |    LEFT JOIN r USING (doc_id) LEFT JOIN c USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(pg) AS BIGINT) AS n_gopher,
+         |  CAST(sum(pg * pr) AS BIGINT) AS n_gopher_rep,
+         |  CAST(sum(pg * pr * pc) AS BIGINT) AS n_kept,
+         |  CAST((1000000 * CAST(sum(pg * pr * pc) AS BIGINT)) // count(*)
+         |    AS BIGINT) AS kept_mu
+         |FROM j GROUP BY source""".stripMargin,
+    // t31: PII surface scan — the same three dialect-portable
+    // patterns as CorpusOps (no backrefs/lookaround, ASCII classes:
+    // literally identical under Java regex and RE2), counts via
+    // regexp_extract_all length, char mass via list_sum of match
+    // lengths (NULL on no match, coalesced)
+    "t31_pii_scan" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipv4 = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phone = """\+\d{7,15}\b"""
+      def cnt(re: String) =
+        s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+      def mass(re: String) =
+        s"""coalesce(list_sum(list_transform(
+           |      regexp_extract_all(text, '$re'), m -> len(m))), 0)""".stripMargin
+      s"""WITH u AS (SELECT source, text FROM documents UNION ALL
+         |  SELECT 'srcpii', 'reach a@b.co or 10.0.0.1 or +12345678 now'),
+         |p AS (SELECT source,
+         |    ${cnt(email)} AS n_email,
+         |    ${cnt(ipv4)} AS n_ipv4,
+         |    ${cnt(phone)} AS n_phone,
+         |    CAST(${mass(email)} + ${mass(ipv4)}
+         |      + ${mass(phone)} AS BIGINT) AS pii_chars
+         |  FROM u)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         |  CAST(sum(n_email) AS BIGINT) AS n_email,
+         |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+         |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+         |  CAST(sum(pii_chars) AS BIGINT) AS pii_chars
+         |FROM p GROUP BY source""".stripMargin
+    },
     // t23: nested salted-residue fractions (m16's device), one
     // token-level census + one doc-level count per fraction
     "t23_vocab_growth" ->
@@ -2105,6 +2168,40 @@ FROM tok JOIN wsyms USING (w) GROUP BY doc_id, lang"""),
          |  (1000000 * CAST(sum(CASE WHEN pred_label = true_label
          |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS acc_mu
          |FROM pred JOIN q USING (q_id) GROUP BY true_label""".stripMargin,
+    // m19: NDCG@5 of label-match retrieval — m15's query sample and
+    // exact-cosine top-5, graded by rank with the frozen micro-unit
+    // log2 discount literals (inlined identically in the engine);
+    // ideal DCG is the prefix-sum literal at min(5, n_label - 1),
+    // labels with no second member excluded (NDCG undefined)
+    "m19_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    label AS q_label FROM embeddings WHERE vec_id % 5 = 0),
+         |lc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT)
+         |    AS n_label FROM embeddings GROUP BY 1),
+         |scored AS (SELECT q_id, q_label, e.vec_id, e.label,
+         |    ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id),
+         |nn AS (SELECT q_id, q_label, label, rn FROM
+         |  (SELECT q_id, q_label, label,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |dcg AS (SELECT q_id, q_label,
+         |    CAST(sum(CASE WHEN label = q_label THEN
+         |      CASE rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+         |        WHEN 3 THEN 500000 WHEN 4 THEN 430677
+         |        ELSE 386853 END ELSE 0 END) AS BIGINT) AS dcg_mu
+         |  FROM nn GROUP BY 1, 2),
+         |nd AS (SELECT q_label,
+         |    (1000000 * dcg_mu) // (CASE least(5, n_label - 1)
+         |      WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+         |      WHEN 3 THEN 2130930 WHEN 4 THEN 2561607
+         |      ELSE 2948460 END) AS ndcg_mu
+         |  FROM dcg JOIN lc USING (q_label) WHERE n_label >= 2)
+         |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(CAST(sum(ndcg_mu) AS BIGINT) // count(*) AS BIGINT)
+         |    AS mean_ndcg_mu
+         |FROM nd GROUP BY 1""".stripMargin,
     // held-out bigram LM (fit on src0–src9, score all) + per-lang
     // tercile banding from the milli-nat histogram. logp quantizes to
     // DECIMAL(18,6) (t10 recipe); everything after is BIGINT.

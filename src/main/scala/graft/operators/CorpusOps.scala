@@ -804,6 +804,89 @@ object CorpusOps {
           col("has_lorem") === 0L).cast("long"))
   }
 
+  /** FILTER FUNNEL: per-group attrition through the three public
+    * rule stacks applied in sequence — Gopher ([[gopherQuality]]),
+    * then +repetition ([[repetitionSignals]]), then +C4
+    * ([[c4Filters]]). Documents a family's own table excludes (empty
+    * word/token/line sets) count as FAILING that family, so the
+    * funnel is total over the corpus: the left joins coalesce the
+    * missing verdicts to 0.
+    *
+    * Cost is the three signal passes plus small-row id joins (per-doc
+    * verdicts, never text); at 100 TB the verdict tables would be
+    * materialized once (the tokenize-once pattern) and the funnel
+    * becomes a pure small-row aggregation over stored signals. */
+  def filterFunnel(docs: DataFrame, idCol: String, textCol: String,
+                   tokens: Column, groupCol: String): DataFrame = {
+    val g = gopherQuality(docs, idCol, textCol)
+      .select(col(idCol), col("pass_gopher"))
+    val r = repetitionSignals(docs, idCol, tokens)
+      .select(col(idCol), col("pass_rep"))
+    val c = c4Filters(docs, idCol, textCol)
+      .select(col(idCol), col("pass_c4"))
+    docs.select(col(idCol), col(groupCol))
+      .join(g, Seq(idCol), "left")
+      .join(r, Seq(idCol), "left")
+      .join(c, Seq(idCol), "left")
+      .select(col(groupCol),
+        coalesce(col("pass_gopher"), lit(0L)).as("pg"),
+        coalesce(col("pass_rep"), lit(0L)).as("pr"),
+        coalesce(col("pass_c4"), lit(0L)).as("pc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pg")).as("n_gopher"),
+        sum(col("pg") * col("pr")).as("n_gopher_rep"),
+        sum(col("pg") * col("pr") * col("pc")).as("n_kept"))
+      .select(col(groupCol), col("n_docs"), col("n_gopher"),
+        col("n_gopher_rep"), col("n_kept"),
+        expr("(1000000 * n_kept) div n_docs").as("kept_mu"))
+  }
+
+  /** PII surface patterns — deliberately SIMPLE and dialect-portable:
+    * no backreferences, no lookaround, ASCII classes only, so the
+    * same literal runs identically under Java regex (Spark) and RE2
+    * (DuckDB oracle), and under any RE2-class engine a production
+    * scrubber would use. A real pipeline swaps in its compliance
+    * team's pattern set; the OPERATOR SHAPE (narrow per-row scan,
+    * counts + matched char mass, stateless on a stream) is the part
+    * that survives that swap. */
+  private[graft] val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIpv4Re =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiPhoneRe = "\\+\\d{7,15}\\b"
+
+  /** Per-document PII surface stats over `textCol` — match counts per
+    * pattern family (email, IPv4, international-format phone), total
+    * matched character mass, and a 0/1 any-hit flag. The pre-release
+    * scan every public corpus effort runs (and the redaction
+    * planner's input: `pii_chars` is exactly the char budget a
+    * replace pass would rewrite).
+    *
+    * A column pack (the [[gopherArrayStats]] device): every stat is a
+    * function of one row, so callers append these to any projection —
+    * batch or streaming, no state, no exchange, one text scan. */
+  private[graft] def piiScanCols(textCol: Column): Seq[Column] = {
+    def cnt(re: String) = regexp_count(textCol, lit(re)).cast("long")
+    def mass(re: String) =
+      aggregate(transform(regexp_extract_all(textCol, lit(re), lit(0)),
+        m => length(m).cast("long")), lit(0L), (a, x) => a + x)
+    Seq(
+      cnt(PiiEmailRe).as("n_email"),
+      cnt(PiiIpv4Re).as("n_ipv4"),
+      cnt(PiiPhoneRe).as("n_phone"),
+      (mass(PiiEmailRe) + mass(PiiIpv4Re) + mass(PiiPhoneRe))
+        .as("pii_chars"))
+  }
+
+  /** [[piiScanCols]] as a per-document table: (id, n_email, n_ipv4,
+    * n_phone, pii_chars, has_pii). Stateless narrow projection — the
+    * SAME operator runs unchanged on a streaming frame. */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +: piiScanCols(col(textCol)): _*)
+      .withColumn("has_pii",
+        (col("n_email") + col("n_ipv4") + col("n_phone") > 0L).cast("long"))
+
   /** Zipf's-law slope of the corpus term-frequency distribution: the
     * OLS fit of ln(freq) against ln(rank) over the top `limit`
     * occurrence-frequency terms (rank 1 = most frequent; ties on

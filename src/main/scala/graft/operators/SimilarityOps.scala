@@ -682,4 +682,58 @@ object SimilarityOps {
       .select(col("true_label"), col("n_queries"), col("n_correct"),
         expr("(1000000 * n_correct) div n_queries").as("acc_mu"))
   }
+
+  /** NDCG@k of label-match retrieval (binary relevance: a neighbor is
+    * relevant iff it shares the query's label) — the RANK-aware
+    * retrieval-quality readout next to [[knnClassifyEval]]'s
+    * vote accuracy and the recall evals (q54/s12): two spaces with
+    * equal recall@k can differ sharply in whether the relevant hits
+    * sit at rank 1 or rank k, and NDCG is the standard way to see it.
+    *
+    * Exact integer pipeline: the 1/log2(rank+1) discount weights are
+    * FROZEN micro-unit literals (k <= 5 — math constants inlined
+    * identically in the engine and the oracle, the threshold-literal
+    * pattern), DCG is an exact BIGINT sum of matched weights, the
+    * ideal DCG is the prefix-sum literal at min(k, n_same_label - 1),
+    * and per-query NDCG is one integer micro-division; per-label
+    * means are `sum div count`. Queries whose label has no other
+    * member (ideal DCG 0) are excluded — NDCG is undefined for them.
+    *
+    * Scale shape: [[bruteForceTopK]]'s broadcast-queries scan (swap
+    * in any ANN top-k frame for the billion-doc path), one bounded
+    * per-label count table broadcast back, and aggregation over
+    * |queries| rows — the corpus is scanned once and never shuffled.
+    */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 5, s"frozen discount table covers k in [1,5], got $k")
+    // round(1e6 / log2(rank+1)) at 6 dp, ranks 1..5, and prefix sums
+    val wtMu = Seq(1000000L, 630930L, 500000L, 430677L, 386853L).take(k)
+    val idcgMu = wtMu.scanLeft(0L)(_ + _).tail
+    val nn = bruteForceTopK(corpus, queries, idCol, embCol, k)
+      .join(corpus.select(col(idCol), col(labelCol)), idCol)
+    val truth = queries.select(col(idCol).as("q_id"),
+      col(labelCol).as("q_label"))
+    val labCnt = broadcast(corpus.groupBy(col(labelCol).as("q_label"))
+      .agg(count(lit(1)).as("n_label")))
+    val wtCase = (2 to k).foldLeft(when(col("rn") === 1, lit(wtMu.head))) {
+      case (acc, i) => acc.when(col("rn") === i, lit(wtMu(i - 1)))
+    }
+    val dcg = nn.join(truth, "q_id")
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col(labelCol) === col("q_label"), wtCase)
+        .otherwise(lit(0L))).as("dcg_mu"))
+    dcg.join(labCnt, "q_label")
+      .filter(col("n_label") >= 2)
+      .select(col("q_label"),
+        (lit(1000000L) * col("dcg_mu")).as("num"),
+        element_at(typedlit(idcgMu),
+          least(lit(k.toLong), col("n_label") - 1L).cast("int")).as("idcg_mu"))
+      .select(col("q_label"), expr("num div idcg_mu").as("ndcg_mu"))
+      .groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("ndcg_mu")).as("snd"))
+      .select(col("q_label").as("label"), col("n_queries"),
+        expr("snd div n_queries").as("mean_ndcg_mu"))
+  }
 }

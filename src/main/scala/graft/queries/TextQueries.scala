@@ -550,6 +550,43 @@ private[graft] object TextQueries {
         .select(col("source"), col("n_vocab_toks"),
           expr(s"greatest(klnum, 0L) div (n_vocab_toks + $nVocab)")
             .as("kl_mu"))
+    }),
+
+    // FILTER FUNNEL (CorpusOps.filterFunnel): the per-source
+    // attrition table a curation run reads before committing to a
+    // rule stack — how many documents survive Gopher (t25), then
+    // +repetition (t27), then +C4 (t29), applied in sequence;
+    // coalesce semantics, cost, and the 100 TB shape documented on
+    // the operator.
+    "t30_filter_funnel" -> ((s, dir) =>
+      CorpusOps.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
+        cleanTokens, "source")),
+
+    // PII SURFACE SCAN (CorpusOps.piiScanCols): per-source match
+    // counts for the three portable pattern families (email, IPv4,
+    // international phone), documents-with-any-hit, and the total
+    // matched char mass (= the redaction pass's rewrite budget).
+    // One stateless narrow text scan + one small keyed agg. The
+    // synthetic corpus is PII-free, so a literal PROBE document
+    // (source 'srcpii', spelled identically in the oracle) rides
+    // along to make the driver's hash compare exercise nonzero
+    // counts — i.e. prove Java-regex/RE2 parity on actual matches,
+    // not just on absence; the per-pattern paths are additionally
+    // pinned on hand-built docs in PiiScanSpec (the t27 precedent).
+    "t31_pii_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"), col("text"))
+        .unionByName(s.range(1).select(lit("srcpii").as("source"),
+          lit("reach a@b.co or 10.0.0.1 or +12345678 now").as("text")))
+        .select(col("source") +: CorpusOps.piiScanCols(col("text")): _*)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_email") + col("n_ipv4") + col("n_phone") > 0L)
+            .cast("long")).as("n_pii_docs"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_ipv4")).as("n_ipv4"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(col("pii_chars")).as("pii_chars"))
     })
   )
 }

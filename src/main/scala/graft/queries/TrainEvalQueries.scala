@@ -314,6 +314,18 @@ private[graft] object TrainEvalQueries {
       SimilarityOps.knnClassifyEval(
         e, e.filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // NDCG@5 of label-match retrieval (SimilarityOps.ndcgAtK): the
+    // rank-aware companion to m15's vote accuracy — same 1-in-5
+    // query sample, same exact-cosine top-5, but graded by WHERE the
+    // same-label hits land (frozen micro-unit log2 discounts, exact
+    // BIGINT sums, integer divisions; semantics on the operator).
+    "m19_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ndcgAtK(
+        e, e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "label", k = 5)
     })
   )
 }
