@@ -645,9 +645,13 @@ object CorpusOps {
   /** Micro-unit ratio columns + the conjunction verdict over the raw
     * stat columns — the rule thresholds live HERE and nowhere else
     * (batch and streaming twin share this tail, so a threshold tweak
-    * lands in both or the twin equality spec fails). */
-  private[graft] def gopherRuleTail(stats: DataFrame, idCol: String): DataFrame =
-    stats.select(col(idCol), col("n_words"),
+    * lands in both or the twin equality spec fails). `carry` names
+    * extra `stats` columns to project through unchanged (the
+    * streaming funnel threads text/tokens past the tail this way). */
+  private[graft] def gopherRuleTail(stats: DataFrame, idCol: String,
+                                    carry: Seq[String] = Nil): DataFrame =
+    stats.select(col(idCol) +: carry.map(col) ++: Seq(
+        col("n_words"),
         expr("(1000000 * word_chars) div n_words").as("mean_wlen_mu"),
         col("n_req_stop"),
         expr("(1000000 * n_dup_lines) div n_lines").as("dup_line_mu"),
@@ -655,7 +659,7 @@ object CorpusOps {
           .as("dup_char_mu"),
         expr("(1000000 * n_bullet) div n_lines").as("bullet_mu"),
         expr("(1000000 * n_ellipsis) div n_lines").as("ellipsis_mu"),
-        expr("(1000000 * n_alpha_words) div n_words").as("alpha_mu"))
+        expr("(1000000 * n_alpha_words) div n_words").as("alpha_mu")): _*)
       .withColumn("pass_gopher",
         (col("n_words").between(50L, 100000L) &&
           col("mean_wlen_mu").between(3000000L, 10000000L) &&
@@ -735,27 +739,36 @@ object CorpusOps {
     * structurally wrong even though each agg was map-side combined;
     * the expression collapse is the same move CleanTokens made on the
     * tokenizer chain. */
-  def repetitionSignals(docs: DataFrame, idCol: String,
-                        tokens: Column): DataFrame = {
-    val muCols = (Seq(2, 3, 4).map(n => s"c$n" -> s"top${n}_mu") ++
+  /** The nine repetition micro-fraction columns over the `st` stats
+    * struct — ONE spelling, shared by [[repetitionSignals]] and the
+    * streaming funnel (where a zero `tok_chars` makes them NULL, the
+    * coalesce-to-fail path). */
+  private[graft] def repMuCols: Seq[Column] =
+    (Seq(2, 3, 4).map(n => s"c$n" -> s"top${n}_mu") ++
       (5 to 10).map(n => s"d$n" -> s"dup${n}_mu"))
       .map { case (in, out) =>
         expr(s"(1000000 * st.$in) div st.tok_chars").as(out)
       }
+
+  /** The table-A1 repetition conjunction over [[repMuCols]]'s output
+    * columns — thresholds live HERE and nowhere else. */
+  private[graft] def repPassCol: Column =
+    (col("top2_mu") <= 200000L && col("top3_mu") <= 180000L &&
+      col("top4_mu") <= 160000L && col("dup5_mu") <= 150000L &&
+      col("dup6_mu") <= 140000L && col("dup7_mu") <= 130000L &&
+      col("dup8_mu") <= 120000L && col("dup9_mu") <= 110000L &&
+      col("dup10_mu") <= 100000L).cast("long")
+
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        tokens: Column): DataFrame =
     docs
       .select(col(idCol), tokens.as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col(idCol), size(col("toks")).cast("long").as("n_toks"),
         graft.plans.RepetitionStats.of(col("toks")).as("st"))
       .select(col(idCol) +: col("n_toks") +:
-        col("st.tok_chars").as("tok_chars") +: muCols: _*)
-      .withColumn("pass_rep",
-        (col("top2_mu") <= 200000L && col("top3_mu") <= 180000L &&
-          col("top4_mu") <= 160000L && col("dup5_mu") <= 150000L &&
-          col("dup6_mu") <= 140000L && col("dup7_mu") <= 130000L &&
-          col("dup8_mu") <= 120000L && col("dup9_mu") <= 110000L &&
-          col("dup10_mu") <= 100000L).cast("long"))
-  }
+        col("st.tok_chars").as("tok_chars") +: repMuCols: _*)
+      .withColumn("pass_rep", repPassCol)
 
   /** C4 heuristic filter table (Raffel et al. 2020 §2.2 — the other
     * public rule set next to the Gopher table): per document,
@@ -789,20 +802,31 @@ object CorpusOps {
       .select(col(idCol), col(textCol).as("text"),
         gopherLines(col(textCol)).as("ls"))
       .filter(size(col("ls")) >= 1)
-      .select(col(idCol),
-        size(col("ls")).cast("long").as("n_lines"),
-        size(filter(col("ls"), keep)).cast("long").as("n_kept"),
-        (length(col("text")) -
-          length(translate(col("text"), ".!?", ""))).cast("long")
-          .as("n_term"),
-        contains(col("text"), lit("{")).cast("long").as("has_brace"),
-        contains(lower(col("text")), lit("lorem ipsum")).cast("long")
-          .as("has_lorem"))
+      .select(col(idCol) +:
+        size(col("ls")).cast("long").as("n_lines") +:
+        size(filter(col("ls"), keep)).cast("long").as("n_kept") +:
+        c4DocStatCols(col("text")): _*)
       .withColumn("kept_mu", expr("(1000000 * n_kept) div n_lines"))
-      .withColumn("pass_c4",
-        (col("n_term") >= 3L && col("has_brace") === 0L &&
-          col("has_lorem") === 0L).cast("long"))
+      .withColumn("pass_c4", c4PassCol)
   }
+
+  /** The C4 document conjunction over (n_term, has_brace, has_lorem)
+    * — ONE spelling, shared by [[c4Filters]] and the streaming
+    * funnel. */
+  private[graft] def c4PassCol: Column =
+    (col("n_term") >= 3L && col("has_brace") === 0L &&
+      col("has_lorem") === 0L).cast("long")
+
+  /** The C4 document-rule input columns over raw `textCol` — every
+    * [[c4PassCol]] input is line-independent, so these compute for
+    * ANY document (including ones [[c4Filters]]' own line filter
+    * would exclude), which is what the funnel's totality needs. */
+  private[graft] def c4DocStatCols(textCol: Column): Seq[Column] = Seq(
+    (length(textCol) -
+      length(translate(textCol, ".!?", ""))).cast("long").as("n_term"),
+    contains(textCol, lit("{")).cast("long").as("has_brace"),
+    contains(lower(textCol), lit("lorem ipsum")).cast("long")
+      .as("has_lorem"))
 
   /** FILTER FUNNEL: per-group attrition through the three public
     * rule stacks applied in sequence — Gopher ([[gopherQuality]]),
@@ -817,21 +841,11 @@ object CorpusOps {
     * materialized once (the tokenize-once pattern) and the funnel
     * becomes a pure small-row aggregation over stored signals. */
   def filterFunnel(docs: DataFrame, idCol: String, textCol: String,
-                   tokens: Column, groupCol: String): DataFrame = {
-    val g = gopherQuality(docs, idCol, textCol)
-      .select(col(idCol), col("pass_gopher"))
-    val r = repetitionSignals(docs, idCol, tokens)
-      .select(col(idCol), col("pass_rep"))
-    val c = c4Filters(docs, idCol, textCol)
-      .select(col(idCol), col("pass_c4"))
-    docs.select(col(idCol), col(groupCol))
-      .join(g, Seq(idCol), "left")
-      .join(r, Seq(idCol), "left")
-      .join(c, Seq(idCol), "left")
+                   tokens: Column, groupCol: String): DataFrame =
+    filterVerdicts(docs, idCol, textCol, tokens, Seq(groupCol))
       .select(col(groupCol),
-        coalesce(col("pass_gopher"), lit(0L)).as("pg"),
-        coalesce(col("pass_rep"), lit(0L)).as("pr"),
-        coalesce(col("pass_c4"), lit(0L)).as("pc"))
+        col("pass_gopher").as("pg"), col("pass_rep").as("pr"),
+        col("pass_c4").as("pc"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("pg")).as("n_gopher"),
@@ -840,6 +854,33 @@ object CorpusOps {
       .select(col(groupCol), col("n_docs"), col("n_gopher"),
         col("n_gopher_rep"), col("n_kept"),
         expr("(1000000 * n_kept) div n_docs").as("kept_mu"))
+
+  /** Per-document verdict table under the three public rule stacks —
+    * (id, extras..., pass_gopher, pass_rep, pass_c4, keep), TOTAL
+    * over the corpus: documents a family's own base filter excludes
+    * (empty word/token/line sets) coalesce to failing that family.
+    * `keep` is the sequential-funnel conjunction. [[filterFunnel]]
+    * is this table aggregated; the ingest twin is
+    * [[graft.streaming.StreamPipeline.filterFunnelStream]]. */
+  def filterVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                     tokens: Column,
+                     extraCols: Seq[String] = Nil): DataFrame = {
+    val g = gopherQuality(docs, idCol, textCol)
+      .select(col(idCol), col("pass_gopher"))
+    val r = repetitionSignals(docs, idCol, tokens)
+      .select(col(idCol), col("pass_rep"))
+    val c = c4Filters(docs, idCol, textCol)
+      .select(col(idCol), col("pass_c4"))
+    docs.select((idCol +: extraCols).map(col): _*)
+      .join(g, Seq(idCol), "left")
+      .join(r, Seq(idCol), "left")
+      .join(c, Seq(idCol), "left")
+      .select((idCol +: extraCols).map(col) ++ Seq(
+        coalesce(col("pass_gopher"), lit(0L)).as("pass_gopher"),
+        coalesce(col("pass_rep"), lit(0L)).as("pass_rep"),
+        coalesce(col("pass_c4"), lit(0L)).as("pass_c4")): _*)
+      .withColumn("keep",
+        col("pass_gopher") * col("pass_rep") * col("pass_c4"))
   }
 
   /** PII surface patterns — deliberately SIMPLE and dialect-portable:

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -491,25 +491,94 @@ object StreamPipeline {
       .select(col(idCol), CorpusOps.gopherWords(col(textCol)).as("ws"),
         CorpusOps.gopherLines(col(textCol)).as("ls"))
       .filter(size(col("ws")) >= 1)
-    // (count, chars) per DISTINCT line, in-row. (Qualified: this
-    // object's own `transform` pipeline stage shadows the SQL one.)
-    val lineCounts = org.apache.spark.sql.functions.transform(
+    CorpusOps.gopherRuleTail(
+      base.select(col(idCol) +: CorpusOps.gopherArrayStats ++:
+        inRowLineStatCols: _*), idCol)
+  }
+
+  /** The duplicate-line stat columns re-derived IN-ROW over the `ls`
+    * array — (count, chars) per DISTINCT line via a nested array
+    * fold, O(L²) in a doc's own line count, the price of
+    * statelessness. ONE spelling, shared by [[gopherQualityStream]]
+    * and [[filterFunnelStream]]. (`transform` qualified: this
+    * object's own pipeline stage shadows the SQL function.) */
+  private def inRowLineStatCols: Seq[Column] = {
+    val lc = org.apache.spark.sql.functions.transform(
       array_distinct(col("ls")), l => struct(
       size(filter(col("ls"), x => x === l)).cast("long").as("c"),
       length(l).cast("long").as("len")))
+    Seq(
+      size(col("ls")).cast("long").as("n_lines"),
+      aggregate(lc, lit(0L), (a, s) =>
+        a + when(s.getField("c") > 1, s.getField("c")).otherwise(0L))
+        .as("n_dup_lines"),
+      aggregate(lc, lit(0L), (a, s) =>
+        a + s.getField("len") * s.getField("c")).as("line_chars"),
+      aggregate(lc, lit(0L), (a, s) =>
+        a + when(s.getField("c") > 1, s.getField("len") * s.getField("c"))
+          .otherwise(0L)).as("dup_line_chars"))
+  }
+
+  /** Streaming ADMISSION GATE — the per-document funnel verdict at
+    * ingest, the stream face of
+    * [[graft.operators.CorpusOps.filterVerdicts]]: (id, pass_gopher,
+    * pass_rep, pass_c4, keep) for every arriving document, all three
+    * public rule stacks evaluated in ONE stateless narrow projection
+    * (no join, no state, watermark-free — unlike the batch spelling,
+    * which left-joins three per-family tables).
+    *
+    * Totality without joins: no base filters — every family's stats
+    * compute for every document, and a document with empty
+    * words/tokens/lines hits NULL micro-ratios (`x div 0`) whose
+    * rule conjunctions coalesce to 0, exactly the batch table's
+    * coalesce-to-fail. Rule spellings are the batch columns verbatim
+    * ([[graft.operators.CorpusOps.gopherRuleTail]] thresholds,
+    * [[graft.operators.CorpusOps.repMuCols]]/`repPassCol`,
+    * [[graft.operators.CorpusOps.c4DocStatCols]]/`c4PassCol`) except
+    * the duplicate-line stats, re-derived in-row
+    * ([[inRowLineStatCols]], the gopherQualityStream device) — a
+    * threshold tweak lands in both spellings or FunnelStreamSpec's
+    * equality pin fails. */
+  def filterFunnelStream(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val base = docs.select(col(idCol), col(textCol),
+      CorpusOps.gopherWords(col(textCol)).as("ws"),
+      CorpusOps.gopherLines(col(textCol)).as("ls"),
+      TextOps.cleanTokens(col(textCol)).as("toks"))
+    // NO size(ws) >= 1 base filter: a base-excluded doc must FAIL,
+    // not error — ANSI `div` throws on a 0 divisor, so the zero
+    // denominators (empty words/lines) are nullif'd to NULL, every
+    // ratio goes NULL, and the rule conjunction coalesces to 0 (the
+    // batch table's left-join coalesce, spelled in-row)
     val stats = base
-      .withColumn("lc", lineCounts)
-      .select(col(idCol) +: CorpusOps.gopherArrayStats :+
-        size(col("ls")).cast("long").as("n_lines") :+
-        aggregate(col("lc"), lit(0L), (a, s) =>
-          a + when(s.getField("c") > 1, s.getField("c")).otherwise(0L))
-          .as("n_dup_lines") :+
-        aggregate(col("lc"), lit(0L), (a, s) =>
-          a + s.getField("len") * s.getField("c")).as("line_chars") :+
-        aggregate(col("lc"), lit(0L), (a, s) =>
-          a + when(s.getField("c") > 1, s.getField("len") * s.getField("c"))
-            .otherwise(0L)).as("dup_line_chars"): _*)
-    CorpusOps.gopherRuleTail(stats, idCol)
+      .select(col(idCol) +: col(textCol) +: col("toks") +:
+        CorpusOps.gopherArrayStats ++: inRowLineStatCols: _*)
+      .withColumn("n_words", nullif(col("n_words"), lit(0L)))
+      .withColumn("n_lines", nullif(col("n_lines"), lit(0L)))
+      .withColumn("line_chars", nullif(col("line_chars"), lit(0L)))
+    val g = CorpusOps.gopherRuleTail(stats, idCol,
+        carry = Seq(textCol, "toks", "n_lines"))
+      .withColumn("pass_gopher", coalesce(col("pass_gopher"), lit(0L)))
+    // empty toks => NULL stats struct => NULL ratios => NULL
+    // conjunction, coalesced to fail (tokens are non-empty strings,
+    // so a non-empty array always has tok_chars >= 1)
+    val r = g
+      .select(col(idCol), col(textCol), col("n_lines"),
+        col("pass_gopher"),
+        when(size(col("toks")) >= 1,
+          graft.plans.RepetitionStats.of(col("toks"))).as("st"))
+      .select(Seq(col(idCol), col(textCol), col("n_lines"),
+        col("pass_gopher")) ++ CorpusOps.repMuCols: _*)
+      .withColumn("pass_rep", coalesce(CorpusOps.repPassCol, lit(0L)))
+    r.select(Seq(col(idCol), col("pass_gopher"), col("pass_rep"),
+        col("n_lines")) ++ CorpusOps.c4DocStatCols(col(textCol)): _*)
+      .withColumn("pass_c4",
+        when(col("n_lines") >= 1L, CorpusOps.c4PassCol).otherwise(0L))
+      .select(col(idCol), col("pass_gopher"), col("pass_rep"),
+        col("pass_c4"))
+      .withColumn("keep",
+        col("pass_gopher") * col("pass_rep") * col("pass_c4"))
   }
 
   /** Streaming twin of the t26 DSIR scorer: importance-score arriving
