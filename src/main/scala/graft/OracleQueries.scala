@@ -1173,6 +1173,29 @@ GROUP BY sym"""
          |  CAST((1000000 * CAST(sum(pg * pr * pc) AS BIGINT)) // count(*)
          |    AS BIGINT) AS kept_mu
          |FROM j GROUP BY source""".stripMargin,
+    // t32: readability — FRE + FK grade in exact integer micro-units;
+    // words = the Gopher raw split, sentences = terminal-punct count
+    // floored at 1, syllables = vowel-group runs floored at 1/word
+    "t32_readability" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      w -> len(w) > 0) AS ws,
+        |    CAST(len(text) - len(translate(text, '.!?', '')) AS BIGINT)
+        |      AS n_term
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    greatest(n_term, 1) AS n_sent,
+        |    CAST(list_sum(list_transform(ws, x -> greatest(1,
+        |      len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))) AS BIGINT)
+        |      AS n_syll
+        |  FROM w WHERE len(ws) >= 1)
+        |SELECT doc_id, n_words, n_sent, n_syll,
+        |  CAST(206835000 - (1015000 * n_words) // n_sent
+        |    - (84600000 * n_syll) // n_words AS BIGINT) AS fre_mu,
+        |  CAST((390000 * n_words) // n_sent
+        |    + (11800000 * n_syll) // n_words - 15590000 AS BIGINT)
+        |    AS fkgl_mu
+        |FROM b""".stripMargin,
     // t31: PII surface scan — the same three dialect-portable
     // patterns as CorpusOps (no backrefs/lookaround, ASCII classes:
     // literally identical under Java regex and RE2), counts via

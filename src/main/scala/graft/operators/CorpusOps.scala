@@ -883,6 +883,47 @@ object CorpusOps {
         col("pass_gopher") * col("pass_rep") * col("pass_c4"))
   }
 
+  /** READABILITY (Flesch 1948 / Kincaid et al. 1975): Flesch Reading
+    * Ease and Flesch-Kincaid grade level per document — the classic
+    * audience-level quality signal next to the rule tables (Gopher/
+    * C4 gate garbage; readability BANDS the survivors). Components:
+    *
+    *   - words: the raw-split [[gopherWords]] spelling;
+    *   - sentences: the terminal-punctuation count stand-in (the
+    *     [[c4DocStatCols]] `n_term` spelling — no sentence segmenter
+    *     ships in a SQL engine), floored at 1 so unpunctuated docs
+    *     read as one long sentence instead of dividing by zero;
+    *   - syllables: vowel-group runs per word (`[aeiouyAEIOUY]+`),
+    *     floored at 1 per word — the standard dictionary-free
+    *     heuristic, and a dialect-portable regex (Java == RE2).
+    *
+    * Both scores are exact integer micro-units: each formula term is
+    * one `constant * num div den` with non-negative operands
+    * (truncation parity with DuckDB `//`), so the oracle hashes
+    * equal. FRE_mu = 206835000 − 1015000·w div s − 84600000·sy div w;
+    * FKGL_mu = 390000·w div s + 11800000·sy div w − 15590000
+    * (negative = below-first-grade text; kept signed).
+    *
+    * One stateless narrow projection — no exchange at any scale, runs
+    * unchanged on a streaming frame. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), gopherWords(col(textCol)).as("ws"),
+        c4DocStatCols(col(textCol)).head)
+      .filter(size(col("ws")) >= 1)
+      .select(col(idCol),
+        size(col("ws")).cast("long").as("n_words"),
+        greatest(col("n_term"), lit(1L)).as("n_sent"),
+        aggregate(transform(col("ws"), w => greatest(lit(1L),
+          size(regexp_extract_all(w, lit("[aeiouyAEIOUY]+"), lit(0)))
+            .cast("long"))), lit(0L), (a, x) => a + x).as("n_syll"))
+      .select(col(idCol), col("n_words"), col("n_sent"), col("n_syll"),
+        (lit(206835000L) - expr("(1015000 * n_words) div n_sent") -
+          expr("(84600000 * n_syll) div n_words")).as("fre_mu"),
+        (expr("(390000 * n_words) div n_sent") +
+          expr("(11800000 * n_syll) div n_words") - lit(15590000L))
+          .as("fkgl_mu"))
+
   /** PII surface patterns — deliberately SIMPLE and dialect-portable:
     * no backreferences, no lookaround, ASCII classes only, so the
     * same literal runs identically under Java regex (Spark) and RE2

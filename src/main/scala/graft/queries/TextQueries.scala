@@ -562,6 +562,14 @@ private[graft] object TextQueries {
       CorpusOps.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
         cleanTokens, "source")),
 
+    // READABILITY (CorpusOps.readability): Flesch Reading Ease +
+    // Flesch-Kincaid grade per document — exact-integer micro-units,
+    // the vowel-group syllable heuristic, terminal-punct sentence
+    // stand-in; semantics and the stateless one-projection shape
+    // documented on the operator.
+    "t32_readability" -> ((s, dir) =>
+      CorpusOps.readability(t(s, dir, "documents"), "doc_id", "text")),
+
     // PII SURFACE SCAN (CorpusOps.piiScanCols): per-source match
     // counts for the three portable pattern families (email, IPv4,
     // international phone), documents-with-any-hit, and the total
