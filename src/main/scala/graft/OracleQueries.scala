@@ -1173,6 +1173,41 @@ GROUP BY sym"""
          |  CAST((1000000 * CAST(sum(pg * pr * pc) AS BIGINT)) // count(*)
          |    AS BIGINT) AS kept_mu
          |FROM j GROUP BY source""".stripMargin,
+    // t34: boilerplate strip accounting over documents + the three
+    // probe docs (chr(10)-joined literals == the engine's \n
+    // literals); boilerplate = lines in >= 2 distinct docs
+    "t34_strip_boilerplate" ->
+      """WITH u AS (SELECT doc_id, text FROM documents UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000001, 'Cookie notice' || chr(10) || 'content alpha'
+        |      || chr(10) || 'Footer Inc'),
+        |    (9000002, 'Cookie notice' || chr(10) || 'content beta'
+        |      || chr(10) || 'Footer Inc'),
+        |    (9000003, 'Cookie notice' || chr(10) || 'content gamma'))),
+        |l AS (SELECT doc_id,
+        |    unnest(list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> len(x) > 0)) AS line
+        |  FROM u),
+        |bp AS (SELECT line, 1 AS is_bp FROM l GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN is_bp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN is_bp IS NOT NULL THEN len(line) ELSE 0 END)
+        |    AS BIGINT) AS chars_removed
+        |FROM l LEFT JOIN bp USING (line) GROUP BY doc_id""".stripMargin,
+    // t33: boilerplate line census — trimmed non-empty lines ranked
+    // by (distinct docs, occurrences, line), top 50
+    "t33_boilerplate" ->
+      """WITH l AS (SELECT doc_id,
+        |    unnest(list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> len(x) > 0)) AS line
+        |  FROM documents)
+        |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(len(line) AS BIGINT) AS line_chars
+        |FROM l GROUP BY line
+        |ORDER BY n_docs DESC, n_occ DESC, line LIMIT 50""".stripMargin,
     // t32: readability — FRE + FK grade in exact integer micro-units;
     // words = the Gopher raw split, sentences = terminal-punct count
     // floored at 1, syllables = vowel-group runs floored at 1/word

@@ -883,6 +883,63 @@ object CorpusOps {
         col("pass_gopher") * col("pass_rep") * col("pass_c4"))
   }
 
+  /** BOILERPLATE LINE CENSUS (the CCNet/RefinedWeb paragraph-dedup
+    * prerequisite): the corpus-wide frequent-line table — lines
+    * (trimmed, non-empty; the [[gopherLines]] spelling) ranked by how
+    * many documents carry them, then by total occurrences, then
+    * lexicographically. The head of this table IS the boilerplate
+    * (navigation chrome, cookie banners, footers): web-scale corpora
+    * remove top-table lines before training, and the census is the
+    * artifact that decision reads.
+    *
+    * 100 TB shape: one text scan into a (line) keyed agg — both
+    * aggregates map-side combine (count-distinct over doc ids rides
+    * a two-level agg Spark plans automatically) — and the ranked
+    * cutoff is `TakeOrderedAndProject`, so the unbounded distinct-
+    * line set never funnels through one partition (the
+    * [[vocabularyWithIdf]] device at line granularity). */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                       limit: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(gopherLines(col(textCol))).as("line"))
+      .groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .select(col("line"), col("n_docs"), col("n_occ"),
+        length(col("line")).cast("long").as("line_chars"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("line"))
+      .limit(limit)
+
+  /** BOILERPLATE STRIP accounting — the rewrite pass the
+    * [[boilerplateLines]] census motivates: a line is boilerplate
+    * when >= `minDocs` distinct documents carry it, and the pass
+    * drops every occurrence. Returns per-document
+    * (id, n_lines, n_kept, chars_removed); the rewrite itself is the
+    * kept-lines concat (posexplode + the same anti-join + a
+    * positional re-assembly — same plan skeleton, plus order).
+    *
+    * 100 TB shape: the boilerplate set is UNBOUNDED (every line
+    * shared by two docs), so membership is a JOIN on the line hash —
+    * never a collect/broadcast of the line table. Two passes over
+    * the exploded lines (census + probe, the self-join class t25's
+    * dup-line stats already use) and one per-doc keyed agg. */
+  def stripBoilerplateStats(docs: DataFrame, idCol: String,
+                            textCol: String, minDocs: Int): DataFrame = {
+    val l = docs.select(col(idCol),
+      explode(gopherLines(col(textCol))).as("line"))
+    val bp = l.groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(1L).as("is_bp"))
+    l.join(bp, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_bp").isNotNull,
+          length(col("line")).cast("long")).otherwise(0L))
+          .as("chars_removed"))
+  }
+
   /** READABILITY (Flesch 1948 / Kincaid et al. 1975): Flesch Reading
     * Ease and Flesch-Kincaid grade level per document — the classic
     * audience-level quality signal next to the rule tables (Gopher/

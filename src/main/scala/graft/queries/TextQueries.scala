@@ -562,6 +562,32 @@ private[graft] object TextQueries {
       CorpusOps.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
         cleanTokens, "source")),
 
+    // BOILERPLATE LINE CENSUS (CorpusOps.boilerplateLines): the
+    // corpus-wide frequent-line table web pipelines read before the
+    // paragraph-dedup pass — top-50 by (docs carrying, occurrences,
+    // line); one keyed agg + TakeOrdered, shape on the operator.
+    "t33_boilerplate" -> ((s, dir) =>
+      CorpusOps.boilerplateLines(t(s, dir, "documents"), "doc_id",
+        "text", limit = 50)),
+
+    // BOILERPLATE STRIP accounting (CorpusOps.stripBoilerplateStats):
+    // per-doc line/char attrition when >= 2-doc lines are dropped.
+    // The corpus has NO cross-doc duplicate lines (checked), so three
+    // literal probe docs sharing a "Cookie notice"/"Footer Inc" frame
+    // ride along in both engine and oracle — the driver compare
+    // exercises actual strips, not just zeroes (the t31 device).
+    "t34_strip_boilerplate" -> ((s, dir) => {
+      val probes = Seq(
+        (9000001L, "Cookie notice\ncontent alpha\nFooter Inc"),
+        (9000002L, "Cookie notice\ncontent beta\nFooter Inc"),
+        (9000003L, "Cookie notice\ncontent gamma"))
+      import s.implicits._
+      CorpusOps.stripBoilerplateStats(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(probes.toDF("doc_id", "text")),
+        "doc_id", "text", minDocs = 2)
+    }),
+
     // READABILITY (CorpusOps.readability): Flesch Reading Ease +
     // Flesch-Kincaid grade per document — exact-integer micro-units,
     // the vowel-group syllable heuristic, terminal-punct sentence
