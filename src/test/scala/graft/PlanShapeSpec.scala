@@ -324,4 +324,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
           pr.queryExecution.executedPlan)
     } finally release()
   }
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def countScans(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => countScans(a.finalPhysicalPlan)
+    case q: QueryStageExec => countScans(q.plan)
+    case _: FileSourceScanExec => 1
+    case _ => p.children.map(countScans).sum
+  }
+
+  private def executedPlanOf(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    p
+  }
+
+  test("t31 PII scan: one corpus scan (probe is a local relation)") {
+    val p = executedPlanOf("t31_pii_scan")
+    assert(countScans(p) == 1, s"expected 1 file scan:\n$p")
+  }
+
+  test("t32 readability is a pure narrow projection — zero exchanges") {
+    val p = executedPlanOf("t32_readability")
+    assert(!p.toString.contains("Exchange"), p)
+    assert(countScans(p) == 1, s"expected 1 file scan:\n$p")
+  }
+
+  test("t33 boilerplate census: TakeOrdered cutoff, no global sort") {
+    val p = executedPlanOf("t33_boilerplate").toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort ") && !l.contains("TakeOrdered")), p)
+  }
+
+  test("t34 strip accounting: census + probe, never a third text pass") {
+    val p = executedPlanOf("t34_strip_boilerplate")
+    assert(countScans(p) <= 2, s"expected <= 2 file scans:\n$p")
+  }
+
+  test("m19 NDCG: the only Window is the bounded per-query top-k") {
+    val p = executedPlanOf("m19_ndcg").toString
+    val windows = p.linesIterator.count(_.trim.startsWith("+- Window"))
+    assert(p.contains("row_number"), p)
+    assert(windows <= 1, s"expected a single Window operator:\n$p")
+  }
 }
