@@ -214,13 +214,13 @@ GROUP BY sym"""
       s"len(list_filter(toks, w -> list_contains(${ws.map(sqlQuote(_)).mkString("[", ", ", "]")}, w)))"
     val (en, de, es, fr) = (sc(LangMarkers.en), sc(LangMarkers.de),
       sc(LangMarkers.es), sc(LangMarkers.fr))
-    s"""p AS (SELECT lang,
+    s"""p AS (SELECT doc_id, lang,
        |  CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
        |       WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
        |       WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
        |       WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
        |       ELSE 'fr' END AS pred_lang
-       |FROM (SELECT lang, $sqlToks AS toks FROM documents)),
+       |FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents)),
        |cm AS (SELECT lang, pred_lang, count(*) AS n
        |  FROM p GROUP BY lang, pred_lang)""".stripMargin
   }
@@ -2031,6 +2031,23 @@ GROUP BY sym"""
     "m12_confusion" ->
       s"""WITH $langConfusionCte
          |SELECT lang, pred_lang, n FROM cm""".stripMargin,
+    // m20: hash-replicate accuracy bands — 10 deterministic ~50%
+    // subsamples (the m16/t23 md5-residue device) of the t3
+    // heuristic's per-doc correctness; per-replicate exact counts
+    "m20_bootstrap_acc" ->
+      s"""WITH $langConfusionCte,
+         |s AS (SELECT doc_id,
+         |    CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS ok FROM p),
+         |r AS (SELECT rep, ok FROM
+         |    (SELECT doc_id, ok, unnest(range(0, 10)) AS rep FROM s)
+         |  WHERE ${OracleSql.hash32(
+             "CAST(doc_id AS VARCHAR) || ':m20:' || CAST(rep AS VARCHAR)")}
+           % 2 = 0)
+         |SELECT rep, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST((1000000 * CAST(sum(ok) AS BIGINT)) // count(*) AS BIGINT)
+         |    AS acc_mu
+         |FROM r GROUP BY rep""".stripMargin,
     // real BPE fit: 8 unrolled greedy merge rounds (CTE chain built by
     // bpeFitSql below), mirroring CorpusOps.bpeFit's wrapped-symbol
     // string encoding and leftmost-non-overlapping replace()

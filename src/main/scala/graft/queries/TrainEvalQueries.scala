@@ -316,6 +316,27 @@ private[graft] object TrainEvalQueries {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // HASH-REPLICATE ACCURACY BANDS: the metric-stability readout a
+    // single point estimate (m12/m13) hides — the t3 heuristic's
+    // accuracy over 10 deterministic ~50% md5-residue subsamples
+    // (the m16/t23 salted-residue device; bootstrap-style bands
+    // without nondeterministic resampling). One corpus scan; the
+    // 10x explode rides tiny (doc_id, ok) rows, never text; exact
+    // integer counts per replicate.
+    "m20_bootstrap_acc" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("lang") === langPredCol).cast("long").as("ok"))
+        .select(col("doc_id"), col("ok"),
+          explode(sequence(lit(0L), lit(9L))).as("rep"))
+        .filter(pmod(graft.operators.DedupOps.md5Hash32(
+          concat(col("doc_id").cast("string"), lit(":m20:"),
+            col("rep").cast("string"))), lit(2)) === 0)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+        .select(col("rep"), col("n_docs"), col("n_correct"),
+          expr("(1000000 * n_correct) div n_docs").as("acc_mu"))),
+
     // NDCG@5 of label-match retrieval (SimilarityOps.ndcgAtK): the
     // rank-aware companion to m15's vote accuracy — same 1-in-5
     // query sample, same exact-cosine top-5, but graded by WHERE the
