@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 140") {
-    assert(SparkEntry.queries.size === 140)
+  test("inventory size is the declared 147") {
+    assert(SparkEntry.queries.size === 147)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
