@@ -2031,6 +2031,32 @@ GROUP BY sym"""
     "m12_confusion" ->
       s"""WITH $langConfusionCte
          |SELECT lang, pred_lang, n FROM cm""".stripMargin,
+    // m21: Cohen's kappa over the m12 matrix — HUGEINT products
+    // (n^2-scale, the t28 device), sign-split // so the floor
+    // matches Spark's truncating decimal div on negatives, pe = 1
+    // degenerate case reports 0
+    "m21_cohens_kappa" ->
+      s"""WITH $langConfusionCte,
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+         |      AS BIGINT) AS diag FROM cm),
+         |rw AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM cm
+         |  GROUP BY lang),
+         |cl AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS c FROM cm
+         |  GROUP BY pred_lang),
+         |rcv AS (SELECT coalesce(CAST(sum(CAST(r AS HUGEINT) * c)
+         |      AS HUGEINT), CAST(0 AS HUGEINT)) AS rc
+         |  FROM rw JOIN cl ON rw.lang = cl.pred_lang),
+         |k AS (SELECT n, diag,
+         |    CAST(1000000 AS HUGEINT) *
+         |      (CAST(n AS HUGEINT) * diag - rc) AS num,
+         |    CAST(n AS HUGEINT) * n - rc AS den
+         |  FROM tot CROSS JOIN rcv)
+         |SELECT n AS n_docs, diag AS n_agree,
+         |  CAST(CASE WHEN den = 0 THEN 0
+         |    WHEN num < 0 THEN -((-num) // den)
+         |    ELSE num // den END AS BIGINT) AS kappa_mu
+         |FROM k""".stripMargin,
     // m20: hash-replicate accuracy bands — 10 deterministic ~50%
     // subsamples (the m16/t23 md5-residue device) of the t3
     // heuristic's per-doc correctness; per-replicate exact counts

@@ -883,6 +883,40 @@ object CorpusOps {
         col("pass_gopher") * col("pass_rep") * col("pass_c4"))
   }
 
+  /** COHEN'S KAPPA from a confusion-matrix table (actual, predicted,
+    * count) — chance-corrected agreement, the one-number summary raw
+    * accuracy overstates when the class mix is skewed:
+    * kappa = (po − pe)/(1 − pe), pe = Σ rowᵢ·colᵢ / n². Exactly
+    * integer: kappa_mu = 1e6·(n·Σdiag − Σrᵢcᵢ) div (n² − Σrᵢcᵢ),
+    * with the n²-scale products in DECIMAL(38,0) (HUGEINT on the
+    * oracle side, the t28 device — n² exceeds 2^63 past ~3e9 rows).
+    * `div` on DECIMAL truncates toward zero, so the DuckDB oracle
+    * sign-splits its floor `//` to match on negative kappa; the
+    * degenerate one-cell matrix (pe = 1) reports 0 by convention.
+    * Three folds over the class-bounded matrix — nothing above
+    * matrix size ever moves (callers persist the matrix, the m13
+    * release discipline). */
+  def cohensKappaFromMatrix(cm: DataFrame, actualCol: String,
+                            predCol: String, nCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tot = cm.agg(sum(col(nCol)).as("n"),
+      sum(when(col(actualCol) === col(predCol), col(nCol))
+        .otherwise(0L)).as("diag"))
+    val rc = cm.groupBy(col(actualCol)).agg(sum(col(nCol)).as("r"))
+      .join(cm.groupBy(col(predCol)).agg(sum(col(nCol)).as("c")),
+        col(actualCol) === col(predCol))
+      .agg(coalesce(sum(dec(col("r")) * dec(col("c"))),
+        lit(0).cast("decimal(38,0)")).as("rc"))
+    tot.crossJoin(rc)
+      .select(col("n").as("n_docs"), col("diag").as("n_agree"),
+        expr("""cast(case
+            when cast(n as decimal(38,0)) * n - rc = 0 then 0
+            else (cast(1000000 as decimal(38,0)) *
+                  (cast(n as decimal(38,0)) * diag - rc)) div
+                 (cast(n as decimal(38,0)) * n - rc) end
+          as bigint)""").as("kappa_mu"))
+  }
+
   /** BOILERPLATE LINE CENSUS (the CCNet/RefinedWeb paragraph-dedup
     * prerequisite): the corpus-wide frequent-line table — lines
     * (trimmed, non-empty; the [[gopherLines]] spelling) ranked by how

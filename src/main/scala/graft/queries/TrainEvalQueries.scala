@@ -316,6 +316,22 @@ private[graft] object TrainEvalQueries {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // COHEN'S KAPPA: chance-corrected agreement between the t3
+    // heuristic and the labels — the one-number summary raw accuracy
+    // (m12/m13's po) overstates when the class mix is skewed:
+    // kappa = (po - pe)/(1 - pe) with pe = Σ row_i·col_i / n².
+    // Exactly integer: kappa_mu = 1e6·(n·Σdiag - Σrᵢcᵢ) div
+    // (n² - Σrᵢcᵢ), with the n²-scale products in DECIMAL(38,0)
+    // (HUGEINT on the oracle side, the t28 device — n² exceeds 2^63
+    // past ~3e9 documents). Three folds over the <= 25-row persisted
+    // confusion matrix (the m13 release discipline), nothing above
+    // matrix size ever moves.
+    "m21_cohens_kappa" -> ((s, dir) =>
+      graft.operators.CorpusOps.cohensKappaFromMatrix(
+        langConfusion(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        "lang", "pred_lang", "n")),
+
     // HASH-REPLICATE ACCURACY BANDS: the metric-stability readout a
     // single point estimate (m12/m13) hides — the t3 heuristic's
     // accuracy over 10 deterministic ~50% md5-residue subsamples
