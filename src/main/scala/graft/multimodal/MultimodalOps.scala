@@ -245,6 +245,19 @@ object MediaCodec {
     version != 1 && layer != 0 && bitrateIdx != 0xF && sampleIdx != 3
   }
 
+  /** Real video containers the environment cannot decode (same
+    * honesty rule as [[isKnownCompressedAudio]]): MP4-family `ftyp`
+    * at byte offset 4 (sniffFormat's rule) and Matroska/WebM's EBML
+    * magic. A recognized container must land in `unsupported:`, never
+    * the synthetic fake — from EITHER decode path (a crawl row
+    * mislabeled image/audio still carries the video bytes). */
+  private def isKnownVideoContainer(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 && {
+      (p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') || // MP4
+      (p(0) == 0x1A.toByte && p(1) == 0x45.toByte &&
+        p(2) == 0xDF.toByte && p(3) == 0xA3.toByte) // EBML (MKV/WebM)
+    }
+
   /** Decode a PCM WAV/AIFF payload to mono [-1, 1] floats — REAL via
     * the JDK's own `AudioSystem` (the ImageIO playbook: no external
     * libs). The stream is re-coded to 16-bit signed PCM at the source
@@ -299,6 +312,8 @@ object MediaCodec {
       }
     } else if (payload != null && isKnownCompressedAudio(payload)) {
       Left("unsupported: compressed audio container (no JDK codec)")
+    } else if (payload != null && isKnownVideoContainer(payload)) {
+      Left("unsupported: video container (no JDK codec)")
     } else if (payload == null || payload.length < 64) {
       Left("corrupt: payload too short")
     } else {
@@ -362,6 +377,8 @@ object MediaCodec {
       } catch {
         case e: Exception => Left(s"corrupt: ${e.getMessage}")
       }
+    } else if (payload != null && isKnownVideoContainer(payload)) {
+      Left("unsupported: video container (no JDK codec)")
     } else if (payload == null || payload.length < 64) {
       Left("corrupt: payload too short")
     } else {

@@ -177,6 +177,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(MediaCodec.decodeAudio(Array.fill[Byte](128)(7)).isRight)
   }
 
+  test("video containers route to unsupported from BOTH decode paths") {
+    // an MP4 (ftyp at offset 4) or MKV/WebM (EBML) payload must never
+    // fake-decode, even when a crawl row mislabels it image or audio
+    def pad(head: Array[Byte]): Array[Byte] = head ++ Array.fill[Byte](128)(0)
+    val mp4 = pad(Array[Byte](0, 0, 0, 32, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm'))
+    val mkv = pad(Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte))
+    for (p <- Seq(mp4, mkv)) {
+      val a = MediaCodec.decodeAudio(p)
+      assert(a.isLeft && a.swap.toOption.get.startsWith("unsupported: video"),
+        s"audio path: expected unsupported video, got $a")
+      val i = MediaCodec.decodeImage(p, 8, 8)
+      assert(i.isLeft && i.swap.toOption.get.startsWith("unsupported: video"),
+        s"image path: expected unsupported video, got $i")
+    }
+  }
+
   test("AIFF round-trip decodes to the same samples as WAV") {
     // re-encode the fixture clip as AIFF in memory (big-endian PCM)
     // via the JDK's own writer, then decode through the same seam
