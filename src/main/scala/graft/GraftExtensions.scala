@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CleanTokens, EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, QuantileSketchAgg, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
+import graft.plans.{CleanTokens, EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, QuantileSketchAgg, RepetitionStats, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -162,7 +162,9 @@ object GraftExtensions {
     unary("hashed_trigrams32", classOf[HashedTrigrams32], HashedTrigrams32(_: Expression)),
     unary("rolling_hash_min", classOf[RollingHashMin], RollingHashMin(_: Expression)),
     unary("sketch_bands", classOf[SketchBands], SketchBands(_: Expression)),
-    unary("clean_tokens", classOf[CleanTokens], CleanTokens(_: Expression)))
+    unary("clean_tokens", classOf[CleanTokens], CleanTokens(_: Expression)),
+    unary("repetition_stats", classOf[RepetitionStats],
+      RepetitionStats(_: Expression)))
 
   /** Idempotent registration into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -95,6 +95,19 @@ class RepetitionSignalsSpec extends AnyFunSuite with SparkSessionFixture {
         df.queryExecution.executedPlan)
   }
 
+  test("repetition_stats is SQL-registered and equals the Column spelling") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(Seq("a", "b", "a", "b"), Seq("x")).toDF("toks")
+      .createOrReplaceTempView("rep_sql")
+    val viaSql = spark.sql(
+      "SELECT repetition_stats(toks) AS st FROM rep_sql").collect()
+    val viaCol = Seq(Seq("a", "b", "a", "b"), Seq("x")).toDF("toks")
+      .select(graft.plans.RepetitionStats.of(org.apache.spark.sql.functions.col("toks")).as("st"))
+      .collect()
+    assert(viaSql.map(_.toString) === viaCol.map(_.toString))
+  }
+
   test("diverse doc passes the A1 conjunction; short docs default 0") {
     // all-distinct tokens: top2 cover = 1*2/26 chars, no dups at all
     val div = ('a' to 'z').map(_.toString)
