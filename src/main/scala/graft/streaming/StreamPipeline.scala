@@ -212,6 +212,65 @@ object StreamPipeline {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** First-seen admission with PROCESSING-TIME TTL state — the
+    * [[dedupWithinWatermark]] twin for feeds WITHOUT trustworthy
+    * event timestamps (a crawl front without a watermarkable ts
+    * column): `dropDuplicatesWithinWatermark` expires state by
+    * event-time watermark; here a fingerprint is "recently seen"
+    * for `ttl` of WALL-CLOCK time and the state store reclaims it
+    * after. Built on Spark 4's `transformWithState`
+    * StatefulProcessor API (one boolean `ValueState` per live
+    * fingerprint, `TTLConfig`-expired — requires the RocksDB state
+    * store provider, which ships in this image). First arrival of
+    * each `fp` is admitted (within a micro-batch, the first row of
+    * the key's iterator); repeats inside the TTL horizon drop.
+    * State is bounded by the number of DISTINCT fingerprints seen
+    * per TTL window — the same bound the watermark variant carries,
+    * measured on a different clock.
+    *
+    * Deployment note (probed, spec'd): ProcessingTime TimeMode
+    * schedules micro-batches CONTINUOUSLY to advance the TTL clock —
+    * batch ids climb even with no input, and
+    * `processAllAvailable()` never latches. Always set a trigger
+    * interval (`Trigger.ProcessingTime(...)`) on queries over this
+    * operator; the interval bounds both the no-input batch rate and
+    * TTL-eviction granularity. */
+  def ttlDedupStream(df: DataFrame, idCol: String, textCol: String,
+                     fp: Column, ttl: java.time.Duration): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(fp.cast("string").as("_fp"),
+        col(idCol).cast("long").as("_id"),
+        col(textCol).cast("string").as("_text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FirstSeenTtlProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF(idCol, textCol)
+  }
+
+  /** The [[ttlDedupStream]] processor: admits the first row of a
+    * never-seen (or TTL-expired) fingerprint, drops the rest. */
+  private class FirstSeenTtlProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, String), (Long, String)] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String)] = {
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1).map(r => (r._2, r._3)) }
+    }
+  }
+
   /** Incremental batch run: process everything currently available,
     * then stop — `Trigger.AvailableNow` + checkpoint turns any
     * streaming pipeline into a resumable batch job that touches only
