@@ -1196,6 +1196,21 @@ GROUP BY sym"""
         |  CAST(sum(CASE WHEN is_bp IS NOT NULL THEN len(line) ELSE 0 END)
         |    AS BIGINT) AS chars_removed
         |FROM l LEFT JOIN bp USING (line) GROUP BY doc_id""".stripMargin,
+    // t35: per-source lexical richness — hapax rate + type-token
+    // ratio from one (source, term) census, exact micro-units
+    "t35_hapax" ->
+      s"""WITH c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($sqlToks) AS term FROM documents)
+         |  GROUP BY source, term),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM c GROUP BY source)
+         |SELECT source, n_terms, n_hapax, n_tokens,
+         |  CAST((1000000 * n_hapax) // n_terms AS BIGINT) AS hapax_mu,
+         |  CAST((1000000 * n_terms) // n_tokens AS BIGINT) AS ttr_mu
+         |FROM a""".stripMargin,
     // t33: boilerplate line census — trimmed non-empty lines ranked
     // by (distinct docs, occurrences, line), top 50
     "t33_boilerplate" ->

@@ -562,6 +562,26 @@ private[graft] object TextQueries {
       CorpusOps.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
         cleanTokens, "source")),
 
+    // LEXICAL RICHNESS per source: hapax-legomenon rate (share of a
+    // source's vocabulary appearing exactly once — the long-tail
+    // health signal Zipf's slope (t28) summarizes corpus-wide) and
+    // type-token ratio, exact integer micro-units. One text scan
+    // into a (source, term) keyed agg (map-side combined), then a
+    // vocabulary-bounded per-source fold — the t28/m6 census shape.
+    "t35_hapax" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), explode(cleanTokens).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("c")).as("n_tokens"))
+        .select(col("source"), col("n_terms"), col("n_hapax"),
+          col("n_tokens"),
+          expr("(1000000 * n_hapax) div n_terms").as("hapax_mu"),
+          expr("(1000000 * n_terms) div n_tokens").as("ttr_mu"))),
+
     // BOILERPLATE LINE CENSUS (CorpusOps.boilerplateLines): the
     // corpus-wide frequent-line table web pipelines read before the
     // paragraph-dedup pass — top-50 by (docs carrying, occurrences,
