@@ -250,6 +250,64 @@ object StreamPipeline {
       .toDF(idCol, textCol)
   }
 
+  /** Per-key admission QUOTA with processing-time windows — the
+    * crawl-fairness gate (cap any one source/domain at
+    * `maxPerWindow` documents per `window` so a hot host cannot
+    * monopolize the ingest budget), the second
+    * `transformWithState` operator beside [[ttlDedupStream]]. State
+    * per live key is one (windowStart, admittedCount) pair; the
+    * window resets lazily on the first arrival past its end (no
+    * timers — idle keys carry no work) and a 2×window TTL reclaims
+    * keys that stop arriving entirely. Admission is deterministic
+    * given per-key arrival order: the first `maxPerWindow` rows of
+    * each window pass, the rest drop.
+    *
+    * Same deployment note as [[ttlDedupStream]]: ProcessingTime
+    * TimeMode — set a trigger interval. */
+  def sourceQuotaStream(df: DataFrame, keyCol: String, idCol: String,
+                        textCol: String, maxPerWindow: Int,
+                        window: java.time.Duration): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("string").as("_k"),
+        col(idCol).cast("long").as("_id"),
+        col(textCol).cast("string").as("_text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new QuotaProcessor(maxPerWindow, window),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF(keyCol, idCol, textCol)
+  }
+
+  /** The [[sourceQuotaStream]] processor. */
+  private class QuotaProcessor(maxPerWindow: Int, window: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, String), (String, Long, String)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("quota",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig(window.multipliedBy(2)))
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, String)] = {
+      val now = timerValues.getCurrentProcessingTimeInMs()
+      val (ws0, c0) = if (st.exists()) st.get() else (now, 0L)
+      val (ws, c) =
+        if (now - ws0 >= window.toMillis) (now, 0L) else (ws0, c0)
+      val room = math.max(0L, maxPerWindow - c).toInt
+      val admitted = rows.take(room).toSeq
+      st.update((ws, c + admitted.size))
+      admitted.iterator
+    }
+  }
+
   /** The [[ttlDedupStream]] processor: admits the first row of a
     * never-seen (or TTL-expired) fingerprint, drops the rest. */
   private class FirstSeenTtlProcessor(ttl: java.time.Duration)
