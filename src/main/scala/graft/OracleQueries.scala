@@ -663,6 +663,48 @@ GROUP BY sym"""
     },
     // verify stage intersects hashed trigram sets (same md5-prefix
     // hash as the Spark side, so collisions shrink both identically)
+    // d18: empirical LSH recall/precision on the 250-doc md5-ordered
+    // gold subset — sig/band/key spellings composed from the same
+    // OracleSql pieces the d2/d4 oracles use, applied over `gold`
+    "d18_lsh_recall" -> {
+      import graft.operators.DetParams.{MinhashBands, MinhashK}
+      val sig = (0 until MinhashK).map(OracleSql.sigElem)
+        .mkString("[", ", ", "]")
+      val keys = (0 until MinhashBands)
+        .map(b => s"${OracleSql.bandKey(b)} AS b$b").mkString(", ")
+      s"""WITH gold AS (SELECT doc_id, text FROM documents
+         |  ORDER BY ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")}, doc_id
+         |  LIMIT 250),
+         |tg AS (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM gold),
+         |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${OracleSql.hash32("s")}) AS hs FROM tg),
+         |sigt AS (SELECT doc_id, $sig AS sig FROM hsrc),
+         |keys AS (SELECT doc_id, $keys FROM sigt),
+         |banded AS (${OracleSql.bandedBranches}),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |t AS (SELECT doc_id, list_distinct(hs) AS tgh,
+         |    len(list_distinct(hs)) AS ntg FROM hsrc),
+         |ex AS (SELECT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a,
+         |    b.doc_id AS doc_b,
+         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(coalesce(sum(CASE WHEN c.doc_a IS NOT NULL
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN cand c USING (doc_a, doc_b)),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM gold)
+         |SELECT n_docs, n_true AS n_true_pairs, n_cand AS n_cand_pairs,
+         |  n_hit,
+         |  CAST(CASE WHEN n_true = 0 THEN 0
+         |    ELSE (1000000 * n_hit) // n_true END AS BIGINT) AS recall_mu,
+         |  CAST(CASE WHEN n_cand = 0 THEN 0
+         |    ELSE (1000000 * n_hit) // n_cand END AS BIGINT)
+         |    AS cand_precision_mu
+         |FROM g CROSS JOIN h CROSS JOIN c2""".stripMargin
+    },
     "d4_ngram_jaccard" -> {
       val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},

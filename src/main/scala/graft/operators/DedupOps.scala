@@ -412,6 +412,57 @@ object DedupOps {
     })
   }
 
+  /** EMPIRICAL LSH candidate recall/precision on a bounded gold
+    * subset — the measurement companion to the d16 analytic banding
+    * sweep: d16 prices candidate VOLUME from the band histogram;
+    * this measures what fraction of TRUE >= `threshold` pairs the
+    * current banding actually surfaces (recall — missed pairs are
+    * dedup leakage) and what fraction of surfaced candidates are
+    * true (precision — the verify stage's hit rate). The gold
+    * subset is the `goldN` documents smallest by md5(id): an
+    * ABSOLUTELY bounded TakeOrdered cutoff, never a corpus-growing
+    * fraction, so the exact all-pairs verify is O(goldN²) work at
+    * ANY corpus size — the one place an all-pairs join is correct,
+    * because its input size is a constant of the config, not of the
+    * data. One row: counts + recall/precision in micro-units. */
+  def lshCandidateRecall(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, goldN: Int): DataFrame = {
+    val gold = docs
+      .select(col(idCol), col(textCol))
+      .orderBy(md5Hash32(col(idCol).cast("string")), col(idCol))
+      .limit(goldN)
+    val tg = trigramTable(gold, idCol, textCol).persist()
+    val exact = tg.as("a")
+      .join(tg.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        graft.plans.SortedIntersectCount.of(
+          col("a.tgh"), col("b.tgh")).as("i"),
+        (col("a.ntg") + col("b.ntg")).as("st"))
+      .filter(col("i").cast("double") / (col("st") - col("i")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val banded = bandedKeys(tg, idCol).hint("shuffle_hash")
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bkey") === col("r.bkey") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+    val hits = exact
+      .join(cands.withColumn("c", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        // sum over ZERO rows (no true pairs) is NULL, not 0
+        coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L)).as("n_hit"))
+    gold.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(hits)
+      .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+      .select(col("n_docs"), col("n_true").as("n_true_pairs"),
+        col("n_cand").as("n_cand_pairs"), col("n_hit"),
+        expr("CASE WHEN n_true = 0 THEN 0L " +
+          "ELSE (1000000 * n_hit) div n_true END").as("recall_mu"),
+        expr("CASE WHEN n_cand = 0 THEN 0L " +
+          "ELSE (1000000 * n_hit) div n_cand END").as("cand_precision_mu"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
     * band buckets; with b bands the corpus is scanned once and

@@ -34,6 +34,15 @@ private[graft] object DedupQueries {
     // d1's raw-text equality misses, at dictionary-encode cost (the
     // tokenize-once pipeline gets this dedup nearly free: one
     // groupBy over the already-stored id arrays). Same keyed-agg
+    // EMPIRICAL LSH recall/precision on a bounded gold subset — the
+    // measurement companion to d16's analytic banding sweep
+    // (semantics and the absolutely-bounded all-pairs justification
+    // on the operator).
+    "d18_lsh_recall" -> ((s, dir) =>
+      DedupOps.lshCandidateRecall(
+        t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, goldN = 250)),
+
     // shape as d1; the min-id keeper is unique per group, so the
     // output needs no array column (engine int arrays vs oracle
     // BIGINT lists would otherwise be a hasher type mismatch).
