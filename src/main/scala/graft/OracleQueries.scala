@@ -705,6 +705,56 @@ GROUP BY sym"""
          |    AS cand_precision_mu
          |FROM g CROSS JOIN h CROSS JOIN c2""".stripMargin
     },
+    // d19: d18 across the d16 config grid — per-config band keys via
+    // bandKeyCfg over the shared gold sigt, truth computed once
+    "d19_recall_sweep" -> {
+      import graft.operators.DetParams.MinhashK
+      val sig = (0 until MinhashK).map(OracleSql.sigElem)
+        .mkString("[", ", ", "]")
+      val cfgs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+      val branches = cfgs.flatMap { case (b, r) =>
+        (0 until b).map(i =>
+          s"SELECT doc_id, CAST($b AS BIGINT) AS bands, " +
+            s"CAST($r AS BIGINT) AS rows_per_band, $i AS band, " +
+            s"${OracleSql.bandKeyCfg(i, r)} AS bkey FROM sigt")
+      }.mkString(" UNION ALL ")
+      s"""WITH gold AS (SELECT doc_id, text FROM documents
+         |  ORDER BY ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")}, doc_id
+         |  LIMIT 250),
+         |tg AS (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM gold),
+         |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${OracleSql.hash32("s")}) AS hs FROM tg),
+         |sigt AS (SELECT doc_id, $sig AS sig FROM hsrc),
+         |banded AS ($branches),
+         |cand AS (SELECT DISTINCT l.bands, l.rows_per_band,
+         |    l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.bands = r.bands AND l.rows_per_band = r.rows_per_band
+         |    AND l.band = r.band AND l.bkey = r.bkey
+         |    AND l.doc_id < r.doc_id),
+         |t AS (SELECT doc_id, list_distinct(hs) AS tgh,
+         |    len(list_distinct(hs)) AS ntg FROM hsrc),
+         |ex AS (SELECT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a,
+         |    b.doc_id AS doc_b,
+         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ex),
+         |cagg AS (SELECT bands, rows_per_band,
+         |    CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1, 2),
+         |hagg AS (SELECT bands, rows_per_band,
+         |    CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM cand JOIN ex USING (doc_a, doc_b) GROUP BY 1, 2)
+         |SELECT bands, rows_per_band, n_true, n_cand,
+         |  coalesce(n_hit, 0) AS n_hit,
+         |  CAST(CASE WHEN n_true = 0 THEN 0
+         |    ELSE (1000000 * coalesce(n_hit, 0)) // n_true END AS BIGINT)
+         |    AS recall_mu,
+         |  CAST(CASE WHEN n_cand = 0 THEN 0
+         |    ELSE (1000000 * coalesce(n_hit, 0)) // n_cand END AS BIGINT)
+         |    AS cand_precision_mu
+         |FROM cagg LEFT JOIN hagg USING (bands, rows_per_band)
+         |CROSS JOIN tr""".stripMargin
+    },
     "d4_ngram_jaccard" -> {
       val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},

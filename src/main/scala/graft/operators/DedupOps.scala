@@ -463,6 +463,74 @@ object DedupOps {
           "ELSE (1000000 * n_hit) div n_cand END").as("cand_precision_mu"))
   }
 
+  /** [[lshCandidateRecall]] across a banding-config GRID — the
+    * empirical face of the d16 analytic sweep, on one shared gold
+    * subset: exact truth computed ONCE, every config's band keys
+    * ride one exploded entry array (the d16 single-pass device), and
+    * each config gets (candidates, hits, recall, precision). d16
+    * prices what a config COSTS (candidate volume); this measures
+    * what it BUYS (true-pair coverage) — together they are the
+    * banding cost/benefit table, derived from data instead of the
+    * S-curve assumption. Bounded exactly like [[lshCandidateRecall]]. */
+  def lshRecallSweep(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, goldN: Int,
+                     cfgs: Seq[(Int, Int)]): DataFrame = {
+    val gold = docs
+      .select(col(idCol), col(textCol))
+      .orderBy(md5Hash32(col(idCol).cast("string")), col(idCol))
+      .limit(goldN)
+    val tg = trigramTable(gold, idCol, textCol).persist()
+    val exact = broadcast(tg.as("a")
+      .join(tg.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        graft.plans.SortedIntersectCount.of(
+          col("a.tgh"), col("b.tgh")).as("i"),
+        (col("a.ntg") + col("b.ntg")).as("st"))
+      .filter(col("i").cast("double") / (col("st") - col("i")) >= threshold)
+      .select(col("doc_a"), col("doc_b")))
+    val sig = tg.select(col(idCol),
+      graft.plans.MinHashSignature(col("tgh")).as("sig"))
+    val entries = cfgs.flatMap { case (b, r) =>
+      bandKeysCfg(col("sig"), b, r).zipWithIndex.map { case (k, j) =>
+        struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(j).as("band"), k.as("bkey"))
+      }
+    }
+    val banded = sig
+      .select(col(idCol), explode(array(entries: _*)).as("e"))
+      .select(col(idCol), col("e.bands").as("bands"),
+        col("e.rows_per_band").as("rows_per_band"),
+        col("e.band").as("band"), col("e.bkey").as("bkey"))
+      .hint("shuffle_hash")
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.bands") === col("r.bands") &&
+        col("l.rows_per_band") === col("r.rows_per_band") &&
+        col("l.band") === col("r.band") &&
+        col("l.bkey") === col("r.bkey") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col("l.bands").as("bands"),
+        col("l.rows_per_band").as("rows_per_band"),
+        col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+      .persist()
+    val cagg = cands.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand"))
+    val hagg = cands.join(exact, Seq("doc_a", "doc_b"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_hit"))
+    cagg
+      .join(hagg, Seq("bands", "rows_per_band"), "left")
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true"))))
+      .select(col("bands"), col("rows_per_band"), col("n_true"),
+        col("n_cand"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("bands"), col("rows_per_band"), col("n_true"),
+        col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_true = 0 THEN 0L " +
+          "ELSE (1000000 * n_hit) div n_true END").as("recall_mu"),
+        expr("CASE WHEN n_cand = 0 THEN 0L " +
+          "ELSE (1000000 * n_hit) div n_cand END").as("cand_precision_mu"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
     * keys, self-join per bucket, dedup pairs. The shuffle is keyed on
     * band buckets; with b bands the corpus is scanned once and

@@ -43,6 +43,15 @@ private[graft] object DedupQueries {
         t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.6, goldN = 250)),
 
+    // d18 measured across the d16 config grid: the banding
+    // cost/benefit table from DATA (d16 prices candidate volume;
+    // this measures true-pair coverage per config).
+    "d19_recall_sweep" -> ((s, dir) =>
+      DedupOps.lshRecallSweep(
+        t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, goldN = 250,
+        cfgs = Seq((2, 6), (3, 4), (4, 3), (6, 2)))),
+
     // shape as d1; the min-id keeper is unique per group, so the
     // output needs no array column (engine int arrays vs oracle
     // BIGINT lists would otherwise be a hasher type mismatch).

@@ -48,4 +48,25 @@ class LshRecallSpec extends AnyFunSuite with SparkSessionFixture {
     val (nDocs, _, _, _, _, _) = run(rows, goldN = 5, 0.9)
     assert(nDocs === 5L)
   }
+
+  test("sweep: the production config's row reproduces d18's numbers") {
+    import spark.implicits._
+    import graft.operators.DetParams.{MinhashBands, MinhashRows}
+    val base = "the quick brown fox jumps over the lazy dog repeatedly"
+    val rows = Seq(1L -> base, 2L -> base, 3L -> (base + " with a tail"),
+      4L -> "entirely unrelated content about geology and strata")
+    val single = run(rows, goldN = 10, 0.5)
+    val sweep = DedupOps.lshRecallSweep(
+        rows.toDF("doc_id", "text"), "doc_id", "text", 0.5, 10,
+        Seq((MinhashBands, MinhashRows), (6, 2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val prod = sweep((MinhashBands.toLong, MinhashRows.toLong))
+    assert(prod === ((single._2, single._3, single._4, single._5, single._6)))
+    // truth is config-independent: every sweep row shares n_true
+    assert(sweep.values.map(_._1).toSet.size === 1)
+    // 6x2 banding can only surface MORE of the same truth
+    assert(sweep((6L, 2L))._3 >= prod._3)
+  }
 }
