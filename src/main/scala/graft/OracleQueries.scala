@@ -2138,6 +2138,24 @@ GROUP BY sym"""
     "m12_confusion" ->
       s"""WITH $langConfusionCte
          |SELECT lang, pred_lang, n FROM cm""".stripMargin,
+    // m22: McNemar vs the majority-class baseline — paired counts
+    // from the shared lang-pred CTE; squared term in HUGEINT
+    "m22_mcnemar" ->
+      s"""WITH $langConfusionCte,
+         |mj AS (SELECT lang AS major_lang FROM
+         |  (SELECT lang, count(*) AS n FROM p GROUP BY lang
+         |   ORDER BY n DESC, lang LIMIT 1)),
+         |s AS (SELECT CAST(pred_lang = lang AS BIGINT) AS h_ok,
+         |    CAST(major_lang = lang AS BIGINT) AS b_ok
+         |  FROM p CROSS JOIN mj),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(h_ok * (1 - b_ok)) AS BIGINT) AS b,
+         |    CAST(sum((1 - h_ok) * b_ok) AS BIGINT) AS c FROM s)
+         |SELECT n_docs, b, c,
+         |  CAST(CASE WHEN b + c = 0 THEN 0 ELSE
+         |    (CAST(1000000 AS HUGEINT) * (abs(b - c) - 1)
+         |      * (abs(b - c) - 1)) // (b + c) END AS BIGINT) AS chi2_mu
+         |FROM a""".stripMargin,
     // m21: Cohen's kappa over the m12 matrix — HUGEINT products
     // (n^2-scale, the t28 device), sign-split // so the floor
     // matches Spark's truncating decimal div on negatives, pe = 1

@@ -316,6 +316,40 @@ private[graft] object TrainEvalQueries {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // McNEMAR'S TEST (continuity-corrected) of the t3 heuristic
+    // against the majority-class baseline (predict the corpus's most
+    // frequent lang for every doc) on the SAME documents — the
+    // paired significance readout accuracy deltas lack: b = heuristic
+    // right where baseline wrong, c = the reverse, chi² =
+    // (|b−c|−1)²/(b+c). Exactly integer: counts are exact, the
+    // square stays in BIGINT (b,c <= n), one final micro-division
+    // with the b+c=0 guard. One corpus scan + a 1-row broadcast of
+    // the majority class (TakeOrdered over the lang census).
+    "m22_mcnemar" -> ((s, dir) => {
+      val preds = t(s, dir, "documents")
+        .select(col("lang"), langPredCol.as("pred_lang"))
+      val major = preds.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang"))
+        .limit(1)
+        .select(col("lang").as("major_lang"))
+      preds.crossJoin(broadcast(major))
+        .select(
+          (col("pred_lang") === col("lang")).cast("long").as("h_ok"),
+          (col("major_lang") === col("lang")).cast("long").as("b_ok"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h_ok") * (lit(1L) - col("b_ok"))).as("b"),
+          sum((lit(1L) - col("h_ok")) * col("b_ok")).as("c"))
+        .select(col("n_docs"), col("b"), col("c"),
+          // the squared term is n²-scale: DECIMAL(38,0) like
+          // m21/t28 (HUGEINT on the oracle side); non-negative, so
+          // truncating div == the oracle's floor //
+          expr("CASE WHEN b + c = 0 THEN 0L ELSE " +
+            "cast((cast(1000000 as decimal(38,0)) * (abs(b - c) - 1) " +
+            "* (abs(b - c) - 1)) div (b + c) as bigint) END")
+            .as("chi2_mu"))
+    }),
+
     // COHEN'S KAPPA: chance-corrected agreement between the t3
     // heuristic and the labels — the one-number summary raw accuracy
     // (m12/m13's po) overstates when the class mix is skewed:
