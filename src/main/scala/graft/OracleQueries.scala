@@ -226,6 +226,27 @@ GROUP BY sym"""
   }
 
   // ---- oracle SQL ----------------------------------------------------
+  /** The d7 connected-components labeling chain (banded candidate
+    * pairs → symmetrized edges → recursive reachability → component
+    * = min reachable id), shared verbatim by d7 and the d20
+    * cluster-size census. */
+  private lazy val ccLabCte: String = {
+    val branches = OracleSql.bandedBranches
+    s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |banded AS ($branches),
+       |pairs AS MATERIALIZED (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT s, s FROM sym
+       |  UNION
+       |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+       |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)""".stripMargin
+  }
+
   /** Per-document verdict tables for the three public filter
     * families, shared verbatim between their standalone oracles
     * (t25/t27/t29) and the t30 funnel, which embeds them as
@@ -1413,24 +1434,26 @@ GROUP BY sym"""
     // candidate-pair spelling. MATERIALIZED is load-bearing: DuckDB
     // inlines CTEs by default, which would re-evaluate the whole
     // minhash chain on every recursion step (>100x slower).
-    "d7_dedup_clusters" -> {
-      val branches = OracleSql.bandedBranches
-      s"""${OracleSql.minhashKeysCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |banded AS ($branches),
-         |pairs AS MATERIALIZED (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
-         |  GROUP BY 1, 2),
-         |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT s, s FROM sym
-         |  UNION
-         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
-         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+    "d7_dedup_clusters" ->
+      s"""$ccLabCte
          |SELECT node AS doc_id, cluster,
-         |  count(*) OVER (PARTITION BY cluster) AS csize FROM lab""".stripMargin
-    },
+         |  count(*) OVER (PARTITION BY cluster) AS csize FROM lab""".stripMargin,
+    // d20: cluster-size histogram over the d7 closure + the
+    // singleton remainder (docs in no candidate pair) — the
+    // governance census of HOW duplicated the corpus is
+    "d20_cluster_sizes" ->
+      s"""$ccLabCte,
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |  FROM lab GROUP BY cluster),
+         |hist AS (SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(csize * count(*) AS BIGINT) AS n_docs
+         |  FROM cs GROUP BY csize),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM lab),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |si AS (SELECT CAST(1 AS BIGINT) AS csize, nd - nl AS n_clusters,
+         |    nd - nl AS n_docs FROM nd CROSS JOIN nl)
+         |SELECT * FROM (SELECT * FROM hist UNION ALL SELECT * FROM si)
+         |WHERE n_clusters > 0""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
          |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test

@@ -43,6 +43,31 @@ private[graft] object DedupQueries {
         t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.6, goldN = 250)),
 
+    // CLUSTER-SIZE CENSUS over the d7 closure + the singleton
+    // remainder (docs in no candidate pair) — the governance readout
+    // of HOW duplicated the corpus is: per size, cluster and doc
+    // counts. Histogram is component-count-bounded; singletons come
+    // from two 1-row aggs, never a join against the corpus.
+    "d20_cluster_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = GraphOps.connectedComponents(
+        DedupOps.minhashCandidatePairs(docs, "doc_id", "text"),
+        "doc_a", "doc_b")
+      val hist = lab.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"))
+      val singles = docs.agg(count(lit(1)).as("nd"))
+        .crossJoin(lab.agg(count(lit(1)).as("nl")))
+        .select(lit(1L).as("csize"),
+          (col("nd") - col("nl")).as("n_clusters"),
+          (col("nd") - col("nl")).as("n_docs"))
+      // closure components have >= 2 nodes, so size 1 exists only in
+      // the singleton branch — the union cannot double-count a size
+      hist.unionByName(singles).filter(col("n_clusters") > 0)
+    }),
+
     // d18 measured across the d16 config grid: the banding
     // cost/benefit table from DATA (d16 prices candidate volume;
     // this measures true-pair coverage per config).
