@@ -368,6 +368,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(countScans(p) <= 2, s"expected <= 2 file scans:\n$p")
   }
 
+  test("d18/d19 gold-subset evals: one text scan via the persisted trigram table") {
+    // exact truth, banded candidates, and (d19) every config's keys
+    // all consume the ONE persisted gold trigram table — a second
+    // file scan means the persist stopped covering a consumer
+    for (q <- Seq("d18_lsh_recall", "d19_recall_sweep")) {
+      val n = countScans(executedPlanOf(q))
+      assert(n <= 1, s"$q: expected <= 1 file scan, got $n")
+    }
+  }
+
   test("m19 NDCG: the only Window is the bounded per-query top-k") {
     val p = executedPlanOf("m19_ndcg").toString
     val windows = p.linesIterator.count(_.trim.startsWith("+- Window"))
