@@ -226,6 +226,32 @@ GROUP BY sym"""
   }
 
   // ---- oracle SQL ----------------------------------------------------
+  /** Shared d18/d19 gold-subset prefix: the 250 docs smallest by
+    * md5(id), their hashed trigrams, and the minhash signature table
+    * — ONE spelling of the gold derivation. */
+  private lazy val goldSigCte: String = {
+    import graft.operators.DetParams.MinhashK
+    val sig = (0 until MinhashK).map(OracleSql.sigElem)
+      .mkString("[", ", ", "]")
+    s"""gold AS (SELECT doc_id, text FROM documents
+       |  ORDER BY ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")}, doc_id
+       |  LIMIT 250),
+       |tg AS (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM gold),
+       |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${OracleSql.hash32("s")}) AS hs FROM tg),
+       |sigt AS (SELECT doc_id, $sig AS sig FROM hsrc)""".stripMargin
+  }
+
+  /** Shared d18/d19 exact-truth CTEs over the gold subset: distinct
+    * hashed-trigram sets and the >= 0.6 Jaccard all-pairs truth. */
+  private lazy val goldTruthCte: String =
+    """t AS (SELECT doc_id, list_distinct(hs) AS tgh,
+      |    len(list_distinct(hs)) AS ntg FROM hsrc),
+      |ex AS (SELECT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a,
+      |    b.doc_id AS doc_b,
+      |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+      |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6)""".stripMargin
+
   /** The d7 connected-components labeling chain (banded candidate
     * pairs → symmetrized edges → recursive reachability → component
     * = min reachable id), shared verbatim by d7 and the d20
@@ -688,29 +714,16 @@ GROUP BY sym"""
     // gold subset — sig/band/key spellings composed from the same
     // OracleSql pieces the d2/d4 oracles use, applied over `gold`
     "d18_lsh_recall" -> {
-      import graft.operators.DetParams.{MinhashBands, MinhashK}
-      val sig = (0 until MinhashK).map(OracleSql.sigElem)
-        .mkString("[", ", ", "]")
+      import graft.operators.DetParams.MinhashBands
       val keys = (0 until MinhashBands)
         .map(b => s"${OracleSql.bandKey(b)} AS b$b").mkString(", ")
-      s"""WITH gold AS (SELECT doc_id, text FROM documents
-         |  ORDER BY ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")}, doc_id
-         |  LIMIT 250),
-         |tg AS (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM gold),
-         |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${OracleSql.hash32("s")}) AS hs FROM tg),
-         |sigt AS (SELECT doc_id, $sig AS sig FROM hsrc),
+      s"""WITH $goldSigCte,
          |keys AS (SELECT doc_id, $keys FROM sigt),
          |banded AS (${OracleSql.bandedBranches}),
          |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |  FROM banded l JOIN banded r
          |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-         |t AS (SELECT doc_id, list_distinct(hs) AS tgh,
-         |    len(list_distinct(hs)) AS ntg FROM hsrc),
-         |ex AS (SELECT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a,
-         |    b.doc_id AS doc_b,
-         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
+         |$goldTruthCte,
          |h AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
          |    CAST(coalesce(sum(CASE WHEN c.doc_a IS NOT NULL
          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
@@ -729,9 +742,6 @@ GROUP BY sym"""
     // d19: d18 across the d16 config grid — per-config band keys via
     // bandKeyCfg over the shared gold sigt, truth computed once
     "d19_recall_sweep" -> {
-      import graft.operators.DetParams.MinhashK
-      val sig = (0 until MinhashK).map(OracleSql.sigElem)
-        .mkString("[", ", ", "]")
       val cfgs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
       val branches = cfgs.flatMap { case (b, r) =>
         (0 until b).map(i =>
@@ -739,12 +749,7 @@ GROUP BY sym"""
             s"CAST($r AS BIGINT) AS rows_per_band, $i AS band, " +
             s"${OracleSql.bandKeyCfg(i, r)} AS bkey FROM sigt")
       }.mkString(" UNION ALL ")
-      s"""WITH gold AS (SELECT doc_id, text FROM documents
-         |  ORDER BY ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")}, doc_id
-         |  LIMIT 250),
-         |tg AS (SELECT doc_id, ${OracleSql.trigrams} AS tgs FROM gold),
-         |hsrc AS (SELECT doc_id, list_transform(tgs, s -> ${OracleSql.hash32("s")}) AS hs FROM tg),
-         |sigt AS (SELECT doc_id, $sig AS sig FROM hsrc),
+      s"""WITH $goldSigCte,
          |banded AS ($branches),
          |cand AS (SELECT DISTINCT l.bands, l.rows_per_band,
          |    l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -752,13 +757,7 @@ GROUP BY sym"""
          |    ON l.bands = r.bands AND l.rows_per_band = r.rows_per_band
          |    AND l.band = r.band AND l.bkey = r.bkey
          |    AND l.doc_id < r.doc_id),
-         |t AS (SELECT doc_id, list_distinct(hs) AS tgh,
-         |    len(list_distinct(hs)) AS ntg FROM hsrc),
-         |ex AS (SELECT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a,
-         |    b.doc_id AS doc_b,
-         |    len(list_intersect(a.tgh, b.tgh)) AS i, a.ntg + b.ntg AS st
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-         |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6),
+         |$goldTruthCte,
          |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ex),
          |cagg AS (SELECT bands, rows_per_band,
          |    CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1, 2),
