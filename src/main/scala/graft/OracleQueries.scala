@@ -252,6 +252,23 @@ GROUP BY sym"""
       |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
       |  WHERE i / CAST(st - i AS DOUBLE) >= 0.6)""".stripMargin
 
+  /** The s7 SemDeDup chain (zero-norm-guarded centroids, nearest-cell
+    * assignment, within-cell losers), shared verbatim by s7 and the
+    * s15 per-cell census. */
+  private lazy val semDedupCte: String =
+    s"""c AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < 16
+       |  AND ${OracleSql.dot("embedding", "embedding")} > 0),
+       |asg AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |  FROM embeddings e CROSS JOIN c
+       |  WHERE ${OracleSql.dot("e.embedding", "e.embedding")} > 0) WHERE rn = 1),
+       |losers AS (SELECT DISTINCT b.vec_id AS loser FROM asg a JOIN asg b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${OracleSql.cos6("a.embedding", "b.embedding")} >= 0.45)""".stripMargin
+
   /** The d7 connected-components labeling chain (banded candidate
     * pairs → symmetrized edges → recursive reachability → component
     * = min reachable id), shared verbatim by d7 and the d20
@@ -2134,20 +2151,22 @@ GROUP BY sym"""
     // predicates mirror semanticDedup's zero-norm guard (degenerate
     // vectors dropped on BOTH engines, never 0/0'd).
     "s7_semantic_dedup" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id < 16
-         |  AND ${OracleSql.dot("embedding", "embedding")} > 0),
-         |asg AS (SELECT vec_id, embedding, cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.c_id AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${OracleSql.cos6("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |  FROM embeddings e CROSS JOIN c
-         |  WHERE ${OracleSql.dot("e.embedding", "e.embedding")} > 0) WHERE rn = 1),
-         |losers AS (SELECT DISTINCT b.vec_id AS loser FROM asg a JOIN asg b
-         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${OracleSql.cos6("a.embedding", "b.embedding")} >= 0.45)
+      s"""WITH $semDedupCte
          |SELECT vec_id, cell FROM asg
          |ANTI JOIN losers ON asg.vec_id = losers.loser""".stripMargin,
+    // s15: per-cell SemDeDup census over the shared s7 chain
+    "s15_semdedup_census" ->
+      s"""WITH $semDedupCte,
+         |kept AS (SELECT vec_id, cell FROM asg
+         |  ANTI JOIN losers ON asg.vec_id = losers.loser),
+         |av AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM asg GROUP BY cell),
+         |kv AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY cell)
+         |SELECT cell, n_vecs, coalesce(n_kept, 0) AS n_kept,
+         |  CAST((1000000 * (n_vecs - coalesce(n_kept, 0))) // n_vecs
+         |    AS BIGINT) AS pruned_mu
+         |FROM av LEFT JOIN kv USING (cell)""".stripMargin,
     // CAST(ts AS TIMESTAMP) pins the window order to microseconds —
     // Spark reads the nanos column micro-truncated, so ordering raw
     // TIMESTAMP_NS here could pick a different same-micro survivor

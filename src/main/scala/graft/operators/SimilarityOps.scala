@@ -601,6 +601,39 @@ object SimilarityOps {
   def semanticDedupReleasable(corpus: DataFrame, idCol: String,
                               embCol: String, numCentroids: Int,
                               minCos: Double): (DataFrame, () => Unit) = {
+    val (_, kept, release) =
+      semDedupParts(corpus, idCol, embCol, numCentroids, minCos)
+    (kept, release)
+  }
+
+  /** PER-CELL GOVERNANCE CENSUS of the SemDeDup pass — (cell,
+    * n_vecs, n_kept, pruned_mu): how much each quantization cell
+    * loses to the semantic-near-dup prune, the embedding-space twin
+    * of d20's cluster-size census. A cell's min-id member can never
+    * lose (pairs are within-cell, loser ids are strictly larger), so
+    * every nonempty cell keeps >= 1; the left join + coalesce is
+    * belt-and-braces. Cost on top of the dedup itself: two
+    * cell-keyed aggs over the persisted assignment table. */
+  def semanticDedupCensus(corpus: DataFrame, idCol: String,
+                          embCol: String, numCentroids: Int,
+                          minCos: Double): DataFrame = {
+    val (asg, kept, _) =
+      semDedupParts(corpus, idCol, embCol, numCentroids, minCos)
+    val av = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val kv = kept.groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+    av.join(kv, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .select(col("cell"), col("n_vecs"), col("n_kept"),
+        expr("(1000000 * (n_vecs - n_kept)) div n_vecs").as("pruned_mu"))
+  }
+
+  /** The shared SemDeDup chain: (assignment table, kept frame,
+    * release hook). */
+  private def semDedupParts(corpus: DataFrame, idCol: String,
+                            embCol: String, numCentroids: Int,
+                            minCos: Double)
+      : (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     // zero-norm guard (both sides): a degenerate all-zero embedding
     // makes the cosine 0/0 — NULL in Spark (non-ANSI) but NaN/Inf in
@@ -639,7 +672,7 @@ object SimilarityOps {
       .distinct()
     val kept = asg.join(losers, col(idCol) === col("__sd_loser"), "left_anti")
       .select(col(idCol), col("cell"))
-    (kept, () => { asg.unpersist(blocking = true); () })
+    (asg, kept, () => { asg.unpersist(blocking = true); () })
   }
 
   /** kNN-classifier evaluation: predict each query vector's label by

@@ -288,6 +288,15 @@ private[graft] object SimilarityQueries {
     "s7_semantic_dedup" -> ((s, dir) =>
       SimilarityOps.semanticDedup(
         t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCentroids = 16, minCos = 0.45)),
+
+    // PER-CELL SemDeDup governance census — how much each
+    // quantization cell loses to the semantic prune (the
+    // embedding-space twin of d20's cluster census); semantics and
+    // the min-id-survivor invariant on the operator.
+    "s15_semdedup_census" -> ((s, dir) =>
+      SimilarityOps.semanticDedupCensus(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
         numCentroids = 16, minCos = 0.45))
   )
 }
