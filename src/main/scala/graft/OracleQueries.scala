@@ -2154,6 +2154,34 @@ GROUP BY sym"""
       s"""WITH $semDedupCte
          |SELECT vec_id, cell FROM asg
          |ANTI JOIN losers ON asg.vec_id = losers.loser""".stripMargin,
+    // s16: simplified silhouette per cell — micro-unit cosine
+    // distances to the s7 seed centroids, a = own (nearest) cell,
+    // b = nearest other, integer s and per-cell means
+    "s16_silhouette" -> {
+      val dmu = s"1000000 - CAST(CAST(${OracleSql.cos6("e.embedding", "c.c_emb")} " +
+        "AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16
+         |  AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |d AS (SELECT e.vec_id, c.c_id, $dmu AS d_mu
+         |  FROM embeddings e CROSS JOIN c
+         |  WHERE ${OracleSql.dot("e.embedding", "e.embedding")} > 0),
+         |asg AS (SELECT vec_id, c_id AS cell, d_mu AS a_mu FROM (
+         |  SELECT vec_id, c_id, d_mu, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d_mu, c_id) AS rn FROM d)
+         |  WHERE rn = 1),
+         |b AS (SELECT d.vec_id, asg.cell, asg.a_mu,
+         |    min(d.d_mu) AS b_mu
+         |  FROM d JOIN asg USING (vec_id) WHERE d.c_id != asg.cell
+         |  GROUP BY 1, 2, 3),
+         |s AS (SELECT cell, CASE WHEN greatest(a_mu, b_mu) = 0 THEN 0
+         |    ELSE (1000000 * (b_mu - a_mu)) // greatest(a_mu, b_mu) END
+         |    AS s_mu FROM b)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(CAST(sum(s_mu) AS BIGINT) // count(*) AS BIGINT)
+         |    AS mean_sil_mu
+         |FROM s GROUP BY cell""".stripMargin
+    },
     // s15: per-cell SemDeDup census over the shared s7 chain
     "s15_semdedup_census" ->
       s"""WITH $semDedupCte,

@@ -297,6 +297,54 @@ private[graft] object SimilarityQueries {
     "s15_semdedup_census" -> ((s, dir) =>
       SimilarityOps.semanticDedupCensus(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        numCentroids = 16, minCos = 0.45))
+        numCentroids = 16, minCos = 0.45)),
+
+    // SIMPLIFIED SILHOUETTE per quantization cell (Rousseeuw 1987,
+    // the centroid-based variant): s = (b − a)/max(a, b) with
+    // a = cosine DISTANCE to the own cell's centroid and b = the
+    // nearest other centroid — the cluster cohesion/separation
+    // readout the IVF/SemDeDup cell structure lacks. Exact-integer
+    // pipeline: cos quantizes to micro-units ONCE (the t20 decimal
+    // recipe), distances are 1e6 − cos_mu (non-negative BIGINTs up
+    // to 2e6), per-vector s_mu is one integer micro-division with a
+    // both-zero guard, per-cell means are sum div count. Assignment
+    // and centroids are the s7 spelling (vec_id < 16 seed centroids,
+    // zero-norm guards), so cells line up with s7/s15. One corpus
+    // scan against 16 broadcast centroids; per-vector min/max fold
+    // in the aggregate — no window, no shuffle above |cells| rows.
+    "s16_silhouette" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .withColumn("c_nrm", SimilarityOps.l2norm(col("c_emb")))
+        .filter(col("c_nrm") > 0.0))
+      val dist = e.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", SimilarityOps.l2norm(col("embedding")))
+        .filter(col("nrm") > 0.0)
+        .join(cents)
+        .select(col("vec_id"), col("c_id"),
+          (lit(1000000L) -
+            (round(SimilarityOps.dotD(col("embedding"), col("c_emb")) /
+              (col("nrm") * col("c_nrm")), 6).cast("decimal(18,6)") *
+              1000000).cast("long")).as("d_mu"))
+      val per = dist
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d_mu"), col("c_id"))).as("own"),
+          count(lit(1)).as("nc"))
+        .select(col("vec_id"), col("own.c_id").as("cell"),
+          col("own.d_mu").as("a_mu"), col("nc"))
+      val b = dist.join(per, Seq("vec_id"))
+        .filter(col("c_id") =!= col("cell"))
+        .groupBy(col("vec_id"), col("cell"), col("a_mu"))
+        .agg(min(col("d_mu")).as("b_mu"))
+      b.select(col("cell"),
+          expr("CASE WHEN greatest(a_mu, b_mu) = 0 THEN 0L " +
+            "ELSE (1000000 * (b_mu - a_mu)) div greatest(a_mu, b_mu) " +
+            "END").as("s_mu"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("s_mu")).as("ssum"))
+        .select(col("cell"), col("n_vecs"),
+          expr("ssum div n_vecs").as("mean_sil_mu"))
+    })
   )
 }
