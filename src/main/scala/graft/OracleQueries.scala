@@ -1424,6 +1424,45 @@ GROUP BY sym"""
          |SELECT CAST(frac_pct AS BIGINT) AS frac_pct, n_docs, n_tokens,
          |  n_terms
          |FROM nd JOIN tg USING (frac_pct)""".stripMargin,
+    // t36: PSI drift between adjacent hash-residue epochs — add-one
+    // smoothed 16-bucket length distributions, micro-nat logs (t22
+    // recipe), exact cross-multiplied p−q rational in HUGEINT (the
+    // m22 n²-product device), guarded non-negative division
+    "t36_psi_drift" ->
+      s"""WITH d AS (SELECT
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR) || ':t36'")} % 4
+         |      AS epoch,
+         |    least(n_chars // 64, 15) AS bucket
+         |  FROM documents),
+         |occ AS (SELECT epoch, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM d GROUP BY 1, 2),
+         |grid AS (SELECT e.epoch, b.bucket
+         |  FROM (SELECT unnest(range(0, 4)) AS epoch) e
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) b),
+         |f AS (SELECT g.epoch, g.bucket, coalesce(o.c, 0) AS c
+         |  FROM grid g LEFT JOIN occ o USING (epoch, bucket)),
+         |ne AS (SELECT epoch, CAST(sum(c) AS BIGINT) AS n_e
+         |  FROM f GROUP BY 1),
+         |fe AS (SELECT f.epoch, f.bucket, f.c, ne.n_e
+         |  FROM f JOIN ne USING (epoch)),
+         |pq AS (SELECT p.epoch AS epoch_from, p.bucket,
+         |    p.c AS cp, q.c AS cq, p.n_e AS n_from, q.n_e AS n_to
+         |  FROM fe p JOIN fe q
+         |    ON q.epoch = p.epoch + 1 AND q.bucket = p.bucket),
+         |terms AS (SELECT epoch_from, n_from, n_to, cp, cq,
+         |    CAST(CAST(round(ln((cp + 1) / CAST(n_from + 16 AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lp_mu,
+         |    CAST(CAST(round(ln((cq + 1) / CAST(n_to + 16 AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lq_mu
+         |  FROM pq)
+         |SELECT epoch_from, epoch_from + 1 AS epoch_to,
+         |  any_value(n_from) AS n_from, any_value(n_to) AS n_to,
+         |  CAST(greatest(sum((CAST(cp + 1 AS HUGEINT) * (n_to + 16)
+         |      - CAST(cq + 1 AS HUGEINT) * (n_from + 16))
+         |      * (lp_mu - lq_mu)), 0)
+         |    // (CAST(any_value(n_from) + 16 AS HUGEINT)
+         |      * (any_value(n_to) + 16)) AS BIGINT) AS psi_mu
+         |FROM terms GROUP BY epoch_from""".stripMargin,
     "t7_det_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,
@@ -1470,6 +1509,30 @@ GROUP BY sym"""
          |    nd - nl AS n_docs FROM nd CROSS JOIN nl)
          |SELECT * FROM (SELECT * FROM hist UNION ALL SELECT * FROM si)
          |WHERE n_clusters > 0""".stripMargin,
+    // d21: composed d7+d20 over ONE closure — full per-doc label
+    // table (singletons = own id, csize 1) joined to the per-size
+    // census, both readouts of the same lab CTE
+    "d21_labels_census" ->
+      s"""$ccLabCte,
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |  FROM lab GROUP BY cluster),
+         |fl AS (SELECT d.doc_id,
+         |    coalesce(lab.cluster, d.doc_id) AS cluster,
+         |    coalesce(cs.csize, 1) AS csize
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+         |  LEFT JOIN cs ON lab.cluster = cs.cluster),
+         |hist AS (SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(csize * count(*) AS BIGINT) AS n_docs
+         |  FROM cs GROUP BY csize),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM lab),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |si AS (SELECT CAST(1 AS BIGINT) AS csize, nd - nl AS n_clusters,
+         |    nd - nl AS n_docs FROM nd CROSS JOIN nl),
+         |census AS (SELECT * FROM
+         |  (SELECT * FROM hist UNION ALL SELECT * FROM si)
+         |  WHERE n_clusters > 0)
+         |SELECT f.doc_id, f.cluster, f.csize, c.n_clusters, c.n_docs
+         |FROM fl f JOIN census c USING (csize)""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
          |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test
@@ -2195,6 +2258,23 @@ GROUP BY sym"""
          |  CAST((1000000 * (n_vecs - coalesce(n_kept, 0))) // n_vecs
          |    AS BIGINT) AS pruned_mu
          |FROM av LEFT JOIN kv USING (cell)""".stripMargin,
+    // s17: composed s7+s15 over ONE assignment — kept rows annotated
+    // with their cell's census columns, both readouts of the shared
+    // s7 chain
+    "s17_kept_census" ->
+      s"""WITH $semDedupCte,
+         |kept AS (SELECT vec_id, cell FROM asg
+         |  ANTI JOIN losers ON asg.vec_id = losers.loser),
+         |av AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM asg GROUP BY cell),
+         |kv AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY cell),
+         |census AS (SELECT cell, n_vecs, coalesce(n_kept, 0) AS n_kept,
+         |    CAST((1000000 * (n_vecs - coalesce(n_kept, 0))) // n_vecs
+         |      AS BIGINT) AS pruned_mu
+         |  FROM av LEFT JOIN kv USING (cell))
+         |SELECT k.vec_id, k.cell, c.n_vecs, c.n_kept, c.pruned_mu
+         |FROM kept k JOIN census c USING (cell)""".stripMargin,
     // CAST(ts AS TIMESTAMP) pins the window order to microseconds —
     // Spark reads the nanos column micro-truncated, so ordering raw
     // TIMESTAMP_NS here could pick a different same-micro survivor

@@ -82,13 +82,21 @@ object DedupOps {
   /** [[bandKeys]] generalized to any (bands x rows) split of the
     * signature — the d16 banding-parameter sweep evaluates several
     * splits of the SAME signature, so the key spelling must be one
-    * definition. */
-  def bandKeysCfg(sig: Column, bands: Int, rows: Int): Seq[Column] =
+    * definition. Fails loudly when the split overruns the signature:
+    * `element_at` past the array end yields NULL and `concat_ws`
+    * SKIPS nulls, so an oversized grid would otherwise build
+    * plausible-looking keys from fewer slots than requested. */
+  def bandKeysCfg(sig: Column, bands: Int, rows: Int): Seq[Column] = {
+    require(bands * rows <= DetParams.MinhashK,
+      s"bands*rows = ${bands * rows} exceeds signature length " +
+        s"${DetParams.MinhashK}: band keys would silently drop the " +
+        "NULL slots past the array end")
     (0 until bands).map { b =>
       val slots = (0 until rows).map(r =>
         element_at(sig, b * rows + r + 1))
       md5(concat_ws("_", lit(b) +: slots: _*))
     }
+  }
 
   /** 60-bit SimHash over a token array (duplicates = tf weighting):
     * bit b of the fingerprint is set iff
@@ -426,7 +434,18 @@ object DedupOps {
     * because its input size is a constant of the config, not of the
     * data. One row: counts + recall/precision in micro-units. */
   def lshCandidateRecall(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double, goldN: Int): DataFrame = {
+                         threshold: Double, goldN: Int): DataFrame =
+    lshCandidateRecallReleasable(docs, idCol, textCol, threshold, goldN)._1
+
+  /** [[lshCandidateRecall]] plus an explicit release hook for the
+    * persisted gold-subset trigram table — the
+    * [[nearDuplicatePairsReleasable]] discipline: the Bench/Verify
+    * harness clearCache()s between queries, but a library caller
+    * running many measurements in one session releases after its
+    * action on the returned frame. */
+  def lshCandidateRecallReleasable(docs: DataFrame, idCol: String,
+                                   textCol: String, threshold: Double,
+                                   goldN: Int): (DataFrame, () => Unit) = {
     val gold = docs
       .select(col(idCol), col(textCol))
       .orderBy(md5Hash32(col(idCol).cast("string")), col(idCol))
@@ -452,7 +471,7 @@ object DedupOps {
       .agg(count(lit(1)).as("n_true"),
         // sum over ZERO rows (no true pairs) is NULL, not 0
         coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L)).as("n_hit"))
-    gold.agg(count(lit(1)).as("n_docs"))
+    val out = gold.agg(count(lit(1)).as("n_docs"))
       .crossJoin(hits)
       .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
       .select(col("n_docs"), col("n_true").as("n_true_pairs"),
@@ -461,6 +480,7 @@ object DedupOps {
           "ELSE (1000000 * n_hit) div n_true END").as("recall_mu"),
         expr("CASE WHEN n_cand = 0 THEN 0L " +
           "ELSE (1000000 * n_hit) div n_cand END").as("cand_precision_mu"))
+    (out, () => { tg.unpersist(blocking = true); () })
   }
 
   /** [[lshCandidateRecall]] across a banding-config GRID — the
@@ -474,7 +494,19 @@ object DedupOps {
     * S-curve assumption. Bounded exactly like [[lshCandidateRecall]]. */
   def lshRecallSweep(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, goldN: Int,
-                     cfgs: Seq[(Int, Int)]): DataFrame = {
+                     cfgs: Seq[(Int, Int)]): DataFrame =
+    lshRecallSweepReleasable(docs, idCol, textCol, threshold, goldN, cfgs)._1
+
+  /** [[lshRecallSweep]] plus a release hook covering BOTH of its
+    * persists (gold trigram table + multi-config candidate pairs) —
+    * same caller contract as [[lshCandidateRecallReleasable]]. Each
+    * caller-supplied config is validated against the signature length
+    * up front (see [[bandKeysCfg]]) so a bad grid fails loudly before
+    * any Spark job runs. */
+  def lshRecallSweepReleasable(docs: DataFrame, idCol: String,
+                               textCol: String, threshold: Double,
+                               goldN: Int, cfgs: Seq[(Int, Int)])
+      : (DataFrame, () => Unit) = {
     val gold = docs
       .select(col(idCol), col(textCol))
       .orderBy(md5Hash32(col(idCol).cast("string")), col(idCol))
@@ -518,7 +550,7 @@ object DedupOps {
     val hagg = cands.join(exact, Seq("doc_a", "doc_b"))
       .groupBy(col("bands"), col("rows_per_band"))
       .agg(count(lit(1)).as("n_hit"))
-    cagg
+    val out = cagg
       .join(hagg, Seq("bands", "rows_per_band"), "left")
       .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true"))))
       .select(col("bands"), col("rows_per_band"), col("n_true"),
@@ -529,6 +561,11 @@ object DedupOps {
           "ELSE (1000000 * n_hit) div n_true END").as("recall_mu"),
         expr("CASE WHEN n_cand = 0 THEN 0L " +
           "ELSE (1000000 * n_hit) div n_cand END").as("cand_precision_mu"))
+    (out, () => {
+      tg.unpersist(blocking = true)
+      cands.unpersist(blocking = true)
+      ()
+    })
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH: explode band
@@ -551,5 +588,57 @@ object DedupOps {
         col(s"l.$idCol") < col(s"r.$idCol"))
       .groupBy(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Cluster-size census from a MATERIALIZED label table — the
+    * 100 TB composition shape: a governance census runs long after
+    * the dedup pass, against the (node, component) label table the
+    * closure wrote, and must never re-pay the LSH candidate
+    * generation or the O(log²n) closure. Inputs: the corpus (only
+    * its row COUNT is read — one 1-row agg over any narrow column)
+    * and the label table covering exactly the clustered documents.
+    * Output: (csize, n_clusters, n_docs) per cluster size, with the
+    * singleton remainder derived arithmetically (docs minus labeled
+    * nodes), never via a join against the corpus. Cost above the
+    * materialized inputs: one component-keyed agg over |labels| rows
+    * plus two 1-row counts. */
+  def clusterSizeCensusFromLabels(docs: DataFrame,
+                                  labels: DataFrame): DataFrame = {
+    val hist = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"))
+    val singles = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(labels.agg(count(lit(1)).as("nl")))
+      .select(lit(1L).as("csize"),
+        (col("nd") - col("nl")).as("n_clusters"),
+        (col("nd") - col("nl")).as("n_docs"))
+    // closure components have >= 2 nodes, so size 1 exists only in
+    // the singleton branch — the union cannot double-count a size
+    hist.unionByName(singles).filter(col("n_clusters") > 0)
+  }
+
+  /** Full per-document cluster-label table from a materialized
+    * (node, component) closure: EVERY corpus document labeled —
+    * clustered docs carry their component and its size, singletons
+    * their own id with csize 1. This is the table a 100 TB pipeline
+    * writes once after the closure; d7's member view (filter
+    * csize >= 2), d20's census (group by csize), and any keep policy
+    * are then cheap readouts that never re-run LSH or the closure.
+    * Shape: the label side is the clustered fraction (tiny next to
+    * the corpus — AQE broadcasts it), sizes are one component-keyed
+    * agg over it; the corpus itself is touched once, narrow. */
+  def fullClusterLabels(docs: DataFrame, idCol: String,
+                        labels: DataFrame): DataFrame = {
+    val sized = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+    val lab = labels.select(col("node"), col("component"))
+      .join(sized, Seq("component"))
+    docs.select(col(idCol))
+      .join(lab, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
   }
 }

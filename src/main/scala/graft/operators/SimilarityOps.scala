@@ -616,16 +616,66 @@ object SimilarityOps {
     * cell-keyed aggs over the persisted assignment table. */
   def semanticDedupCensus(corpus: DataFrame, idCol: String,
                           embCol: String, numCentroids: Int,
-                          minCos: Double): DataFrame = {
-    val (asg, kept, _) =
+                          minCos: Double): DataFrame =
+    semanticDedupCensusReleasable(corpus, idCol, embCol,
+      numCentroids, minCos)._1
+
+  /** [[semanticDedupCensus]] plus the release hook for the persisted
+    * assignment table — the [[semanticDedupReleasable]] discipline
+    * (the non-releasable face previously discarded the hook, so a
+    * library caller had no way to free the cache block). */
+  def semanticDedupCensusReleasable(corpus: DataFrame, idCol: String,
+                                    embCol: String, numCentroids: Int,
+                                    minCos: Double): (DataFrame, () => Unit) = {
+    val (asg, kept, release) =
       semDedupParts(corpus, idCol, embCol, numCentroids, minCos)
-    val av = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    (semanticDedupCensusFromAssignments(asg, kept), release)
+  }
+
+  /** The census READOUT alone, over already-materialized SemDeDup
+    * results — the 100 TB composition shape: a governance census runs
+    * long after the dedup pass, against the assignment/kept tables the
+    * pipeline wrote, and must never re-pay the n×C assignment or the
+    * within-cell prune. Both inputs only need their `cell` column
+    * (one row per vector / per kept vector), so this is two cell-keyed
+    * aggs over |corpus| rows and a |cells|-row join — no embedding is
+    * ever touched. */
+  def semanticDedupCensusFromAssignments(assignments: DataFrame,
+                                         kept: DataFrame): DataFrame = {
+    val av = assignments.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val kv = kept.groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
     av.join(kv, Seq("cell"), "left")
       .select(col("cell"), col("n_vecs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .select(col("cell"), col("n_vecs"), col("n_kept"),
         expr("(1000000 * (n_vecs - n_kept)) div n_vecs").as("pruned_mu"))
+  }
+
+  /** ONE SemDeDup pass delivering BOTH products — the kept rows
+    * (s7's output) annotated with their cell's census columns (s15's
+    * readout): (idCol, cell, n_vecs, n_kept, pruned_mu). Run
+    * standalone, s7 and s15 each pay the n×C assignment + within-cell
+    * prune; composed, one pass serves both — project (idCol, cell)
+    * for the kept set, group by cell for the census. The census side
+    * joins per-cell (≤ numCentroids rows, broadcast) onto the kept
+    * frame, so the add-on cost over [[semanticDedup]] alone is two
+    * cell-keyed aggs. Returns (frame, release). */
+  def semanticDedupWithCensusReleasable(corpus: DataFrame, idCol: String,
+                                        embCol: String, numCentroids: Int,
+                                        minCos: Double)
+      : (DataFrame, () => Unit) = {
+    val (asg, kept, release) =
+      semDedupParts(corpus, idCol, embCol, numCentroids, minCos)
+    // kept embeds the within-cell prune self-join and feeds TWO
+    // consumers here (the census agg and the final row-level join) —
+    // persist so the prune runs once, released with the assignment
+    val keptP = kept
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = semanticDedupCensusFromAssignments(asg, keptP)
+    val out = keptP.join(broadcast(census), Seq("cell"))
+      .select(col(idCol), col("cell"), col("n_vecs"), col("n_kept"),
+        col("pruned_mu"))
+    (out, () => { keptP.unpersist(blocking = true); release() })
   }
 
   /** The shared SemDeDup chain: (assignment table, kept frame,

@@ -53,19 +53,28 @@ private[graft] object DedupQueries {
       val lab = GraphOps.connectedComponents(
         DedupOps.minhashCandidatePairs(docs, "doc_id", "text"),
         "doc_a", "doc_b")
-      val hist = lab.groupBy(col("component"))
-        .agg(count(lit(1)).as("csize"))
-        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
-        .select(col("csize"), col("n_clusters"),
-          (col("csize") * col("n_clusters")).as("n_docs"))
-      val singles = docs.agg(count(lit(1)).as("nd"))
-        .crossJoin(lab.agg(count(lit(1)).as("nl")))
-        .select(lit(1L).as("csize"),
-          (col("nd") - col("nl")).as("n_clusters"),
-          (col("nd") - col("nl")).as("n_docs"))
-      // closure components have >= 2 nodes, so size 1 exists only in
-      // the singleton branch — the union cannot double-count a size
-      hist.unionByName(singles).filter(col("n_clusters") > 0)
+      DedupOps.clusterSizeCensusFromLabels(docs, lab)
+    }),
+
+    // COMPOSED d7+d20 in ONE closure pass (the d13 shared-prefix
+    // device): the closure labels are materialized once, then BOTH
+    // products are readouts over them — the full per-doc label table
+    // (every doc: cluster + size, singletons included) annotated with
+    // its size's census row. d7 = filter csize >= 2; d20 = distinct
+    // (csize, n_clusters, n_docs). Standalone d7 and d20 each re-pay
+    // the LSH+closure prefix; this delivers both for one. At 100 TB
+    // this is the table the pipeline WRITES after the closure — the
+    // FromLabels census faces then read it, never re-running LSH.
+    "d21_labels_census" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (lab, _) = GraphOps.connectedComponentsReleasable(
+        DedupOps.minhashCandidatePairs(docs, "doc_id", "text"),
+        "doc_a", "doc_b")
+      val full = DedupOps.fullClusterLabels(docs, "doc_id", lab)
+      val census = DedupOps.clusterSizeCensusFromLabels(docs, lab)
+      full.join(broadcast(census), Seq("csize"))
+        .select(col("doc_id"), col("cluster"), col("csize"),
+          col("n_clusters"), col("n_docs"))
     }),
 
     // d18 measured across the d16 config grid: the banding

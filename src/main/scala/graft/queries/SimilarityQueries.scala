@@ -299,6 +299,18 @@ private[graft] object SimilarityQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         numCentroids = 16, minCos = 0.45)),
 
+    // COMPOSED s7+s15 in ONE assignment pass (the d21 twin): the kept
+    // rows (s7's output) annotated with their cell's census columns
+    // (s15's readout). s7 = project (vec_id, cell); s15 = distinct
+    // (cell, n_vecs, n_kept, pruned_mu). Standalone s7 and s15 each
+    // re-pay the n×C assignment and the within-cell prune; this
+    // delivers both for one — the census side is ≤ |cells| rows,
+    // broadcast onto the kept frame.
+    "s17_kept_census" -> ((s, dir) =>
+      SimilarityOps.semanticDedupWithCensusReleasable(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCentroids = 16, minCos = 0.45)._1),
+
     // SIMPLIFIED SILHOUETTE per quantization cell (Rousseeuw 1987,
     // the centroid-based variant): s = (b − a)/max(a, b) with
     // a = cosine DISTANCE to the own cell's centroid and b = the
@@ -318,6 +330,11 @@ private[graft] object SimilarityQueries {
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
         .withColumn("c_nrm", SimilarityOps.l2norm(col("c_emb")))
         .filter(col("c_nrm") > 0.0))
+      // persisted: dist feeds an AGGREGATE (per-vector own-cell fold)
+      // and a row-level JOIN — the documented d16 agg-vs-join class
+      // where one side exchanges partial rows and the other raw rows,
+      // so ReusedExchange cannot cover them and the embeddings scan
+      // would run twice. Harness clearCache()s per query.
       val dist = e.select(col("vec_id"), col("embedding"))
         .withColumn("nrm", SimilarityOps.l2norm(col("embedding")))
         .filter(col("nrm") > 0.0)
@@ -327,6 +344,7 @@ private[graft] object SimilarityQueries {
             (round(SimilarityOps.dotD(col("embedding"), col("c_emb")) /
               (col("nrm") * col("c_nrm")), 6).cast("decimal(18,6)") *
               1000000).cast("long")).as("d_mu"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val per = dist
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d_mu"), col("c_id"))).as("own"),

@@ -552,6 +552,68 @@ private[graft] object TextQueries {
             .as("kl_mu"))
     }),
 
+    // TEMPORAL DRIFT (PSI) between ADJACENT corpus slices — the
+    // census a recurring crawl runs before admitting a new snapshot:
+    // Population Stability Index Σ (p_b − q_b)·ln(p_b/q_b) of the
+    // document-length distribution between epoch e and e+1. Epochs
+    // are deterministic salted hash residues of doc_id (the t23
+    // device — a stand-in for real snapshot dates, which the
+    // documents table lacks); the distribution is 16 fixed-width
+    // n_chars buckets with add-one smoothing over the full grid so
+    // empty buckets carry smoothing mass (the t22 recipe). All
+    // arithmetic integer: logs quantized to micro-nats ONCE, the
+    // p−q difference kept as an exact cross-multiplied rational
+    // (DECIMAL(38,0) — n²-scale products, the m22 device), one
+    // guarded non-negative division per pair. Cost: ONE narrow
+    // corpus pass folded map-side to ≤ 64 cells, COLLECTED
+    // (constant-size — the t22 local-relation device) so the grid
+    // arithmetic that follows touches no corpus plan again; the
+    // shape is flat at 100 TB. PSI ≥ 0 always ((p−q) and ln(p/q)
+    // share sign); the greatest guard only pins 6-dp log-rounding
+    // noise on near-identical slices, exactly as t22's.
+    "t36_psi_drift" -> ((s, dir) => {
+      val nB = 16
+      val d = t(s, dir, "documents").select(
+        pmod(graft.operators.DedupOps.md5Hash32(
+          concat(col("doc_id").cast("string"), lit(":t36"))), lit(4))
+          .as("epoch"),
+        expr(s"least(n_chars div 64, ${nB - 1}L)").as("bucket"))
+      val occ = d.groupBy(col("epoch"), col("bucket"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      import s.implicits._
+      val full = (for (e <- 0L until 4L; b <- 0L until nB.toLong)
+        yield (e, b, occ.getOrElse((e, b), 0L))).toDF("epoch", "bucket", "c")
+      val ne = full.groupBy(col("epoch")).agg(sum(col("c")).as("n_e"))
+      val fe = full.join(ne, "epoch")
+      def microNat(num: Column, den: Column): Column =
+        (round(log(num.cast("double") / den.cast("double")), 6)
+          .cast("decimal(18,6)") * lit(1000000)).cast("long")
+      val p = fe.select(col("epoch").as("epoch_from"), col("bucket"),
+        col("c").as("cp"), col("n_e").as("n_from"))
+      val q = fe.select((col("epoch") - 1).as("epoch_from"),
+        col("bucket"), col("c").as("cq"), col("n_e").as("n_to"))
+      p.join(q, Seq("epoch_from", "bucket"))
+        .select(col("epoch_from"), col("n_from"), col("n_to"),
+          col("cp"), col("cq"),
+          microNat(col("cp") + 1, col("n_from") + lit(nB)).as("lp_mu"),
+          microNat(col("cq") + 1, col("n_to") + lit(nB)).as("lq_mu"))
+        .groupBy(col("epoch_from"))
+        .agg(first(col("n_from")).as("n_from"),
+          first(col("n_to")).as("n_to"),
+          sum(((col("cp") + 1).cast("decimal(38,0)") *
+                (col("n_to") + lit(nB)) -
+              (col("cq") + 1).cast("decimal(38,0)") *
+                (col("n_from") + lit(nB))) *
+            (col("lp_mu") - col("lq_mu"))).as("num"))
+        .select(col("epoch_from"),
+          (col("epoch_from") + 1).as("epoch_to"),
+          col("n_from"), col("n_to"),
+          expr(s"cast(greatest(num, cast(0 as decimal(38,0))) div " +
+            s"(cast(n_from + $nB as decimal(38,0)) * (n_to + $nB)) " +
+            "as bigint)").as("psi_mu"))
+    }),
+
     // FILTER FUNNEL (CorpusOps.filterFunnel): the per-source
     // attrition table a curation run reads before committing to a
     // rule stack — how many documents survive Gopher (t25), then

@@ -234,7 +234,14 @@ object StreamPipeline {
     * `processAllAvailable()` never latches. Always set a trigger
     * interval (`Trigger.ProcessingTime(...)`) on queries over this
     * operator; the interval bounds both the no-input batch rate and
-    * TTL-eviction granularity. */
+    * TTL-eviction granularity.
+    *
+    * Column contract: `idCol` must be long-castable and `textCol`
+    * string-castable — the state encoder is typed (String, Long,
+    * String), so a non-numeric id would cast to NULL and come out
+    * NULL in the admitted rows rather than erroring. Envelope feeds
+    * satisfy this (numeric ids); map a string id through a 60-bit
+    * hash ([[graft.operators.DedupOps.md5Hash60]]) first if needed. */
   def ttlDedupStream(df: DataFrame, idCol: String, textCol: String,
                      fp: Column, ttl: java.time.Duration): DataFrame = {
     val s = df.sparkSession
@@ -263,7 +270,9 @@ object StreamPipeline {
     * each window pass, the rest drop.
     *
     * Same deployment note as [[ttlDedupStream]]: ProcessingTime
-    * TimeMode — set a trigger interval. */
+    * TimeMode — set a trigger interval. Same column contract too:
+    * `idCol` long-castable, `textCol`/`keyCol` string-castable (a
+    * non-numeric id casts to NULL instead of erroring). */
   def sourceQuotaStream(df: DataFrame, keyCol: String, idCol: String,
                         textCol: String, maxPerWindow: Int,
                         window: java.time.Duration): DataFrame = {

@@ -378,6 +378,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("s16 silhouette: embeddings scanned only inside the one dist cache build") {
+    // the dist frame feeds an AGGREGATE and a row-level JOIN (the
+    // d16 agg-vs-join class ReusedExchange cannot cover) — the
+    // round-9 persist means the final plan consumes ONLY the cache:
+    // no file scan may survive outside the single cached build
+    val p = executedPlanOf("s16_silhouette")
+    assert(countScans(p) == 0,
+      s"embeddings scanned outside the dist cache:\n$p")
+    assert(p.toString.contains("InMemoryTableScan"), p.toString)
+  }
+
+  test("s17 composed kept+census consumes only the persisted chain") {
+    val p = executedPlanOf("s17_kept_census")
+    assert(countScans(p) == 0,
+      s"embeddings scanned outside the persisted assignment/kept:\n$p")
+    assert(p.toString.contains("InMemoryTableScan"), p.toString)
+  }
+
+  test("t36 PSI drift: grid arithmetic touches no corpus plan (local relation)") {
+    // the one corpus pass happens in the eager 64-cell collect; the
+    // returned plan must be pure local-relation arithmetic
+    val p = executedPlanOf("t36_psi_drift")
+    assert(countScans(p) == 0, s"corpus re-scanned by grid arithmetic:\n$p")
+  }
+
   test("m19 NDCG: the only Window is the bounded per-query top-k") {
     val p = executedPlanOf("m19_ndcg").toString
     val windows = p.linesIterator.count(_.trim.startsWith("+- Window"))
