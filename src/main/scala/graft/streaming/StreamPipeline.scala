@@ -338,6 +338,80 @@ object StreamPipeline {
     }
   }
 
+  /** Per-key RUNNING QUANTILE snapshots — the streaming face of
+    * q51's scale path ([[graft.plans.QuantileSketchAgg]]), the third
+    * `transformWithState` operator beside [[ttlDedupStream]] and
+    * [[sourceQuotaStream]]: each key holds ONE bounded
+    * compactor-hierarchy sketch (O(k·log(n/k)) doubles, self-sizing
+    * — never the values themselves), absorbs its batch's values into
+    * it, and emits one snapshot row per key per micro-batch it
+    * received data in: (key, n, bound, qs) with the sketch's own
+    * worst-case rank window `bound` alongside the estimates, exactly
+    * as the batch aggregate emits it. The RunningQuantile foreachBatch
+    * helper folds ONE global sketch on the driver; this is its keyed,
+    * executor-resident twin — per-source latency percentiles, per-host
+    * document-length profiles — state store-backed, restart-safe.
+    *
+    * Invariants carried over from the batch sketch (spec-pinned):
+    * batch-split invariance — the FINAL snapshot after the last batch
+    * equals the single-batch snapshot, because state IS the sketch
+    * and insertion order per key is arrival order either way; n is
+    * exact; at n ≤ k nothing ever compacts so estimates are exact;
+    * and every estimate's true rank lies within ±bound of ⌈φ·n⌉.
+    *
+    * TimeMode.None: no TTL, no timers — state lives for the stream's
+    * lifetime and is bounded per key by the sketch size, so (unlike
+    * the TTL twins) `processAllAvailable()` latches normally.
+    * Column contract as [[ttlDedupStream]]: `valueCol` double-castable
+    * (NULLs skipped, NaN rejected — order undefined), `keyCol`
+    * string-castable. */
+  def quantileSnapshotStream(df: DataFrame, keyCol: String,
+                             valueCol: String, k: Int,
+                             phis: Seq[Double]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("string").as("_k"),
+        col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new QuantileSnapshotProcessor(k, phis),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF(keyCol, "n", "bound", "qs")
+  }
+
+  /** The [[quantileSnapshotStream]] processor: state is the
+    * serialized sketch (the [[graft.plans.QuantileSketchBytes]]
+    * wire format — a checkpoint is a mergeable sketch, portable to
+    * the batch side). */
+  private class QuantileSnapshotProcessor(k: Int, phis: Seq[Double])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Long, Long, Seq[Double])] {
+    import graft.plans.QuantileSketchAgg.Sketch
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("qsketch",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Seq[Double])] = {
+      val sk = if (st.exists()) Sketch.deserialize(st.get(), k)
+               else Sketch.empty(k)
+      rows.foreach { r =>
+        require(!r._2.isNaN,
+          "quantile_snapshot_stream: NaN value (order undefined)")
+        sk.insert(r._2)
+      }
+      st.update(sk.serialize())
+      Iterator.single((key, sk.n, sk.queryBound, sk.quantiles(phis)))
+    }
+  }
+
   /** Incremental batch run: process everything currently available,
     * then stop — `Trigger.AvailableNow` + checkpoint turns any
     * streaming pipeline into a resumable batch job that touches only

@@ -140,6 +140,58 @@ class WriteOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.parquet(flat).count() == expected)
   }
 
+  test("mid-stream compaction under a live foreachBatch parquet sink") {
+    // the S5-at-scale loop the reference's file sink implies: a
+    // micro-batch stream appends small batch_id partitions forever;
+    // maintenance compacts them WHILE the query is live (between
+    // triggers — the per-leaf rewrite-and-swap never touches a leaf
+    // the writer is currently producing, because each batch writes
+    // only its own new batch_id partition); rows, partition pruning,
+    // and the writer's subsequent appends must all survive the swap
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("streamcompact").toString
+    val dir = s"$root/t"
+    val cp = s"$root/cp"
+    val input = MemoryStream[(Long, String)]
+    // repartition(4): every batch leaf lands as 4 small files — the
+    // long-running-stream pathology compaction exists for
+    val q = graft.streaming.StreamPipeline.toForeachBatchParquet(
+      input.toDF().toDF("id", "txt").repartition(4), dir, cp).start()
+    try {
+      (0 until 3).foreach { b =>
+        input.addData((0 until 20).map(i => (b * 100L + i, s"row $b/$i")))
+        q.processAllAvailable()
+      }
+      val leaf0 = new java.io.File(s"$dir/batch_id=0")
+      val before = leaf0.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(before >= 2, s"expected a small-file leaf, got $before")
+
+      // maintenance pass between triggers, query still running
+      val stats = WriteOps.compactSmallFiles(spark, dir, 64L * 1024 * 1024)
+      assert(stats.compacted, "compaction should have rewritten leaves")
+      val after = leaf0.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(after < before, s"leaf not compacted: $before -> $after")
+
+      // rows intact, pruning still plans off batch_id directories
+      val back = spark.read.parquet(dir)
+      assert(back.count() === 60L)
+      val pruned = back.filter(col("batch_id") === 1)
+      assert(pruned.count() === 20L)
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(batch_id"), scan)
+
+      // the live writer keeps appending after the swap
+      input.addData((0 until 20).map(i => (300L + i, s"row 3/$i")))
+      q.processAllAvailable()
+      val all = spark.read.parquet(dir)
+      assert(all.count() === 80L)
+      assert(all.select("id").distinct().count() === 80L,
+        "duplicate or lost rows across the compaction swap")
+    } finally q.stop()
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
