@@ -43,7 +43,21 @@ object BenchPolicy {
     * earned a retry in EVERY artifact r5-r7 — its ref was a time no
     * first pass could reach. Bench emits `first_pass` in the artifact
     * precisely so the refs can be curated from the right
-    * distribution. */
+    * distribution.
+    *
+    * Round-9 amendment: for the few queries whose LOADED-harness
+    * first passes repeatedly exceed 1.5× even the corrected idle
+    * minimum (q38 and d10 — the suite's two cold-codegen leaders,
+    * which absorb the CC/rank families' one-time compile on top of
+    * whatever the VM is doing), the ref is curated from a
+    * loaded-harness-REPRESENTATIVE first pass instead of the idle
+    * minimum. A retry on reproducible work cannot improve the
+    * number (both passes inflate together under sustained load —
+    * the r5-r8 artifacts showed exactly that) and only adds wall
+    * time, so the cutoff should not fire on load it cannot fix;
+    * genuine VM spikes (2-10×) still clear any representative ref's
+    * cutoff comfortably. Refs curated this way are flagged in
+    * `bench_ref.json`'s note field. */
   def refCutoff(ref: Double): Double = math.max(5.0, 1.5 * ref)
 
   /** Per-query cutoff: reference-anchored when the query has a recorded

@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, GraphOps, SimilarityOps}
+
+/** Builder-side 10× SCALE PROBE (round-9 verdict item 7, NOT part of
+  * the shipped library): every 100 TB claim in the operator Scaladocs
+  * is a plan-shape argument verified at sf0.1 — this tool checks the
+  * two scale-critical families EMPIRICALLY one decade up, on a
+  * deterministic ~10× corpus built in /tmp.
+  *
+  * Corpus construction (isolates pure volume scaling):
+  *  - documents ×10: copy k caesar-shifts letters by k
+  *    (`translate`), so copies are trigram-DISJOINT — the planted
+  *    near-dup structure replicates exactly per copy, candidate
+  *    pair volume scales linearly, and no artificial 10-cliques
+  *    distort the closure (naive replication would square the pair
+  *    count and measure the synthetic, not the scaling).
+  *  - embeddings ×10: copy k circularly shifts the vector by k
+  *    dims — norms preserved, copies decorrelated, within-copy
+  *    similarity structure intact.
+  *
+  * Probes (wall-clock + result cardinality at 1× and 10×):
+  *  1. LSH candidate pairs → exact verify → CC closure (the d7/d10
+  *     spine). Expect ≈ linear wall growth; pairs ≈ ×10.
+  *  2. SemDeDup with cell capacity held CONSTANT by scaling
+  *     numCentroids 16 → 160 (the documented capacity/recall knob —
+  *     at 100 TB you grow cells with the corpus, never let cell
+  *     population grow unbounded). Expect ≈ linear.
+  *  3. IVF top-k with a FIXED 100-query broadcast set. Expect ≈
+  *     linear in the corpus (the probe side is constant).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = "/tmp/graft_scale10"
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    if (!new java.io.File(s"$base/documents").exists()) {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      def shifted(s: String, k: Int) = s.drop(k % 26) + s.take(k % 26)
+      val copies = (0 until 10).map { k =>
+        docs1.select(
+          (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), lower + upper,
+            shifted(lower, k) + shifted(upper, k)).as("text"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/documents")
+      val dim = emb1.select(size(col("embedding"))).head().getInt(0)
+      val embCopies = (0 until 10).map { k =>
+        val rot = k % dim
+        emb1.select(
+          (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot)).as("embedding"))
+      }
+      embCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/embeddings")
+    }
+    val docs10 = spark.read.parquet(s"$base/documents")
+    val emb10 = spark.read.parquet(s"$base/embeddings")
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def time(what: String)(body: => Long): Unit = {
+      sweep()
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $what%-28s ${dt}%8.2fs  rows=$n")
+      sweep()
+    }
+
+    def closure(d: DataFrame): Long = {
+      val (pairs, rel) = DedupOps.nearDuplicatePairsReleasable(
+        d, "doc_id", "text", threshold = 0.6)
+      val (lab, rel2) = GraphOps.connectedComponentsReleasable(
+        pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      val n = lab.count()
+      rel(); rel2(); n
+    }
+    def semdedup(d: DataFrame, cents: Int): Long = {
+      val (kept, rel) = SimilarityOps.semanticDedupReleasable(
+        d, "vec_id", "embedding", numCentroids = cents, minCos = 0.45)
+      val n = kept.count()
+      rel(); n
+    }
+    def ivf(corpus: DataFrame): Long =
+      SimilarityOps.ivfTopK(corpus, corpus.filter(col("vec_id") < 100),
+        "vec_id", "embedding", numCentroids = 16, probes = 4, k = 10)
+        .count()
+
+    // JIT/codegen warmup pass at 1x, uncounted
+    closure(docs1); semdedup(emb1, 16); ivf(emb1); sweep()
+
+    time("closure 1x")(closure(docs1))
+    time("closure 10x")(closure(docs10))
+    time("semdedup 1x (C=16)")(semdedup(emb1, 16))
+    time("semdedup 10x (C=160)")(semdedup(emb10, 160))
+    time("ivf-topk 1x")(ivf(emb1))
+    time("ivf-topk 10x")(ivf(emb10))
+    spark.stop()
+  }
+}

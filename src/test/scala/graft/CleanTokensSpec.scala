@@ -84,6 +84,41 @@ class CleanTokensSpec extends AnyFunSuite with SparkSessionFixture {
     assertAllEqual(texts)
   }
 
+  test("multi-byte boundary enumeration around the url markers") {
+    // round-9 breadth (r8 verdict item): the scanner's risky seam is
+    // a marker (`www`/`http`) abutting a code point whose UTF-8/
+    // UTF-16 width differs — 4-byte emoji (surrogate pair), 3-byte
+    // CJK, 2-byte Latin-1, and the non-ASCII line terminators `.`
+    // refuses (U+0085/U+2028/U+2029). Enumerate the FULL cartesian
+    // of prefix × marker × boundary × suffix instead of sampling:
+    // every case byte-equal against the regex chain.
+    val emoji = "😀" // U+1F600, 4-byte UTF-8
+    val prefixes = Seq("", "a", " ", "é", "中", emoji)
+    val markers = Seq("www", "http", "ww", "htt", "wwww", "xhttp")
+    val boundaries = Seq("", "", " ", " ", "\n", "\r",
+      emoji, "é", "中", ".", " ", emoji + emoji)
+    val suffixes = Seq("", "x", emoji, "é x", " y")
+    val cases = for {
+      p <- prefixes; m <- markers; b <- boundaries; s <- suffixes
+    } yield p + m + b + s
+    assertAllEqual(cases.distinct)
+  }
+
+  test("randomized multi-byte boundary fuzzing (markers + wide code points)") {
+    val rnd = new scala.util.Random(0x9b0a2d)
+    val emoji = Array("😀", "🤖", "𐀀")
+    val atoms = Array(
+      "www", "http", "w", "h", "t", "p",
+      "", " ", " ", "\n", "\r", " ", ".",
+      "é", "ß", "中", "ア",
+      emoji(0), emoji(1), emoji(2), "x", "")
+    val texts = (0 until 4000).map { _ =>
+      val len = 1 + rnd.nextInt(10)
+      (0 until len).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }.distinct
+    assertAllEqual(texts)
+  }
+
   test("full real corpus equivalence at sf0.01 and sf0.1") {
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
