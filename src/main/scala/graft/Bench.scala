@@ -20,6 +20,33 @@ object Bench {
     // optional comma-separated subset for isolated timing runs
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // WARM-UP PASS (round 10): run every selected query once against a
+    // tiny SF dir BEFORE the timed region. Whole-stage-codegen classes
+    // and JIT-compiled hot methods are JVM-global, so this moves each
+    // query family's one-time compile cost out of whichever timed query
+    // happens to hit it first in sorted order — q38_pagerank/d10 carried
+    // ~4-14s of the CC/rank families' codegen in every r5-r9 artifact,
+    // which two rounds of ref-widening chased instead of removing.
+    // With the compile cost out of the measured path, bench_ref.json
+    // goes back to plain measured idle first-pass minimums for ALL
+    // queries (no hand-picked 'representative' constants, r9 advice).
+    // Warm-up failures are ignored (the timed pass reports them);
+    // SPARK_GRAFT_WARMUP_DIR=off disables, absent dir skips silently.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      Paths.get(sfDir).resolveSibling("sf0.001").toString)
+    if (warmDir != "off" && Files.isDirectory(Paths.get(warmDir))) {
+      val t0 = System.nanoTime()
+      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      System.err.println(
+        f"[bench] warm-up pass ($warmDir) ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     // DETERMINISTIC name order (r8): Map iteration order shuffled the
     // suite every build, so a query's first-pass cost depended on
     // whichever heavy queries the hash order happened to place before

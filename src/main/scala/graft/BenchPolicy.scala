@@ -45,19 +45,16 @@ object BenchPolicy {
     * precisely so the refs can be curated from the right
     * distribution.
     *
-    * Round-9 amendment: for the few queries whose LOADED-harness
-    * first passes repeatedly exceed 1.5× even the corrected idle
-    * minimum (q38 and d10 — the suite's two cold-codegen leaders,
-    * which absorb the CC/rank families' one-time compile on top of
-    * whatever the VM is doing), the ref is curated from a
-    * loaded-harness-REPRESENTATIVE first pass instead of the idle
-    * minimum. A retry on reproducible work cannot improve the
-    * number (both passes inflate together under sustained load —
-    * the r5-r8 artifacts showed exactly that) and only adds wall
-    * time, so the cutoff should not fire on load it cannot fix;
-    * genuine VM spikes (2-10×) still clear any representative ref's
-    * cutoff comfortably. Refs curated this way are flagged in
-    * `bench_ref.json`'s note field. */
+    * Round-10 revision (retires the round-9 'representative ref'
+    * amendment): [[Bench]] now runs an UNTIMED warm-up pass of the
+    * whole suite at sf0.001 before the timed region, so the one-time
+    * whole-stage-codegen compile that q38/d10 used to absorb as the
+    * suite's first heavy queries is paid before any clock starts.
+    * With that cost out of the measured path, every ref is once again
+    * a plain measured idle WARM first-pass minimum — no hand-picked
+    * constants (the r9 advice: representative refs raised the
+    * regression gate ~2x on the two heaviest queries, so a real
+    * slowdown there would have passed undetected). */
   def refCutoff(ref: Double): Double = math.max(5.0, 1.5 * ref)
 
   /** Per-query cutoff: reference-anchored when the query has a recorded
