@@ -1186,6 +1186,23 @@ object CorpusOps {
     var words = base
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
+    // LINEAGE CHECKPOINT CADENCE (round-9 verdict item): each merge
+    // stacks a withColumn on the previous round's plan, so an
+    // unchecked loop analyzes an O(k)-deep logical tree EVERY round —
+    // harmless at m14's 8 merges, quadratic driver cost at a real 32k
+    // -merge vocab. Every MergeCheckpointEvery merges the vocabulary
+    // is re-materialized onto a single LogicalRDD leaf (Tungsten rows
+    // persisted, prior round's blocks released), bounding per-round
+    // analysis depth at O(MergeCheckpointEvery) and total driver
+    // analysis work at O(k * MergeCheckpointEvery) instead of O(k²).
+    // Rewrites are value-identical (same rows, same replaces), so the
+    // merge table is byte-equal with or without checkpoints —
+    // BpeCheckpointSpec pins that at 64 merges. The LAST checkpoint's
+    // blocks release with `base`: recompute through the RDD lineage
+    // stays valid (one corpus scan + k narrow replaces, the
+    // documented post-return contract).
+    var prevRelease: () => Unit = null
+    var sinceCheckpoint = 0
     var exhausted = false
     for (k <- 1 to nMerges if !exhausted) {
       // pairs of adjacent symbols, weighted by word frequency; the
@@ -1211,9 +1228,23 @@ object CorpusOps {
         words = words.withColumn("ws",
           replace(col("ws"), lit(Sep + l + Sep + Sep + r + Sep),
             lit(Sep + l + r + Sep)))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= MergeCheckpointEvery && k < nMerges) {
+          val (w, release) = org.apache.spark.sql.graftbridge.DatasetBridge
+            .materialized(words, it => while (it.hasNext) it.next())
+          if (prevRelease != null) prevRelease()
+          prevRelease = release
+          words = w
+          sinceCheckpoint = 0
+        }
       }
     }
+    if (prevRelease != null) prevRelease()
     base.unpersist(blocking = false)
     (merges.toSeq, words)
   }
+
+  /** Merges between vocabulary re-materializations in [[bpeFitCore]]'s
+    * training loop (see the lineage-checkpoint comment there). */
+  private val MergeCheckpointEvery = 16
 }

@@ -12,12 +12,20 @@ import graft.operators.{DedupOps, GraphOps, SimilarityOps}
   * deterministic ~10× corpus built in /tmp.
   *
   * Corpus construction (isolates pure volume scaling):
-  *  - documents ×10: copy k caesar-shifts letters by k
-  *    (`translate`), so copies are trigram-DISJOINT — the planted
-  *    near-dup structure replicates exactly per copy, candidate
-  *    pair volume scales linearly, and no artificial 10-cliques
-  *    distort the closure (naive replication would square the pair
-  *    count and measure the synthetic, not the scaling).
+  *  - documents ×10: copy k caesar-shifts letters by k AND rotates
+  *    digits by k, and each copy k>0 gets a distinct per-copy salt
+  *    token prepended (`translate` + `concat`), so copies are
+  *    trigram-DISJOINT — including trigrams made purely of
+  *    whitespace/punctuation, which a letters-only shift leaves
+  *    translate-invariant and which would otherwise grow cross-copy
+  *    candidate pairs superlinearly on punctuation-heavy text (r9
+  *    advice). The planted near-dup structure replicates exactly per
+  *    copy, candidate pair volume scales linearly, and no artificial
+  *    10-cliques distort the closure (naive replication would square
+  *    the pair count and measure the synthetic, not the scaling).
+  *    The salt is one whitespace-delimited token, so it perturbs at
+  *    most the first two word-shingles of each copy — planted
+  *    within-copy near-dup similarity is preserved to ~1 shingle.
   *  - embeddings ×10: copy k circularly shifts the vector by k
   *    dims — norms preserved, copies decorrelated, within-copy
   *    similarity structure intact.
@@ -51,12 +59,28 @@ object ScaleProbe {
     if (!new java.io.File(s"$base/documents").exists()) {
       val lower = "abcdefghijklmnopqrstuvwxyz"
       val upper = lower.toUpperCase
-      def shifted(s: String, k: Int) = s.drop(k % 26) + s.take(k % 26)
+      val digits = "0123456789"
+      // the trigram shingle alphabet is the RAW text (HashedTrigrams32
+      // lowercases but strips nothing), so copies must disagree on
+      // every character class that can form a trigram: letters AND
+      // digits AND punctuation all rotate by k (r9 advice — a
+      // letters-only shift left digit/punct-run trigrams
+      // translate-invariant across copies). Whitespace runs are the
+      // one residual shared class; a trigram needs 3 consecutive
+      // whitespace chars, which the corpus's single-space tokenized
+      // text essentially never produces.
+      val punct = ".,!?;:'-()\"#@/"
+      def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
       val copies = (0 until 10).map { k =>
+        val from = lower + upper + digits + punct
+        val to = rot(lower, k) + rot(upper, k) + rot(digits, k) + rot(punct, k)
         docs1.select(
           (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-          translate(col("text"), lower + upper,
-            shifted(lower, k) + shifted(upper, k)).as("text"))
+          // per-copy salt token: shifts the first word-boundary too,
+          // so even a hypothetical normalizer that strips punctuation
+          // cannot re-align copy prefixes
+          concat(lit(s"xcopy$k "),
+            translate(col("text"), from, to)).as("text"))
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$base/documents")

@@ -104,4 +104,73 @@ class BpeFitSpec extends AnyFunSuite with SparkSessionFixture {
       .orderBy("merge_rank").collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  /** Greedy BPE reference in plain Scala over a (word, freq) table —
+    * same greedy argmax, same (cnt desc, l, r asc) tie-break, same
+    * leftmost-first non-overlapping rewrite. Exists to pin the
+    * lineage-CHECKPOINTED fit loop (re-materialization every 16
+    * merges) value-identical to unchunked greedy BPE at a depth that
+    * crosses several checkpoint boundaries. */
+  private def referenceBpe(wordFreqs: Seq[(String, Long)], nMerges: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var words = wordFreqs.map { case (w, f) => (w.map(_.toString).toList, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1L
+    var done = false
+    while (k <= nMerges && !done) {
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        cnt((syms(i), syms(i + 1))) = cnt.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (cnt.isEmpty) done = true
+      else {
+        val ((l, r), c) = cnt.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((k, l, r, c))
+        words = words.map { case (syms, f) =>
+          val b = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.toList, f)
+        }
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("64-merge fit crosses 3 lineage checkpoints value-identically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextOps.cleanTokens(col("text"))
+    // word freqs via the SAME tokenizer, so the reference isolates the
+    // merge loop (the checkpointed code path) and nothing else
+    val wf = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = referenceBpe(wf, 64)
+    val got = CorpusOps.bpeFit(docs, toks, 64)
+      .orderBy("merge_rank").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("checkpointing bounds the encode vocabulary's analyzed plan size") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextOps.cleanTokens(col("text"))
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.analyzed.foreach(_ => n += 1)
+      n
+    }
+    // 64 merges checkpoint at 16/32/48: the encode plan hangs at most
+    // 16 merge-rewrite projections off a LogicalRDD leaf. Without the
+    // checkpoints this plan carries all 64 plus the full base aggregate
+    // (>70 nodes); the bound fails loudly if the cadence regresses.
+    val encoded = CorpusOps.bpeEncode(docs, toks, 64)
+    assert(planNodes(encoded) < 40,
+      s"analyzed plan has ${planNodes(encoded)} nodes — checkpoint cadence lost?")
+  }
 }
