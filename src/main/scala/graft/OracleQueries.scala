@@ -1463,6 +1463,42 @@ GROUP BY sym"""
          |    // (CAST(any_value(n_from) + 16 AS HUGEINT)
          |      * (any_value(n_to) + 16)) AS BIGINT) AS psi_mu
          |FROM terms GROUP BY epoch_from""".stripMargin,
+    // t37: PSI drift between adjacent CALENDAR DAYS of each doc's
+    // ingestion event (doc_id ↔ event_id) — the t36 arithmetic with
+    // real event-time epochs; grid = days actually present × 16
+    "t37_psi_event_drift" ->
+      s"""WITH d AS (SELECT CAST(e.ts AS DATE) AS day,
+         |    least(dd.n_chars // 64, 15) AS bucket
+         |  FROM documents dd JOIN events e ON dd.doc_id = e.event_id),
+         |occ AS (SELECT day, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM d GROUP BY 1, 2),
+         |grid AS (SELECT dy.day, b.bucket
+         |  FROM (SELECT DISTINCT day FROM d) dy
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) b),
+         |f AS (SELECT g.day, g.bucket, coalesce(o.c, 0) AS c
+         |  FROM grid g LEFT JOIN occ o USING (day, bucket)),
+         |ne AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_e
+         |  FROM f GROUP BY 1),
+         |fe AS (SELECT f.day, f.bucket, f.c, ne.n_e
+         |  FROM f JOIN ne USING (day)),
+         |pq AS (SELECT p.day AS day_from, p.bucket,
+         |    p.c AS cp, q.c AS cq, p.n_e AS n_from, q.n_e AS n_to
+         |  FROM fe p JOIN fe q
+         |    ON q.day = p.day + 1 AND q.bucket = p.bucket),
+         |terms AS (SELECT day_from, n_from, n_to, cp, cq,
+         |    CAST(CAST(round(ln((cp + 1) / CAST(n_from + 16 AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lp_mu,
+         |    CAST(CAST(round(ln((cq + 1) / CAST(n_to + 16 AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lq_mu
+         |  FROM pq)
+         |SELECT day_from, day_from + 1 AS day_to,
+         |  any_value(n_from) AS n_from, any_value(n_to) AS n_to,
+         |  CAST(greatest(sum((CAST(cp + 1 AS HUGEINT) * (n_to + 16)
+         |      - CAST(cq + 1 AS HUGEINT) * (n_from + 16))
+         |      * (lp_mu - lq_mu)), 0)
+         |    // (CAST(any_value(n_from) + 16 AS HUGEINT)
+         |      * (any_value(n_to) + 16)) AS BIGINT) AS psi_mu
+         |FROM terms GROUP BY day_from""".stripMargin,
     "t7_det_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${OracleSql.hash32("text")} % 10 = 0""".stripMargin,

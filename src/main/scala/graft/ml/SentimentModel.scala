@@ -40,6 +40,62 @@ final case class SentimentModel(
 
   def numFeatures: Int = idf.length
 
+  /** UTF8String-keyed vocab/stop-set twins, built lazily ONCE per JVM
+    * (executor-side, off the broadcast value): lets the codegen margin
+    * expression probe tokens as the raw `UTF8String`s Tungsten rows
+    * hold, with zero per-token String materialization — the ScalaUDF
+    * path paid a full ArrayData→Seq[String] conversion per row. */
+  @transient private lazy val vocabU8
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer](vocab.size() * 2)
+    vocab.forEach((k, v) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        Integer.valueOf(v)))
+    m
+  }
+  @transient private lazy val stopU8
+      : java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    stopWords.foreach(w =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w.toLowerCase)))
+    s
+  }
+
+  /** [[margin]] evaluated directly over Tungsten array data — the
+    * codegen path ([[graft.plans.SparseTfIdfMargin]]). Identical float
+    * semantics: TF counts folded per vocab index, features iterated in
+    * ascending index order, `(tf * idf(i)) * coef(i)` association.
+    * `filterStops` folds the M1 stop-word filter (case-insensitive,
+    * like `lower(t) IN stopSet`) into the same pass, so no
+    * intermediate filtered array is materialized. Null tokens are
+    * skipped (the UDF path dropped them via the filter HOF / failed
+    * vocab lookup — same outcome). */
+  def marginUtf8(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                 filterStops: Boolean): Double = {
+    val counts = new java.util.TreeMap[Int, Int]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        if (!filterStops || !stopU8.contains(tok.toLowerCase)) {
+          val idx = vocabU8.get(tok)
+          if (idx != null) counts.merge(idx.intValue(), 1, Integer.sum)
+        }
+      }
+      i += 1
+    }
+    var acc = 0.0
+    val e = counts.entrySet().iterator()
+    while (e.hasNext) {
+      val kv = e.next()
+      val j = kv.getKey
+      acc += (kv.getValue.toDouble * idf(j)) * coef(j)
+    }
+    acc + intercept
+  }
+
   /** Raw margin w·(tf⊙idf) + b over a stop-word-filtered token list.
     * Reproduces CountVectorizer→IDF→LR exactly: TF counts folded per
     * vocab index, features iterated in ascending index order. */
@@ -87,37 +143,42 @@ object SentimentModel {
     new SentimentScorer(spark.sparkContext.broadcast(model))
 }
 
-/** Broadcast-backed scoring functions, exposed as Columns.
-  * The UDFs are in-JVM Scala (no Python boundary); the surrounding
-  * clean/tokenize/stop-word chain stays in whole-stage codegen. */
+/** Broadcast-backed scoring functions, exposed as Columns. Round 11:
+  * every scoring column is built on the [[graft.plans.SparseTfIdfMargin]]
+  * codegen expression (M1 stop-word filter folded into the same pass) —
+  * the whole M1–M5 serving chain is now a single whole-stage-codegen
+  * span with zero UDFs. */
 final class SentimentScorer(bc: Broadcast[SentimentModel]) extends Serializable {
 
-  private val predictUdf = udf { words: Seq[String] =>
-    if (words == null) null else java.lang.Double.valueOf(bc.value.predict(words))
-  }
-  private val marginUdf = udf { words: Seq[String] =>
-    if (words == null) null else java.lang.Double.valueOf(bc.value.margin(words))
+  /** logit(threshold): the margin cutoff equivalent to
+    * P(1) > threshold (σ strictly monotone). Computed once,
+    * driver-side. */
+  private val logitThreshold: Double = {
+    val t = bc.value.threshold
+    math.log(t / (1.0 - t))
   }
 
-  /** One margin evaluation fanned out to the three output columns the
-    * reference's `PipelineModel.transform` adds (SURVEY §2h column
-    * list): binomial-LR conventions `rawPrediction = [-m, m]`,
-    * `probability = [1-σ(m), σ(m)]`, `prediction` by threshold. */
-  private val scoreStructUdf = udf { words: Seq[String] =>
-    if (words == null) null
-    else {
-      val model = bc.value
-      val m = model.margin(words)
-      val p1 = 1.0 / (1.0 + math.exp(-m))
-      SentimentScorer.Scores(
-        rawPrediction = Array(-m, m),
-        probability = Array(1.0 - p1, p1),
-        prediction = if (m > math.log(model.threshold / (1.0 - model.threshold))) 1.0 else 0.0)
-    }
-  }
+  private def marginCol(tokens: Column, filterStops: Boolean): Column =
+    graft.plans.SparseTfIdfMargin.margin(tokens, bc, filterStops)
+
+  /** tokens → prediction in ONE margin evaluation (threshold folded
+    * into the expression — see SparseTfIdfMargin.predictCutoff). Null
+    * tokens → null prediction (UnaryExpression null propagation). */
+  private def predictCol(tokens: Column, filterStops: Boolean): Column =
+    graft.plans.SparseTfIdfMargin.predict(tokens, bc, filterStops, logitThreshold)
+
+  /** margin COLUMN REFERENCE → prediction with the UDF path's null
+    * contract (null margin → null prediction, not 0.0). Only ever
+    * applied to an attribute reference (withScores' `__margin`), so
+    * the double reference is cheap. */
+  private def predictionOf(m: Column): Column =
+    when(m.isNotNull, when(m > lit(logitThreshold), 1.0).otherwise(0.0))
 
   /** M1 stop-word filter as a pure built-in expression (`isInCollection`
-    * → optimizer-rewritten `InSet`: O(1) hash-set probe per token). */
+    * → optimizer-rewritten `InSet`: O(1) hash-set probe per token).
+    * The scoring paths below no longer need it (the margin expression
+    * folds the filter in); kept for callers that want the filtered
+    * token array itself (m1_stopwords). */
   def removeStopWords(tokens: Column): Column = {
     val stopSet = bc.value.stopWords.map(_.toLowerCase).distinct.toSeq.sorted
     filter(tokens, t => !lower(t).isInCollection(stopSet))
@@ -125,12 +186,14 @@ final class SentimentScorer(bc: Broadcast[SentimentModel]) extends Serializable 
 
   /** tokens (pre-stop-word-removal) → prediction. */
   def predictFromTokens(tokens: Column): Column =
-    predictUdf(removeStopWords(tokens))
+    predictCol(tokens, filterStops = true)
 
   /** stop-word-filtered words → prediction (M2–M5 only). */
-  def predictFromWords(words: Column): Column = predictUdf(words)
+  def predictFromWords(words: Column): Column =
+    predictCol(words, filterStops = false)
 
-  def marginFromWords(words: Column): Column = marginUdf(words)
+  def marginFromWords(words: Column): Column =
+    marginCol(words, filterStops = false)
 
   /** Full reference chain on a raw text column: clean → tokenize →
     * stop words → TF → IDF → LR. Adds `cleaned_data` and `prediction`. */
@@ -141,30 +204,31 @@ final class SentimentScorer(bc: Broadcast[SentimentModel]) extends Serializable 
   /** Column-parity twin of the reference `PipelineModel.transform`
     * output: adds `rawPrediction: array<double>`,
     * `probability: array<double>`, `prediction: double` over a tokens
-    * column (stop words not yet removed). The struct UDF evaluates the
-    * margin once; the three columns are field extracts (CollapseProject
-    * keeps the multi-referenced struct materialized, so the model dot
-    * product is not re-run per column). */
-  def withScores(df: DataFrame, tokensCol: String): DataFrame =
-    df.withColumn("__scored", scoreStructUdf(removeStopWords(col(tokensCol))))
-      .withColumn("rawPrediction", col("__scored.rawPrediction"))
-      .withColumn("probability", col("__scored.probability"))
-      .withColumn("prediction", col("__scored.prediction"))
-      .drop("__scored")
+    * column (stop words not yet removed). Binomial-LR conventions:
+    * `rawPrediction = [-m, m]`, `probability = [1-σ(m), σ(m)]`,
+    * `prediction` by threshold — the same double ops in the same order
+    * as the retired struct UDF, so bit-parity holds. The margin is
+    * materialized as a real `__margin` column first: CollapseProject
+    * declines to inline a non-cheap expression referenced more than
+    * once, so the dot product runs ONCE per row and the three outputs
+    * are arithmetic over the attribute reference (the old struct-
+    * materialization trick, without the struct). Null tokens → all
+    * three columns null. */
+  def withScores(df: DataFrame, tokensCol: String): DataFrame = {
+    val m = col("__margin")
+    val p1 = lit(1.0) / (lit(1.0) + exp(-m))
+    df.withColumn("__margin", marginCol(col(tokensCol), filterStops = true))
+      .withColumn("rawPrediction", when(m.isNotNull, array(-m, m)))
+      .withColumn("probability", when(m.isNotNull, array(lit(1.0) - p1, p1)))
+      .withColumn("prediction", predictionOf(m))
+      .drop("__margin")
+  }
 
   /** [[scoreText]] with the full transform column set. */
   def scoreTextFull(df: DataFrame, textCol: String): DataFrame =
     withScores(
       df.withColumn("cleaned_data", TextOps.cleanTokens(col(textCol))),
       "cleaned_data")
-}
-
-object SentimentScorer {
-  /** Output triple of the full transform (binomial-LR layout). */
-  final case class Scores(
-      rawPrediction: Array[Double],
-      probability: Array[Double],
-      prediction: Double)
 }
 
 /** Native loader for the on-disk `PipelineModel` artifact layout

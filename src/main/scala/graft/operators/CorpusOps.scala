@@ -1197,7 +1197,7 @@ object CorpusOps {
     // analysis work at O(k * MergeCheckpointEvery) instead of O(k²).
     // Rewrites are value-identical (same rows, same replaces), so the
     // merge table is byte-equal with or without checkpoints —
-    // BpeCheckpointSpec pins that at 64 merges. The LAST checkpoint's
+    // BpeFitSpec's 64-merge pin crosses 3 checkpoints. The LAST checkpoint's
     // blocks release with `base`: recompute through the RDD lineage
     // stays valid (one corpus scan + k narrow replaces, the
     // documented post-return contract).

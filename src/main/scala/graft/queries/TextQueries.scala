@@ -614,6 +614,70 @@ private[graft] object TextQueries {
             "as bigint)").as("psi_mu"))
     }),
 
+    // PSI DRIFT OVER REAL EVENT TIME (t37, round 11): the t36 grid
+    // machinery with epochs = CALENDAR DAYS of each document's
+    // ingestion event — documents carry no timestamp, so each doc
+    // joins its ingestion event (doc_id ↔ event_id, keyed equi-join;
+    // AQE broadcasts the pruned 2-column event side at test SFs, a
+    // shuffle-hash join at 100 TB) and PSI runs between ADJACENT
+    // days, the production drift-monitor shape (t36's hash-residue
+    // epochs were a stand-in for exactly this). Same integer
+    // arithmetic as t36: add-one smoothing over the full
+    // days-present × 16 grid, micro-nat logs, exact cross-multiplied
+    // p−q rational in DECIMAL(38,0), guarded non-negative division.
+    // Cost: one narrow join + keyed agg folded map-side to
+    // |days| × 16 cells, COLLECTED (bounded: a year of days is 366 ×
+    // 16 cells), grid arithmetic on a local relation — flat at
+    // 100 TB.
+    "t37_psi_event_drift" -> ((s, dir) => {
+      val nB = 16
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), to_date(col("ts")).as("day"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"least(n_chars div 64, ${nB - 1}L)").as("bucket"))
+        .join(ev, col("doc_id") === col("event_id"))
+      // day rides the bounded local relation as its ISO string (the
+      // tuple encoder rejects java.sql.Date here) and is cast back to
+      // DATE below; ISO strings sort chronologically
+      val occ = d.groupBy(col("day").cast("string").as("day"), col("bucket"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      val days = occ.keySet.map(_._1).toSeq.sorted
+      import s.implicits._
+      val full = (for (e <- days; b <- 0L until nB.toLong)
+        yield (e, b, occ.getOrElse((e, b), 0L))).toDF("day_s", "bucket", "c")
+        .select(to_date(col("day_s")).as("day"), col("bucket"), col("c"))
+      val ne = full.groupBy(col("day")).agg(sum(col("c")).as("n_e"))
+      val fe = full.join(ne, "day")
+      def microNat(num: Column, den: Column): Column =
+        (round(log(num.cast("double") / den.cast("double")), 6)
+          .cast("decimal(18,6)") * lit(1000000)).cast("long")
+      val p = fe.select(col("day").as("day_from"), col("bucket"),
+        col("c").as("cp"), col("n_e").as("n_from"))
+      val q = fe.select(date_sub(col("day"), 1).as("day_from"),
+        col("bucket"), col("c").as("cq"), col("n_e").as("n_to"))
+      p.join(q, Seq("day_from", "bucket"))
+        .select(col("day_from"), col("n_from"), col("n_to"),
+          col("cp"), col("cq"),
+          microNat(col("cp") + 1, col("n_from") + lit(nB)).as("lp_mu"),
+          microNat(col("cq") + 1, col("n_to") + lit(nB)).as("lq_mu"))
+        .groupBy(col("day_from"))
+        .agg(first(col("n_from")).as("n_from"),
+          first(col("n_to")).as("n_to"),
+          sum(((col("cp") + 1).cast("decimal(38,0)") *
+                (col("n_to") + lit(nB)) -
+              (col("cq") + 1).cast("decimal(38,0)") *
+                (col("n_from") + lit(nB))) *
+            (col("lp_mu") - col("lq_mu"))).as("num"))
+        .select(col("day_from"),
+          date_add(col("day_from"), 1).as("day_to"),
+          col("n_from"), col("n_to"),
+          expr(s"cast(greatest(num, cast(0 as decimal(38,0))) div " +
+            s"(cast(n_from + $nB as decimal(38,0)) * (n_to + $nB)) " +
+            "as bigint)").as("psi_mu"))
+    }),
+
     // FILTER FUNNEL (CorpusOps.filterFunnel): the per-source
     // attrition table a curation run reads before committing to a
     // rule stack — how many documents survive Gopher (t25), then

@@ -13,13 +13,15 @@ import graft.operators.{DedupOps, GraphOps, SimilarityOps}
   *
   * Corpus construction (isolates pure volume scaling):
   *  - documents ×10: copy k caesar-shifts letters by k AND rotates
-  *    digits by k, and each copy k>0 gets a distinct per-copy salt
-  *    token prepended (`translate` + `concat`), so copies are
-  *    trigram-DISJOINT — including trigrams made purely of
-  *    whitespace/punctuation, which a letters-only shift leaves
-  *    translate-invariant and which would otherwise grow cross-copy
-  *    candidate pairs superlinearly on punctuation-heavy text (r9
-  *    advice). The planted near-dup structure replicates exactly per
+  *    digits and punctuation by k, and each copy k>0 gets a per-copy
+  *    salt token prepended (`translate` + `concat`) whose trigrams
+  *    are disjoint across copies (`qKqKqK` — the only trigrams are
+  *    `qKq`/`KqK`); copy 0 is the 1× corpus verbatim, so the 10× run
+  *    is a strict superset. Copies are thus trigram-disjoint —
+  *    including trigrams made purely of whitespace/punctuation, which
+  *    a letters-only shift leaves translate-invariant and which would
+  *    otherwise grow cross-copy candidate pairs superlinearly on
+  *    punctuation-heavy text (r9 advice). The planted near-dup structure replicates exactly per
   *    copy, candidate pair volume scales linearly, and no artificial
   *    10-cliques distort the closure (naive replication would square
   *    the pair count and measure the synthetic, not the scaling).
@@ -74,13 +76,17 @@ object ScaleProbe {
       val copies = (0 until 10).map { k =>
         val from = lower + upper + digits + punct
         val to = rot(lower, k) + rot(upper, k) + rot(digits, k) + rot(punct, k)
+        // per-copy salt token (k>0 only — copy 0 stays the 1× corpus
+        // verbatim): shifts the first word-boundary too, so even a
+        // hypothetical normalizer that strips punctuation cannot
+        // re-align copy prefixes; `qKqKqK` trigrams ({qKq, KqK}) are
+        // disjoint across copies
+        val salted =
+          if (k == 0) col("text")
+          else concat(lit(s"q$k" * 3 + " "), translate(col("text"), from, to))
         docs1.select(
           (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-          // per-copy salt token: shifts the first word-boundary too,
-          // so even a hypothetical normalizer that strips punctuation
-          // cannot re-align copy prefixes
-          concat(lit(s"xcopy$k "),
-            translate(col("text"), from, to)).as("text"))
+          salted.as("text"))
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$base/documents")

@@ -110,10 +110,30 @@ class BpeFitSpec extends AnyFunSuite with SparkSessionFixture {
     * leftmost-first non-overlapping rewrite. Exists to pin the
     * lineage-CHECKPOINTED fit loop (re-materialization every 16
     * merges) value-identical to unchunked greedy BPE at a depth that
-    * crosses several checkpoint boundaries. */
+    * crosses several checkpoint boundaries. Matches the engine's
+    * semantics exactly, not just on ASCII (r10 advice): words split
+    * into CODE POINTS (Java regex `.` matches a surrogate pair as one
+    * char, so the engine's per-char wrap is code-point-granular),
+    * words containing the U+001F wrap separator are dropped like
+    * bpeFitCore drops them, and ties break on UTF-8 BYTE order (Spark
+    * compares UTF8String bytes, which diverges from Java String
+    * UTF-16 ordering for supplementary-plane symbols). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
   private def referenceBpe(wordFreqs: Seq[(String, Long)], nMerges: Int)
       : Seq[(Long, String, String, Long)] = {
-    var words = wordFreqs.map { case (w, f) => (w.map(_.toString).toList, f) }
+    var words = wordFreqs
+      .filter { case (w, _) => !w.contains('\u001f') }
+      .map { case (w, f) =>
+        (w.codePoints().toArray.toList.map(Character.toString), f) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 1L
     var done = false
@@ -123,7 +143,14 @@ class BpeFitSpec extends AnyFunSuite with SparkSessionFixture {
         cnt((syms(i), syms(i + 1))) = cnt.getOrElse((syms(i), syms(i + 1)), 0L) + f
       if (cnt.isEmpty) done = true
       else {
-        val ((l, r), c) = cnt.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = cnt.toSeq.reduceLeft { (a, b) =>
+          // (cnt desc, l asc, r asc) with UTF-8 byte-order string ties
+          val ((al, ar), ac) = a; val ((bl, br), bc) = b
+          val bWins =
+            bc > ac || (bc == ac && (utf8Lt(bl, al) ||
+              (bl == al && utf8Lt(br, ar))))
+          if (bWins) b else a
+        }
         out += ((k, l, r, c))
         words = words.map { case (syms, f) =>
           val b = scala.collection.mutable.ListBuffer.empty[String]
