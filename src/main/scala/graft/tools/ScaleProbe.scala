@@ -138,8 +138,28 @@ object ScaleProbe {
         "vec_id", "embedding", numCentroids = 16, probes = 4, k = 10)
         .count()
 
+    // 4. PageRank on the q38-shaped bipartite graph (supplier↔customer
+    //    via shared orders); ×10 = 10 node-disjoint copies (ids shifted
+    //    by k·10⁹ — component structure replicates, iteration count is
+    //    fixed at 5, so wall growth isolates pure edge volume).
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"),
+        (col("l_suppkey").cast("long") * 2).as("src"))
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("ok"),
+        (col("o_custkey").cast("long") * 2 + 1).as("dst"))
+    val edges1 = li.join(ord, Seq("ok")).select(col("src"), col("dst"))
+    val edges10 = (0 until 10).map { k =>
+      edges1.select((col("src") + lit(k * 1000000000L)).as("src"),
+        (col("dst") + lit(k * 1000000000L)).as("dst"))
+    }.reduce(_ unionByName _)
+    def pagerank(e: DataFrame): Long = {
+      val (ranks, rel) = GraphOps.pageRankReleasable(e, "src", "dst", iters = 5)
+      val n = ranks.count(); rel(); n
+    }
+
     // JIT/codegen warmup pass at 1x, uncounted
-    closure(docs1); semdedup(emb1, 16); ivf(emb1); sweep()
+    closure(docs1); semdedup(emb1, 16); ivf(emb1); pagerank(edges1); sweep()
 
     time("closure 1x")(closure(docs1))
     time("closure 10x")(closure(docs10))
@@ -147,6 +167,8 @@ object ScaleProbe {
     time("semdedup 10x (C=160)")(semdedup(emb10, 160))
     time("ivf-topk 1x")(ivf(emb1))
     time("ivf-topk 10x")(ivf(emb10))
+    time("pagerank 1x")(pagerank(edges1))
+    time("pagerank 10x")(pagerank(edges10))
     spark.stop()
   }
 }
