@@ -1183,6 +1183,17 @@ object CorpusOps {
       .select(col("w"), col("freq"),
         regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AQE stays ON for the merge rounds DELIBERATELY (round-11
+    // finding): at test SF the per-round argmax jobs are
+    // vocabulary-sized and AQE's stage-by-stage re-planning adds
+    // ~25% of t18's wall (measured 1.6s vs 1.9-2.2s with a
+    // conf-isolated session clone running the loop AQE-off — the
+    // mechanism works, plan root drops AdaptiveSparkPlanExec). Not
+    // shipped: at the 100 TB design point the word table is NOT tiny
+    // (web-scale corpora carry 10⁸-row vocabularies) and the rounds'
+    // pair-count groupBy is exactly where AQE's coalesce/skew
+    // handling earns its latency — optimizing the microbench would
+    // trade real scale behavior for ~0.3s at sf0.1.
     var words = base
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
