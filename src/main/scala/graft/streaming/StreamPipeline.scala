@@ -412,6 +412,84 @@ object StreamPipeline {
     }
   }
 
+  /** Per-key STREAMING PSI DRIFT monitor — the streaming face of the
+    * t36/t37 drift queries and the fourth `transformWithState`
+    * operator: each key holds ONE bounded state row (the previous
+    * data-bearing micro-batch's `nBuckets`-cell census — `nBuckets`
+    * longs, never documents), and every batch that brings the key
+    * data emits `(key, n_prev, n_cur, psi_mu)` — the population
+    * stability index between the previous and current batch's value
+    * distributions, in the EXACT integer algebra of the batch
+    * queries (add-one smoothing over the full grid, micro-nat logs
+    * quantized by HALF_UP 6-dp rounding, cross-multiplied exact p−q
+    * rational, floored non-negative division), so a streamed reading
+    * is cross-checkable against the t36/t37 oracle arithmetic.
+    * This is the production drift-alarm shape: per-source document
+    * length (or score, or token count) profiles that page someone
+    * when an upstream crawler change shifts the distribution.
+    *
+    * The first batch for a key seeds state and emits nothing (PSI
+    * needs two distributions); a key silent in a batch keeps its
+    * census until it next appears. PSI(identical censuses) = 0
+    * exactly (every cross-multiplied term cancels). TimeMode.None:
+    * state is `nBuckets` longs per key for the stream's lifetime.
+    * `valueCol` must be long-castable and non-negative; values land
+    * in `min(value / bucketWidth, nBuckets-1)`. */
+  def psiDriftStream(df: DataFrame, keyCol: String, valueCol: String,
+                     nBuckets: Int = 16, bucketWidth: Long = 64L): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("string").as("_k"),
+        least(greatest(col(valueCol).cast("long"), lit(0L)) / lit(bucketWidth),
+          lit(nBuckets - 1L)).cast("long").as("_b"))
+      .filter(col("_b").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new PsiDriftProcessor(nBuckets),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF(keyCol, "n_prev", "n_cur", "psi_mu")
+  }
+
+  /** The [[psiDriftStream]] processor: state is the previous census
+    * as packed little-endian longs (portable, version-free). */
+  private class PsiDriftProcessor(nB: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long, Long)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("psicensus",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def pack(a: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      a.foreach(bb.putLong); bb.array()
+    }
+    private def unpack(b: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(b.length / 8)(bb.getLong)
+    }
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long)] = {
+      val cur = new Array[Long](nB)
+      rows.foreach(r => cur(r._2.toInt) += 1)
+      val out =
+        if (st.exists()) {
+          val prev = unpack(st.get())
+          Iterator.single((key, prev.sum, cur.sum,
+            StreamPipeline.psiMicroNats(prev, cur)))
+        } else Iterator.empty
+      st.update(pack(cur))
+      out
+    }
+  }
+
   /** Incremental batch run: process everything currently available,
     * then stop — `Trigger.AvailableNow` + checkpoint turns any
     * streaming pipeline into a resumable batch job that touches only
@@ -1026,4 +1104,37 @@ object StreamPipeline {
       .agg(max(col("__first_collided")).as("__suppressed"))
       .filter(!col("__suppressed"))
       .select(col("ts"), col("text"))
+
+  /** Integer micro-nat PSI between two equal-length bucket censuses —
+    * the EXACT algebra of the t36/t37 batch queries (and their DuckDB
+    * oracles), in one scalar function shared by [[psiDriftStream]]
+    * and its spec: add-one smoothing over the full grid, per-bucket
+    * log-ratios quantized to micro-nats by HALF_UP 6-dp rounding of
+    * the double's shortest decimal representation (what Spark's
+    * `round` and DuckDB's `round` both do), the p−q difference kept
+    * as an exact cross-multiplied integer rational, one floored
+    * non-negative division. PSI(c, c) == 0 exactly; result is always
+    * ≥ 0 ((p−q) and ln(p/q) share sign — the max(0) only pins 6-dp
+    * rounding noise on near-identical censuses). */
+  private[graft] def psiMicroNats(prev: Array[Long], cur: Array[Long]): Long = {
+    require(prev.length == cur.length, "census arity mismatch")
+    val nB = prev.length
+    val nFrom = prev.sum
+    val nTo = cur.sum
+    def microNat(num: Long, den: Long): Long =
+      java.math.BigDecimal.valueOf(math.log(num.toDouble / den.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    var num = BigInt(0)
+    var b = 0
+    while (b < nB) {
+      val cp = prev(b) + 1
+      val cq = cur(b) + 1
+      val lp = microNat(cp, nFrom + nB)
+      val lq = microNat(cq, nTo + nB)
+      num += (BigInt(cp) * (nTo + nB) - BigInt(cq) * (nFrom + nB)) * (lp - lq)
+      b += 1
+    }
+    (num.max(BigInt(0)) / (BigInt(nFrom + nB) * BigInt(nTo + nB))).toLong
+  }
 }
