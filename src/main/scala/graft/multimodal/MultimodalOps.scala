@@ -183,6 +183,69 @@ object MultimodalOps {
     import spark.implicits._
     imageFeatures(media.as[MediaRow], outW, outH).toDF()
   }
+
+  final case class ImageHash(
+      media_id: Long, ok: Boolean, error: String, phash: Long)
+
+  /** Per-image 64-bit perceptual hash ([[MediaCodec.pHash64]]) — the
+    * image near-dup SIGNATURE pass: decode + resample to dim×dim
+    * grayscale, DCT pHash. Same narrow/batched/error-routed shape as
+    * [[imageFeatures]]; payload bytes never shuffle. */
+  def imagePHash(media: Dataset[MediaRow], dim: Int = 32): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaCodec.decodeImage(r.payload, dim, dim) match {
+            case Right(px) =>
+              ImageHash(r.media_id, ok = true, error = null,
+                MediaCodec.pHash64(px, dim))
+            case Left(err) =>
+              ImageHash(r.media_id, ok = false, error = err, 0L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Image NEAR-DUP candidate pairs within hamming distance `maxDist`
+    * over a pHash table — the visual twin of the text SimHash banding
+    * (d3b): pigeonhole-split the 64 bits into `maxDist + 1` bands
+    * (two hashes within distance d MUST agree exactly on ≥ 1 of d+1
+    * disjoint bands), band-keyed self-join, exact `bit_count(xor)`
+    * verify. Never all-pairs: the join is keyed on (band, band bits),
+    * so candidate volume rides collision counts, not n². Output:
+    * (id_a, id_b, dist) with id_a < id_b, one row per pair. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 63]")
+    val nBands = maxDist + 1
+    val base = 64 / nBands
+    val extra = 64 % nBands // first `extra` bands carry one more bit
+    val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
+      off + base + (if (b < extra) 1 else 0)
+    }
+    val bandCols = (0 until nBands).map { b =>
+      val off = offsets(b)
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("h"), off).bitwiseAND(lit(mask)).as("v"))
+    }
+    val keyed = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("h"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .dropDuplicates("id_a", "id_b") // a close pair collides in many bands
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }
 
 /** The codec seam. IMAGE decode is REAL (PNG/JPEG/GIF/BMP via
@@ -386,6 +449,59 @@ object MediaCodec {
       val rnd = new scala.util.Random(seed)
       Right(Array.fill(outW * outH)(rnd.nextFloat()))
     }
+  }
+
+  /** 64-bit PERCEPTUAL hash (classic DCT pHash) of a dim×dim
+    * grayscale grid in [0,1]: separable 2-D DCT-II (naive O(dim³) —
+    * dim is 32, trivial), keep the top-left 8×8 low-frequency
+    * coefficients, bit b = coeff(b) > median of the 63 NON-DC
+    * coefficients. Properties the spec pins: re-encoding the same
+    * pixels (PNG vs BMP) hashes identically; a uniform brightness
+    * shift moves ONLY the DC coefficient (DCT linearity), so hashes
+    * differ by ≤ 1 bit; light noise moves few bits; structurally
+    * different images are far. This is the image-side near-dup
+    * signature — the visual twin of the text SimHash. */
+  def pHash64(px: Array[Float], dim: Int): Long = {
+    require(px.length == dim * dim, s"expected $dim x $dim grid")
+    val cosT = Array.tabulate(8, dim)((k, n) =>
+      math.cos(math.Pi / dim * (n + 0.5) * k))
+    // rows DCT (only the 8 output frequencies we keep need computing
+    // on the second pass, but the first pass needs all dim rows)
+    val rowsDct = Array.ofDim[Double](dim, 8)
+    var r = 0
+    while (r < dim) {
+      var k = 0
+      while (k < 8) {
+        var s = 0.0
+        var n = 0
+        while (n < dim) { s += px(r * dim + n) * cosT(k)(n); n += 1 }
+        rowsDct(r)(k) = s
+        k += 1
+      }
+      r += 1
+    }
+    val flat = new Array[Double](64)
+    var k2 = 0
+    while (k2 < 8) {
+      var k = 0
+      while (k < 8) {
+        var s = 0.0
+        var n = 0
+        while (n < dim) { s += rowsDct(n)(k) * cosT(k2)(n); n += 1 }
+        flat(k2 * 8 + k) = s
+        k += 1
+      }
+      k2 += 1
+    }
+    val nonDc = flat.drop(1).sorted
+    val med = nonDc(31) // 63 values, middle element
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (flat(b) > med) h |= (1L << b)
+      b += 1
+    }
+    h
   }
 
   /** Average-pool a pixel grid down to an 8x8-ish feature vector. */
