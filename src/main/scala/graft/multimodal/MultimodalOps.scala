@@ -219,6 +219,12 @@ object MultimodalOps {
   def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 63]")
+    // failed decodes carry the sentinel hash 0L ([[imagePHash]]) — an
+    // unfiltered hash table would report every failed image as an
+    // exact dup of every other failure, so drop non-ok rows here when
+    // the marker column is present (r11 advice)
+    val src =
+      if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
     val nBands = maxDist + 1
     val base = 64 / nBands
     val extra = 64 % nBands // first `extra` bands carry one more bit
@@ -232,7 +238,7 @@ object MultimodalOps {
       struct(lit(b).as("b"),
         shiftrightunsigned(col("h"), off).bitwiseAND(lit(mask)).as("v"))
     }
-    val keyed = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val keyed = src.select(col(idCol).as("id"), col(hashCol).as("h"))
       .select(col("id"), col("h"), explode(array(bandCols: _*)).as("band"))
       .select(col("id"), col("h"),
         col("band.b").as("b"), col("band.v").as("v"))

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.{LongType, MapType, StringType}
 import graft.{LangMarkers, SparkEntry}
 import graft.QuerySupport._
 import graft.functions.TextOps
+import graft.multimodal.MultimodalOps
 import graft.operators.{CorpusOps, DedupOps, DetParams, GraphOps, SimilarityOps, SketchOps}
 
 /** Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup, edit distance, closures, policies, decontamination, incremental, chunk census.
@@ -75,6 +76,52 @@ private[graft] object DedupQueries {
       full.join(broadcast(census), Seq("csize"))
         .select(col("doc_id"), col("cluster"), col("csize"),
           col("n_clusters"), col("n_docs"))
+    }),
+
+    // IMAGE near-dup pairs over the committed deterministic image
+    // fixture (visual twin of d3b's SimHash banding; fixture-backed
+    // like m5 — testdata has no image payloads, so sfDir is unused
+    // and the result is SF-invariant by construction): decode real
+    // PNG/BMP payloads → 64-bit DCT pHash → pigeonhole hamming-band
+    // join, exact bit_count verify, ok=false decode failures dropped.
+    // The DuckDB twin recomputes the pair set ALL-PAIRS from the
+    // committed hash table (image_phash.parquet, dumped through this
+    // same decode path by DumpImageFixture), so the oracle checks
+    // BOTH banding completeness (banded == exact all-pairs — the
+    // pigeonhole guarantee, empirically) AND decode+pHash determinism
+    // against the committed values. At 100 TB the all-pairs side is
+    // the oracle-only device; the engine side never leaves banding.
+    "d22_image_neardup" -> ((s, _) => {
+      import s.implicits._
+      val media = s.read
+        .parquet(s"${SparkEntry.FixtureDir}/media_images.parquet")
+        .as[MultimodalOps.MediaRow]
+      MultimodalOps.imageNearDupPairs(
+        MultimodalOps.imagePHash(media, dim = 32).toDF(),
+        "media_id", "phash", maxDist = 6)
+    }),
+
+    // IMAGE dedup END-TO-END — the d10 keeper-policy shape on the
+    // visual side: pHash pairs → connected-component closure
+    // (large-star/small-star, component label = min id) → keep the
+    // min-id representative per cluster, singletons self-kept. The
+    // DuckDB twin computes the closure by recursive CTE over the
+    // same all-pairs edge set (bounded: fixture clusters are ≤ 3
+    // nodes), so label assignment, cluster sizes, and the keeper
+    // policy are all value-checked, not just pair recall.
+    "d23_image_dedup" -> ((s, _) => {
+      import s.implicits._
+      val hashes = MultimodalOps.imagePHash(
+          s.read.parquet(s"${SparkEntry.FixtureDir}/media_images.parquet")
+            .as[MultimodalOps.MediaRow], dim = 32)
+        .toDF().filter(col("ok"))
+      val pairs = MultimodalOps.imageNearDupPairs(
+        hashes, "media_id", "phash", maxDist = 6)
+      val lab = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      DedupOps.fullClusterLabels(
+          hashes.select(col("media_id")), "media_id", lab)
+        .select(col("media_id"), col("cluster"), col("csize"),
+          (col("cluster") === col("media_id")).as("keep"))
     }),
 
     // d18 measured across the d16 config grid: the banding

@@ -439,8 +439,14 @@ object StreamPipeline {
                      nBuckets: Int = 16, bucketWidth: Long = 64L): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    // integer `div` (NOT Column `/`, which is double true-division then
+    // truncate): exact for every bucketWidth, and bit-identical to the
+    // t36/t37 batch bucketing it is cross-checked against — double
+    // rounding can land a very large long one bucket off for
+    // non-power-of-two widths (r11 advice)
     df.select(col(keyCol).cast("string").as("_k"),
-        least(greatest(col(valueCol).cast("long"), lit(0L)) / lit(bucketWidth),
+        least(call_function("div",
+            greatest(col(valueCol).cast("long"), lit(0L)), lit(bucketWidth)),
           lit(nBuckets - 1L)).cast("long").as("_b"))
       .filter(col("_b").isNotNull)
       .as[(String, Long)]

@@ -118,6 +118,38 @@ class ImagePHashSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!want.exists { case (a, b, _) => b == 3L || a == 3L }) // seed 2 is far
   }
 
+  test("committed image fixture is fresh: recomputed pHash == image_phash.parquet") {
+    // the d22/d23 oracles trust fixtures/image_phash.parquet to be the
+    // decode path's CURRENT output — a codec change without a
+    // DumpImageFixture re-run must fail HERE, not in the driver's
+    // oracle compare
+    import spark.implicits._
+    val media = spark.read
+      .parquet(s"${SparkEntry.FixtureDir}/media_images.parquet")
+      .as[MediaRow]
+    val recomputed = MultimodalOps.imagePHash(media, Dim)
+      .filter(_.ok).collect().map(h => h.media_id -> h.phash).toMap
+    val committed = spark.read
+      .parquet(s"${SparkEntry.FixtureDir}/image_phash.parquet")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(committed.nonEmpty && recomputed == committed,
+      "stale image fixture — re-run graft.tools.DumpImageFixture")
+  }
+
+  test("failed decodes never reach the banded join (ok filter inside imageNearDupPairs)") {
+    import spark.implicits._
+    // two failures share the sentinel 0L hash; without the ok filter
+    // they'd report as an exact-dup pair (r11 advice)
+    val hashes = Seq(
+      MultimodalOps.ImageHash(1L, ok = false, "corrupt: too short", 0L),
+      MultimodalOps.ImageHash(2L, ok = false, "corrupt: too short", 0L),
+      MultimodalOps.ImageHash(3L, ok = true, null, 0L),
+      MultimodalOps.ImageHash(4L, ok = true, null, 1L)).toDS().toDF()
+    val got = MultimodalOps.imageNearDupPairs(hashes, "media_id", "phash", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((3L, 4L, 1)))
+  }
+
   test("decode failures route to the error column") {
     import spark.implicits._
     val media = Seq(

@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 159") {
-    assert(SparkEntry.queries.size === 159)
+  test("inventory size is the declared 161") {
+    assert(SparkEntry.queries.size === 161)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
