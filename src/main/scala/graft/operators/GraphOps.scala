@@ -96,8 +96,9 @@ object GraphOps {
       curRelease = nextRelease
       curSig = nextSig
       cur = nxt
-      debugTiming(f"[cc] round $rounds edges=${nextSig._1} " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val roundSec = (System.nanoTime() - t0) / 1e9
+      graft.PhaseLog.add(s"cc.round$rounds", roundSec)
+      debugTiming(f"[cc] round $rounds edges=${nextSig._1} $roundSec%.2fs")
     }
     // fixpoint: every edge is (componentMin, member); roots map to
     // themselves (they appear only on the u side)
@@ -192,7 +193,9 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tBuild0 = System.nanoTime()
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
-    debugTiming(f"[pr] edges+nodes build ${(System.nanoTime() - tBuild0) / 1e9}%.2fs n=$n")
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+    graft.PhaseLog.add("pr.build", buildSec)
+    debugTiming(f"[pr] edges+nodes build $buildSec%.2fs n=$n")
     if (n == 0) {
       // empty (or all-null / all-self-loop-free… i.e. no valid) edge
       // set: no nodes, no ranks — and no driver-side division by
@@ -244,8 +247,11 @@ object GraphOps {
         prevRelease = release
         p
       }
-      if (i < iters)
-        debugTiming(f"[pr] iter $i ${(System.nanoTime() - tIter0) / 1e9}%.2fs")
+      if (i < iters) {
+        val iterSec = (System.nanoTime() - tIter0) / 1e9
+        graft.PhaseLog.add(s"pr.iter$i", iterSec)
+        debugTiming(f"[pr] iter $i $iterSec%.2fs")
+      }
     }
     val lastRelease = prevRelease
     (pr, () => {
