@@ -252,6 +252,31 @@ object MultimodalOps {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Image dedup END-TO-END — the d10 keeper-policy shape on the
+    * visual side, composed from the library pieces: pHash table →
+    * [[imageNearDupPairs]] (banded, ok=false dropped) →
+    * [[graft.operators.GraphOps.connectedComponents]] closure
+    * (near-duplication is transitive in practice) → keep the min-id
+    * representative per cluster, singletons self-kept.
+    *
+    * Returns (media_id, cluster, csize, keep). 100 TB shape: the
+    * banded pair join never goes all-pairs, the closure is the
+    * large-star/small-star fixpoint (lineage-truncated per round),
+    * and the label/keeper readout is one keyed agg + one join —
+    * identical scaling to the text-side d7/d10 family. */
+  def imageDedupLabels(hashes: DataFrame, idCol: String, hashCol: String,
+                       maxDist: Int): DataFrame = {
+    val ok =
+      if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
+    val pairs = imageNearDupPairs(ok, idCol, hashCol, maxDist)
+    val lab = graft.operators.GraphOps
+      .connectedComponents(pairs, "id_a", "id_b")
+    graft.operators.DedupOps
+      .fullClusterLabels(ok.select(col(idCol)), idCol, lab)
+      .select(col(idCol), col("cluster"), col("csize"),
+        (col("cluster") === col(idCol)).as("keep"))
+  }
 }
 
 /** The codec seam. IMAGE decode is REAL (PNG/JPEG/GIF/BMP via

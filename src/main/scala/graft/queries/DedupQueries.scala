@@ -111,17 +111,11 @@ private[graft] object DedupQueries {
     // policy are all value-checked, not just pair recall.
     "d23_image_dedup" -> ((s, _) => {
       import s.implicits._
-      val hashes = MultimodalOps.imagePHash(
+      MultimodalOps.imageDedupLabels(
+        MultimodalOps.imagePHash(
           s.read.parquet(s"${SparkEntry.FixtureDir}/media_images.parquet")
-            .as[MultimodalOps.MediaRow], dim = 32)
-        .toDF().filter(col("ok"))
-      val pairs = MultimodalOps.imageNearDupPairs(
-        hashes, "media_id", "phash", maxDist = 6)
-      val lab = GraphOps.connectedComponents(pairs, "id_a", "id_b")
-      DedupOps.fullClusterLabels(
-          hashes.select(col("media_id")), "media_id", lab)
-        .select(col("media_id"), col("cluster"), col("csize"),
-          (col("cluster") === col("media_id")).as("keep"))
+            .as[MultimodalOps.MediaRow], dim = 32).toDF(),
+        "media_id", "phash", maxDist = 6)
     }),
 
     // d18 measured across the d16 config grid: the banding

@@ -150,6 +150,37 @@ class ImagePHashSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got == Set((3L, 4L, 1)))
   }
 
+  test("imageDedupLabels end-to-end: min-id keeper per cluster, singletons self-kept, failures excluded") {
+    import spark.implicits._
+    // two planted clusters ({0,1,2}: exact + brightness near-dups;
+    // {10,11}: exact), one singleton (20), one decode failure (99)
+    val media = Seq(
+      0L -> encode("png", 64, 64)(textured(1)),
+      1L -> encode("bmp", 64, 64)(textured(1)),
+      2L -> encode("png", 64, 64)(textured(1, shift = 25)),
+      10L -> encode("png", 48, 80)(textured(7)),
+      11L -> encode("bmp", 48, 80)(textured(7)),
+      20L -> encode("png", 64, 64)(textured(9))).map { case (id, b) =>
+      MediaRow(id, "image", "image/x-test", None, None, None, b)
+    } :+ MediaRow(99L, "image", "image/x-test", None, None, None,
+      Array.fill[Byte](8)(1))
+    val out = MultimodalOps.imageDedupLabels(
+        MultimodalOps.imagePHash(media.toDS(), Dim).toDF(),
+        "media_id", "phash", maxDist = 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 10L, 11L, 20L)) // 99 excluded
+    assert(out(0L) == ((0L, 3L, true)))
+    assert(out(1L) == ((0L, 3L, false)))
+    assert(out(2L) == ((0L, 3L, false)))
+    assert(out(10L) == ((10L, 2L, true)))
+    assert(out(11L) == ((10L, 2L, false)))
+    assert(out(20L) == ((20L, 1L, true)))
+    // exactly one keeper per cluster
+    assert(out.values.count(_._3) == 3)
+  }
+
   test("decode failures route to the error column") {
     import spark.implicits._
     val media = Seq(
