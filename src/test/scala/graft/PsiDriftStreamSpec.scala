@@ -39,7 +39,8 @@ class PsiDriftStreamSpec extends AnyFunSuite with SparkSessionFixture {
     c
   }
 
-  private def run(name: String, batches: Seq[Seq[(String, Long)]])
+  private def run(name: String, batches: Seq[Seq[(String, Long)]],
+                  nB: Int = NB, width: Long = Width)
       : (Seq[(String, Long, Long, Long)], Long) = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -48,7 +49,7 @@ class PsiDriftStreamSpec extends AnyFunSuite with SparkSessionFixture {
     try {
       val input = MemoryStream[(String, Long)]
       val out = StreamPipeline.psiDriftStream(
-        input.toDF().toDF("src", "v"), "src", "v", NB, Width)
+        input.toDF().toDF("src", "v"), "src", "v", nB, width)
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
@@ -136,6 +137,52 @@ class PsiDriftStreamSpec extends AnyFunSuite with SparkSessionFixture {
         epochCensus(eFrom), epochCensus(eFrom + 1)) == psiMu,
         s"epoch $eFrom: streaming algebra != batch query")
     }
+  }
+
+  test("event-day replay: streamed per-source PSI == batch t37-shape slices (production claim)") {
+    import org.apache.spark.sql.functions._
+    // The operator's production claim (r11 verdict #5): replaying the
+    // corpus through psiDriftStream in REAL event-time order — one
+    // micro-batch per calendar day of each doc's ingestion event,
+    // keyed by source, t37's bucket expression — must reproduce,
+    // row for row, a batch computation over the same (source, day)
+    // slices: psiMicroNats between each source's ADJACENT
+    // DATA-BEARING days (silent days keep the census, per the
+    // operator contract).
+    val sf = "/root/testdata/sf0.001"
+    val nB = 16; val width = 64L
+    val sliced = spark.read.parquet(s"$sf/documents.parquet")
+      .join(QuerySupport.t(spark, sf, "events")
+          .select(col("event_id"), to_date(col("ts")).as("day")),
+        col("doc_id") === col("event_id"))
+      .select(col("day").cast("string").as("day"), col("source"),
+        expr(s"least(n_chars div $width, ${nB - 1}L)").as("bucket"),
+        col("n_chars"))
+    // batch side: independent Spark-SQL census per (source, day, bucket)
+    val cells = sliced.groupBy("source", "day", "bucket").count().collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val bySrcDay = cells.keySet.groupBy(_._1)
+      .map { case (src, ks) => src -> ks.map(_._2).toSeq.sorted }
+    def cen(src: String, day: String): Array[Long] =
+      Array.tabulate(nB)(b => cells.getOrElse((src, day, b.toLong), 0L))
+    val want = (for {
+      (src, days) <- bySrcDay.toSeq
+      Seq(d0, d1) <- days.sliding(2).toSeq if days.size >= 2
+      p = cen(src, d0); c = cen(src, d1)
+    } yield (src, p.sum, c.sum, StreamPipeline.psiMicroNats(p, c)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(want.nonEmpty, "fixture produced no adjacent day pairs")
+    // stream side: one micro-batch per calendar day, chronological,
+    // feeding the RAW n_chars so the operator's own bucketing
+    // (integer div + clamp) is the code under test
+    val perDoc = sliced.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val batches = perDoc.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.toSeq.map(r => (r._2, r._3)) }
+    assert(batches.size >= 3) // a real multi-day replay, not a toy
+    val (got, _) = run("psi_event_replay", batches, nB, width)
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap == want)
   }
 
   test("a key silent in a batch resumes against its LAST census") {
