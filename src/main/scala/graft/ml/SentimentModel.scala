@@ -62,36 +62,87 @@ final case class SentimentModel(
     s
   }
 
+  /** Per-thread scoring scratch (r11 verdict observation → r12): the
+    * TreeMap<Integer,Integer> path allocated a boxed node per distinct
+    * term per row. `counts` is a dense int array over the vocab
+    * (262k × 4 B = 1 MiB/thread — executor threads are bounded, rows
+    * are not); `touched` lists the indices hit this row so reset is
+    * O(distinct terms), never O(vocab). */
+  private final class ScoreScratch(nFeatures: Int) {
+    val counts = new Array[Int](nFeatures)
+    var touched = new Array[Int](256)
+  }
+  @transient private lazy val scratch = new ThreadLocal[ScoreScratch] {
+    override def initialValue(): ScoreScratch = new ScoreScratch(numFeatures)
+  }
+
+  /** Case-insensitive stop probe without the per-token `toLowerCase`
+    * allocation: a full-ASCII token with no [A-Z] byte IS its own
+    * lowercase (the serving chain's cleaned tokens are all such), so
+    * probe it directly; anything else takes the exact
+    * `UTF8String.toLowerCase` path — same semantics as
+    * `lower(t) IN stopSet` for every input, byte for byte. */
+  private def isStop(tok: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val nb = tok.numBytes()
+    var i = 0
+    var plain = true
+    while (plain && i < nb) {
+      val b = tok.getByte(i)
+      if (b < 0 || (b >= 'A' && b <= 'Z')) plain = false
+      i += 1
+    }
+    if (plain) stopU8.contains(tok) else stopU8.contains(tok.toLowerCase)
+  }
+
   /** [[margin]] evaluated directly over Tungsten array data — the
     * codegen path ([[graft.plans.SparseTfIdfMargin]]). Identical float
     * semantics: TF counts folded per vocab index, features iterated in
-    * ascending index order, `(tf * idf(i)) * coef(i)` association.
-    * `filterStops` folds the M1 stop-word filter (case-insensitive,
-    * like `lower(t) IN stopSet`) into the same pass, so no
-    * intermediate filtered array is materialized. Null tokens are
-    * skipped (the UDF path dropped them via the filter HOF / failed
-    * vocab lookup — same outcome). */
+    * ascending index order (the touched-index sort below), `(tf *
+    * idf(i)) * coef(i)` association. `filterStops` folds the M1
+    * stop-word filter (case-insensitive, like `lower(t) IN stopSet`)
+    * into the same pass, so no intermediate filtered array is
+    * materialized. Null tokens are skipped (the UDF path dropped them
+    * via the filter HOF / failed vocab lookup — same outcome). */
   def marginUtf8(arr: org.apache.spark.sql.catalyst.util.ArrayData,
                  filterStops: Boolean): Double = {
-    val counts = new java.util.TreeMap[Int, Int]()
+    val sc = scratch.get()
+    val counts = sc.counts
+    var touched = sc.touched
+    var nT = 0
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val tok = arr.getUTF8String(i)
-        if (!filterStops || !stopU8.contains(tok.toLowerCase)) {
+        if (!filterStops || !isStop(tok)) {
           val idx = vocabU8.get(tok)
-          if (idx != null) counts.merge(idx.intValue(), 1, Integer.sum)
+          if (idx != null) {
+            val j = idx.intValue()
+            if (counts(j) == 0) {
+              if (nT == touched.length) {
+                touched = java.util.Arrays.copyOf(touched, nT * 2)
+                sc.touched = touched
+              }
+              touched(nT) = j
+              nT += 1
+            }
+            counts(j) += 1
+          }
         }
       }
       i += 1
     }
+    // ascending vocab-index accumulation (the Spark-ML float-op
+    // order the parity specs pin) — sort the touched indices, never
+    // the vocab
+    java.util.Arrays.sort(touched, 0, nT)
     var acc = 0.0
-    val e = counts.entrySet().iterator()
-    while (e.hasNext) {
-      val kv = e.next()
-      val j = kv.getKey
-      acc += (kv.getValue.toDouble * idf(j)) * coef(j)
+    var t = 0
+    while (t < nT) {
+      val j = touched(t)
+      acc += (counts(j).toDouble * idf(j)) * coef(j)
+      counts(j) = 0 // reset for the next row, O(touched)
+      t += 1
     }
     acc + intercept
   }

@@ -5,47 +5,58 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupOps, GraphOps, SimilarityOps}
 
-/** Builder-side 10× SCALE PROBE (round-9 verdict item 7, NOT part of
-  * the shipped library): every 100 TB claim in the operator Scaladocs
-  * is a plan-shape argument verified at sf0.1 — this tool checks the
-  * two scale-critical families EMPIRICALLY one decade up, on a
-  * deterministic ~10× corpus built in /tmp.
+/** Builder-side ×F SCALE PROBE (round-9 verdict item 7, extended a
+  * further decade in round 12; NOT part of the shipped library):
+  * every 100 TB claim in the operator Scaladocs is a plan-shape
+  * argument verified at sf0.1 — this tool checks the scale-critical
+  * families EMPIRICALLY at a chosen factor, on a deterministic ×F
+  * corpus built in /tmp.
   *
   * Corpus construction (isolates pure volume scaling):
-  *  - documents ×10: copy k caesar-shifts letters by k AND rotates
-  *    digits and punctuation by k, and each copy k>0 gets a per-copy
-  *    salt token prepended (`translate` + `concat`) whose trigrams
-  *    are disjoint across copies (`qKqKqK` — the only trigrams are
-  *    `qKq`/`KqK`); copy 0 is the 1× corpus verbatim, so the 10× run
-  *    is a strict superset. Copies are thus trigram-disjoint —
-  *    including trigrams made purely of whitespace/punctuation, which
-  *    a letters-only shift leaves translate-invariant and which would
-  *    otherwise grow cross-copy candidate pairs superlinearly on
-  *    punctuation-heavy text (r9 advice). The planted near-dup structure replicates exactly per
-  *    copy, candidate pair volume scales linearly, and no artificial
-  *    10-cliques distort the closure (naive replication would square
-  *    the pair count and measure the synthetic, not the scaling).
-  *    The salt is one whitespace-delimited token, so it perturbs at
-  *    most the first two word-shingles of each copy — planted
-  *    within-copy near-dup similarity is preserved to ~1 shingle.
-  *  - embeddings ×10: copy k circularly shifts the vector by k
-  *    dims — norms preserved, copies decorrelated, within-copy
+  *  - documents ×F: copy k applies an AFFINE letter map
+  *    i → (a·i + b) mod 26 with a ∈ {1,3,5,7,9,11} (by generation
+  *    k/26) and b = k mod 26 (copy 0 = identity, so the ×F corpus is
+  *    a strict superset of the 1×), rotates digits/punct by k, and
+  *    prepends a per-copy salt token whose trigrams are disjoint
+  *    across copies. Disjointness argument, replacing the ≤26-copy
+  *    caesar rotation (r12): two DISTINCT affine maps over Z26 agree
+  *    where (a1−a2)·x ≡ b2−b1; the chosen a-set keeps
+  *    gcd(a1−a2, 26) ≤ 2, so any two copies agree on ≤ 2 letters.
+  *    The sf0.1 corpus is verified pure lowercase+single-space (zero
+  *    digits/punct/upper, zero non-letter runs ≥ 2), so every
+  *    character trigram has ≥ 2 letters — a PURE-LETTER trigram
+  *    (3 agreeing positions) can never be shared, and the residual
+  *    shared classes (letter-space-letter forms over a ≤2-letter
+  *    agreement set) are ≤ ~16 trigram TYPES per copy pair against
+  *    hundreds per doc: cross-copy Jaccard ≲ 2%, band-collision
+  *    probability ~Jaccard^rowsPerBand ≈ 0. Planted near-dup
+  *    structure replicates exactly per copy, candidate volume scales
+  *    linearly, no artificial F-cliques distort the closure. Valid
+  *    for F ≤ 156 (6 generations × 26 offsets).
+  *  - embeddings ×F (F < 64): copy k circularly shifts the vector by
+  *    k dims — norms preserved, copies decorrelated, within-copy
   *    similarity structure intact.
+  *  - pagerank edges ×F: node-disjoint id shifts (valid at any F).
   *
-  * Probes (wall-clock + result cardinality at 1× and 10×):
+  * Probes (wall-clock + result cardinality at 1× and F×):
   *  1. LSH candidate pairs → exact verify → CC closure (the d7/d10
-  *     spine). Expect ≈ linear wall growth; pairs ≈ ×10.
+  *     spine). Expect ≈ linear wall growth; pairs ≈ ×F.
   *  2. SemDeDup with cell capacity held CONSTANT by scaling
-  *     numCentroids 16 → 160 (the documented capacity/recall knob —
+  *     numCentroids 16 → 16·F (the documented capacity/recall knob —
   *     at 100 TB you grow cells with the corpus, never let cell
   *     population grow unbounded). Expect ≈ linear.
   *  3. IVF top-k with a FIXED 100-query broadcast set. Expect ≈
   *     linear in the corpus (the probe side is constant).
+  *  4. PageRank at ×F AND ×(2.5F): the per-iteration join/agg family
+  *     probed two points up so a super-linear term between decades
+  *     cannot hide.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir] */
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor] */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    require(factor >= 2 && factor <= 156, "factor in [2, 156]")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -55,7 +66,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val base = "/tmp/graft_scale10"
+    val base = s"/tmp/graft_scale$factor"
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     if (!new java.io.File(s"$base/documents").exists()) {
@@ -64,23 +75,28 @@ object ScaleProbe {
       val digits = "0123456789"
       // the trigram shingle alphabet is the RAW text (HashedTrigrams32
       // lowercases but strips nothing), so copies must disagree on
-      // every character class that can form a trigram: letters AND
-      // digits AND punctuation all rotate by k (r9 advice — a
-      // letters-only shift left digit/punct-run trigrams
-      // translate-invariant across copies). Whitespace runs are the
-      // one residual shared class; a trigram needs 3 consecutive
-      // whitespace chars, which the corpus's single-space tokenized
-      // text essentially never produces.
+      // every character class that can form a trigram (r9 advice);
+      // letters carry the affine map (see object doc — ≤ 2-point
+      // pairwise agreement, no shared pure-letter trigram), digits
+      // and punctuation rotate (the corpus is verified to contain
+      // neither — kept for generality against future testdata).
       val punct = ".,!?;:'-()\"#@/"
       def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
-      val copies = (0 until 10).map { k =>
+      val aSet = Array(1, 3, 5, 7, 9, 11)
+      def affine(k: Int): String = {
+        val a = aSet((k / 26) % aSet.length)
+        val b = k % 26
+        String.valueOf((0 until 26)
+          .map(i => ('a' + (a * i + b) % 26).toChar).toArray)
+      }
+      val copies = (0 until factor).map { k =>
+        val lowTo = affine(k)
         val from = lower + upper + digits + punct
-        val to = rot(lower, k) + rot(upper, k) + rot(digits, k) + rot(punct, k)
+        val to = lowTo + lowTo.toUpperCase + rot(digits, k) + rot(punct, k)
         // per-copy salt token (k>0 only — copy 0 stays the 1× corpus
-        // verbatim): shifts the first word-boundary too, so even a
-        // hypothetical normalizer that strips punctuation cannot
-        // re-align copy prefixes; `qKqKqK` trigrams ({qKq, KqK}) are
-        // disjoint across copies
+        // verbatim): shifts the first word-boundary too; `qKqKqK`
+        // trigrams ({qKq, KqK, and for multi-digit K the qAB/ABq/BqA
+        // forms}) are pairwise disjoint across copies
         val salted =
           if (k == 0) col("text")
           else concat(lit(s"q$k" * 3 + " "), translate(col("text"), from, to))
@@ -91,7 +107,8 @@ object ScaleProbe {
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$base/documents")
       val dim = emb1.select(size(col("embedding"))).head().getInt(0)
-      val embCopies = (0 until 10).map { k =>
+      require(factor < dim, s"embedding circular shift needs factor < $dim")
+      val embCopies = (0 until factor).map { k =>
         val rot = k % dim
         emb1.select(
           (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
@@ -139,9 +156,11 @@ object ScaleProbe {
         .count()
 
     // 4. PageRank on the q38-shaped bipartite graph (supplier↔customer
-    //    via shared orders); ×10 = 10 node-disjoint copies (ids shifted
+    //    via shared orders); ×F = F node-disjoint copies (ids shifted
     //    by k·10⁹ — component structure replicates, iteration count is
-    //    fixed at 5, so wall growth isolates pure edge volume).
+    //    fixed at 5, so wall growth isolates pure edge volume). Also
+    //    probed at ×2.5F: two scale points above 1× expose any
+    //    super-linear term a single decade hides.
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("ok"),
         (col("l_suppkey").cast("long") * 2).as("src"))
@@ -149,7 +168,7 @@ object ScaleProbe {
       .select(col("o_orderkey").as("ok"),
         (col("o_custkey").cast("long") * 2 + 1).as("dst"))
     val edges1 = li.join(ord, Seq("ok")).select(col("src"), col("dst"))
-    val edges10 = (0 until 10).map { k =>
+    def edgesX(f: Int): DataFrame = (0 until f).map { k =>
       edges1.select((col("src") + lit(k * 1000000000L)).as("src"),
         (col("dst") + lit(k * 1000000000L)).as("dst"))
     }.reduce(_ unionByName _)
@@ -158,17 +177,33 @@ object ScaleProbe {
       val n = ranks.count(); rel(); n
     }
 
+    // pagerank-only mode (third arg "pr"): iterate on the one family
+    // whose 100x point needs isolated reruns without paying the full
+    // corpus-build + closure sweep each time; extra factors after it
+    // are additional probe points (e.g. `pr 64 100`)
+    if (args.length > 2 && args(2) == "pr") {
+      pagerank(edges1); sweep() // warmup
+      time("pagerank 1x")(pagerank(edges1))
+      time(s"pagerank ${factor}x")(pagerank(edgesX(factor)))
+      args.drop(3).map(_.toInt).foreach { f =>
+        time(s"pagerank ${f}x")(pagerank(edgesX(f)))
+      }
+      spark.stop()
+      return
+    }
+
     // JIT/codegen warmup pass at 1x, uncounted
     closure(docs1); semdedup(emb1, 16); ivf(emb1); pagerank(edges1); sweep()
 
     time("closure 1x")(closure(docs1))
-    time("closure 10x")(closure(docs10))
+    time(s"closure ${factor}x")(closure(docs10))
     time("semdedup 1x (C=16)")(semdedup(emb1, 16))
-    time("semdedup 10x (C=160)")(semdedup(emb10, 160))
+    time(s"semdedup ${factor}x (C=${16 * factor})")(semdedup(emb10, 16 * factor))
     time("ivf-topk 1x")(ivf(emb1))
-    time("ivf-topk 10x")(ivf(emb10))
+    time(s"ivf-topk ${factor}x")(ivf(emb10))
     time("pagerank 1x")(pagerank(edges1))
-    time("pagerank 10x")(pagerank(edges10))
+    time(s"pagerank ${factor}x")(pagerank(edgesX(factor)))
+    time(s"pagerank ${factor * 5 / 2}x")(pagerank(edgesX(factor * 5 / 2)))
     spark.stop()
   }
 }
