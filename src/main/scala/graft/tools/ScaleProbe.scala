@@ -66,10 +66,11 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val prOnly = args.length > 2 && args(2) == "pr"
     val base = s"/tmp/graft_scale$factor"
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    if (!new java.io.File(s"$base/documents").exists()) {
+    if (!prOnly && !new java.io.File(s"$base/documents").exists()) {
       val lower = "abcdefghijklmnopqrstuvwxyz"
       val upper = lower.toUpperCase
       val digits = "0123456789"
@@ -118,8 +119,8 @@ object ScaleProbe {
       embCopies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$base/embeddings")
     }
-    val docs10 = spark.read.parquet(s"$base/documents")
-    val emb10 = spark.read.parquet(s"$base/embeddings")
+    lazy val docs10 = spark.read.parquet(s"$base/documents")
+    lazy val emb10 = spark.read.parquet(s"$base/embeddings")
 
     def sweep(): Unit = {
       spark.catalog.clearCache()
@@ -181,7 +182,7 @@ object ScaleProbe {
     // whose 100x point needs isolated reruns without paying the full
     // corpus-build + closure sweep each time; extra factors after it
     // are additional probe points (e.g. `pr 64 100`)
-    if (args.length > 2 && args(2) == "pr") {
+    if (prOnly) {
       pagerank(edges1); sweep() // warmup
       time("pagerank 1x")(pagerank(edges1))
       time(s"pagerank ${factor}x")(pagerank(edgesX(factor)))
