@@ -1569,6 +1569,39 @@ GROUP BY sym"""
          |  WHERE n_clusters > 0)
          |SELECT f.doc_id, f.cluster, f.csize, c.n_clusters, c.n_docs
          |FROM fl f JOIN census c USING (csize)""".stripMargin,
+    // d24/d25: the audio twins of d22/d23 — same all-pairs +
+    // recursive-CTE devices over the committed spectral-fingerprint
+    // fixture (audio_afp.parquet, dumped through the engine's own
+    // PCM-decode path by DumpAudioFixture), maxDist 7
+    "d24_audio_neardup" ->
+      s"""WITH h AS (SELECT media_id, afp
+         |  FROM read_parquet('$FixtureDir/audio_afp.parquet'))
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS dist
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 7""".stripMargin,
+    "d25_audio_dedup" ->
+      s"""WITH RECURSIVE
+         |h AS (SELECT media_id, afp
+         |  FROM read_parquet('$FixtureDir/audio_afp.parquet')),
+         |pairs AS MATERIALIZED (SELECT a.media_id AS ia, b.media_id AS ib
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.afp, b.afp)) <= 7),
+         |sym AS MATERIALIZED (SELECT ia AS s, ib AS d FROM pairs
+         |  UNION SELECT ib, ia FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |  FROM lab GROUP BY cluster)
+         |SELECT h.media_id,
+         |  coalesce(lab.cluster, h.media_id) AS cluster,
+         |  coalesce(cs.csize, 1) AS csize,
+         |  (coalesce(lab.cluster, h.media_id) = h.media_id) AS keep
+         |FROM h LEFT JOIN lab ON h.media_id = lab.node
+         |LEFT JOIN cs ON lab.cluster = cs.cluster""".stripMargin,
     // d22: the image pair set recomputed ALL-PAIRS from the committed
     // pHash fixture (dumped through the engine's own decode path by
     // DumpImageFixture) — checks the banded join's completeness AND

@@ -208,16 +208,43 @@ object MultimodalOps {
     }
   }
 
-  /** Image NEAR-DUP candidate pairs within hamming distance `maxDist`
-    * over a pHash table — the visual twin of the text SimHash banding
-    * (d3b): pigeonhole-split the 64 bits into `maxDist + 1` bands
-    * (two hashes within distance d MUST agree exactly on ≥ 1 of d+1
-    * disjoint bands), band-keyed self-join, exact `bit_count(xor)`
-    * verify. Never all-pairs: the join is keyed on (band, band bits),
-    * so candidate volume rides collision counts, not n². Output:
-    * (id_a, id_b, dist) with id_a < id_b, one row per pair. */
-  def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                        maxDist: Int): DataFrame = {
+  final case class AudioHash(
+      media_id: Long, ok: Boolean, error: String, afp: Long)
+
+  /** Per-clip 64-bit spectral fingerprint
+    * ([[MediaCodec.audioFingerprint64]]) — the audio near-dup
+    * SIGNATURE pass and the [[imagePHash]] twin: decode to mono PCM,
+    * 9×8 time-band energy grid, sign-of-delta bits. Same
+    * narrow/batched/error-routed shape; payload bytes never
+    * shuffle. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    implicit val enc = Encoders.product[AudioHash]
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaCodec.decodeAudio(r.payload) match {
+            case Right(clip) =>
+              AudioHash(r.media_id, ok = true, error = null,
+                MediaCodec.audioFingerprint64(clip))
+            case Left(err) =>
+              AudioHash(r.media_id, ok = false, error = err, 0L)
+          }
+        }
+      }
+    }
+  }
+
+  /** NEAR-DUP candidate pairs within hamming distance `maxDist` over
+    * any 64-bit signature table (image pHash, audio fingerprint,
+    * SimHash) — the d3b banding generalized: pigeonhole-split the 64
+    * bits into `maxDist + 1` bands (two hashes within distance d MUST
+    * agree exactly on ≥ 1 of d+1 disjoint bands), band-keyed
+    * self-join, exact `bit_count(xor)` verify. Never all-pairs: the
+    * join is keyed on (band, band bits), so candidate volume rides
+    * collision counts, not n². Output: (id_a, id_b, dist) with
+    * id_a < id_b, one row per pair. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 63]")
     // failed decodes carry the sentinel hash 0L ([[imagePHash]]) — an
     // unfiltered hash table would report every failed image as an
@@ -253,9 +280,15 @@ object MultimodalOps {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Image dedup END-TO-END — the d10 keeper-policy shape on the
-    * visual side, composed from the library pieces: pHash table →
-    * [[imageNearDupPairs]] (banded, ok=false dropped) →
+  /** [[hammingNearDupPairs]] under its original image-family name. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        maxDist: Int): DataFrame =
+    hammingNearDupPairs(hashes, idCol, hashCol, maxDist)
+
+  /** Signature-dedup END-TO-END — the d10 keeper-policy shape on the
+    * media side, composed from the library pieces: 64-bit signature
+    * table (image pHash / audio fingerprint) →
+    * [[hammingNearDupPairs]] (banded, ok=false dropped) →
     * [[graft.operators.GraphOps.connectedComponents]] closure
     * (near-duplication is transitive in practice) → keep the min-id
     * representative per cluster, singletons self-kept.
@@ -265,11 +298,11 @@ object MultimodalOps {
     * large-star/small-star fixpoint (lineage-truncated per round),
     * and the label/keeper readout is one keyed agg + one join —
     * identical scaling to the text-side d7/d10 family. */
-  def imageDedupLabels(hashes: DataFrame, idCol: String, hashCol: String,
-                       maxDist: Int): DataFrame = {
+  def hammingDedupLabels(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxDist: Int): DataFrame = {
     val ok =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
-    val pairs = imageNearDupPairs(ok, idCol, hashCol, maxDist)
+    val pairs = hammingNearDupPairs(ok, idCol, hashCol, maxDist)
     val lab = graft.operators.GraphOps
       .connectedComponents(pairs, "id_a", "id_b")
     graft.operators.DedupOps
@@ -277,6 +310,11 @@ object MultimodalOps {
       .select(col(idCol), col("cluster"), col("csize"),
         (col("cluster") === col(idCol)).as("keep"))
   }
+
+  /** [[hammingDedupLabels]] under its original image-family name. */
+  def imageDedupLabels(hashes: DataFrame, idCol: String, hashCol: String,
+                       maxDist: Int): DataFrame =
+    hammingDedupLabels(hashes, idCol, hashCol, maxDist)
 }
 
 /** The codec seam. IMAGE decode is REAL (PNG/JPEG/GIF/BMP via
@@ -531,6 +569,64 @@ object MediaCodec {
     while (b < 64) {
       if (flat(b) > med) h |= (1L << b)
       b += 1
+    }
+    h
+  }
+
+  /** 64-bit spectral audio fingerprint — the audio twin of
+    * [[pHash64]], in the Haitsma-Kalker shape (ISMIR 2002, "A highly
+    * robust audio fingerprinting system"): the mono clip is split
+    * into 9 equal time frames; per frame, single-bin DFT energy at 8
+    * FIXED absolute frequencies (354…4000 Hz, a half-octave ladder —
+    * absolute, not Nyquist-relative, so a resampled copy lands on the
+    * same bands); each of the 64 bits is the sign of the band-energy
+    * delta between adjacent frames. Global volume scaling multiplies
+    * every energy by c² and preserves every strict delta sign —
+    * volume-invariant by construction; light additive noise perturbs
+    * few deltas; different content is ~32 bits away. Cost is
+    * O(samples × 8) with one sin/cos pair per sample-band — ~250k
+    * flops for a 1 s 8 kHz clip. Degenerate clips (< 9 samples)
+    * fingerprint to 0L with every delta tied. */
+  def audioFingerprint64(clip: AudioClip): Long = {
+    val T = 9; val B = 8
+    val bands = Array(354.0, 500.0, 707.0, 1000.0, 1414.0, 2000.0, 2828.0, 4000.0)
+    val n = clip.samples.length
+    val e = Array.ofDim[Double](T, B)
+    if (n >= T) {
+      var t = 0
+      while (t < T) {
+        val from = (n.toLong * t / T).toInt
+        val until = (n.toLong * (t + 1) / T).toInt
+        var b = 0
+        while (b < B) {
+          val f = math.min(bands(b), clip.sampleRate / 2.0 - 1.0)
+          val w = 2.0 * math.Pi * f / clip.sampleRate
+          var re = 0.0; var im = 0.0
+          var i = from
+          while (i < until) {
+            val x = clip.samples(i).toDouble
+            val ph = w * (i - from)
+            re += x * math.cos(ph)
+            im -= x * math.sin(ph)
+            i += 1
+          }
+          e(t)(b) = re * re + im * im
+          b += 1
+        }
+        t += 1
+      }
+    }
+    var h = 0L
+    var bit = 0
+    var t = 0
+    while (t < T - 1) {
+      var b = 0
+      while (b < B) {
+        if (e(t + 1)(b) > e(t)(b)) h |= (1L << bit)
+        bit += 1
+        b += 1
+      }
+      t += 1
     }
     h
   }

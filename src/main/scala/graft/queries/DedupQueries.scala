@@ -118,6 +118,37 @@ private[graft] object DedupQueries {
         "media_id", "phash", maxDist = 6)
     }),
 
+    // AUDIO near-dup pairs — the d22 device on the audio side:
+    // decode real PCM WAV/AIFF payloads → 64-bit spectral fingerprint
+    // (Haitsma-Kalker shape: 9×8 time-band energy grid, sign-of-delta
+    // bits; volume-invariant by construction) → the SAME pigeonhole
+    // hamming banding. maxDist 7 = 8 clean 8-bit bands; the committed
+    // fixture's planted structure (AIFF container twins and
+    // half-volume copies at distance 0, sparse-click variants ≤ 7)
+    // sits inside the bound. Oracle recomputes all-pairs from the
+    // committed fingerprint table (audio_afp.parquet).
+    "d24_audio_neardup" -> ((s, _) => {
+      import s.implicits._
+      val media = s.read
+        .parquet(s"${SparkEntry.FixtureDir}/media_audio.parquet")
+        .as[MultimodalOps.MediaRow]
+      MultimodalOps.hammingNearDupPairs(
+        MultimodalOps.audioFingerprint(media).toDF(),
+        "media_id", "afp", maxDist = 7)
+    }),
+
+    // AUDIO dedup END-TO-END — d23's closure + keeper policy over the
+    // audio fingerprints (the generic hammingDedupLabels operator);
+    // recursive-CTE closure oracle.
+    "d25_audio_dedup" -> ((s, _) => {
+      import s.implicits._
+      MultimodalOps.hammingDedupLabels(
+        MultimodalOps.audioFingerprint(
+          s.read.parquet(s"${SparkEntry.FixtureDir}/media_audio.parquet")
+            .as[MultimodalOps.MediaRow]).toDF(),
+        "media_id", "afp", maxDist = 7)
+    }),
+
     // d18 measured across the d16 config grid: the banding
     // cost/benefit table from DATA (d16 prices candidate volume;
     // this measures true-pair coverage per config).
