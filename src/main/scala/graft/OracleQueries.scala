@@ -1580,6 +1580,48 @@ GROUP BY sym"""
          |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS dist
          |FROM h a JOIN h b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.afp, b.afp)) <= 7""".stripMargin,
+    // v1: video container-metadata parse checked as DETERMINISM
+    // against the committed parse fixture (video_meta.parquet, dumped
+    // through the engine's own VideoMeta path by DumpVideoFixture —
+    // the m5/d22 device). The container bytes themselves are
+    // independently hand-assembled from the public specs by the
+    // fixture tool, so a parser/assembler disagreement on any size
+    // field, fixed-point dim, or EBML varint breaks the hash here.
+    "v1_video_meta" ->
+      s"""SELECT media_id, ok, container, brand, duration_ms,
+         |  width, height, n_tracks, err
+         |FROM read_parquet('$FixtureDir/video_meta.parquet')""".stripMargin,
+    // v2: the intake census re-DERIVED relationally from the
+    // committed parse table (engine recomputes from raw bytes).
+    "v2_video_census" ->
+      s"""SELECT container,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT brand) AS BIGINT) AS n_brands,
+         |  CAST(sum(duration_ms) AS BIGINT) AS duration_ms_total,
+         |  CAST(max(width * height) AS BIGINT) AS max_pixels,
+         |  CAST(sum(n_tracks) AS BIGINT) AS n_tracks_total
+         |FROM read_parquet('$FixtureDir/video_meta.parquet')
+         |WHERE ok GROUP BY container""".stripMargin,
+    // v3: exact binary dedup across every media fixture. The engine
+    // groups by sha256(payload) (digests shuffle, payloads never do —
+    // the 100 TB design); DuckDB 1.0 cannot hash BLOBs, so the oracle
+    // groups by the payload bytes THEMSELVES — the same partition of
+    // rows absent a SHA-256 collision, and fully independent of the
+    // engine's digest computation.
+    "v3_media_digest_dedup" ->
+      s"""WITH m AS (
+         |  SELECT 'image' AS src, media_id, payload
+         |  FROM read_parquet('$FixtureDir/media_images.parquet')
+         |  UNION ALL SELECT 'audio', media_id, payload
+         |  FROM read_parquet('$FixtureDir/media_audio.parquet')
+         |  UNION ALL SELECT 'video', media_id, payload
+         |  FROM read_parquet('$FixtureDir/media_videos.parquet'))
+         |SELECT min(src) AS src,
+         |  CAST(min(media_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+         |  CAST(max(octet_length(payload)) AS BIGINT) AS n_bytes
+         |FROM m GROUP BY payload""".stripMargin,
     "d25_audio_dedup" ->
       s"""WITH RECURSIVE
          |h AS (SELECT media_id, afp

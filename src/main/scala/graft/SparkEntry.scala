@@ -69,7 +69,8 @@ object SparkEntry {
       "TextQueries"       -> TextQueries.defs,
       "DedupQueries"      -> DedupQueries.defs,
       "SimilarityQueries" -> SimilarityQueries.defs,
-      "TrainEvalQueries"  -> TrainEvalQueries.defs)
+      "TrainEvalQueries"  -> TrainEvalQueries.defs,
+      "MediaQueries"      -> MediaQueries.defs)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._2).reduce(_ ++ _)

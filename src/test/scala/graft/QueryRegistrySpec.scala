@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 163") {
-    assert(SparkEntry.queries.size === 163)
+  test("inventory size is the declared 166") {
+    assert(SparkEntry.queries.size === 166)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {
