@@ -1602,6 +1602,42 @@ GROUP BY sym"""
          |  CAST(sum(n_tracks) AS BIGINT) AS n_tracks_total
          |FROM read_parquet('$FixtureDir/video_meta.parquet')
          |WHERE ok GROUP BY container""".stripMargin,
+    // v4: magic-byte sniff census, re-derived independently — DuckDB
+    // hexes the WHOLE payload and string-compares hex prefixes, vs
+    // the engine's substring-then-hex codegen chain. Branch
+    // predicates are mutually exclusive on these inputs, so clause
+    // order does not affect the partition; offsets are hex-doubled
+    // (byte k = hex chars 2k-1..2k).
+    "v4_media_sniff" ->
+      s"""WITH m AS (
+         |  SELECT 'image' AS src, payload
+         |  FROM read_parquet('$FixtureDir/media_images.parquet')
+         |  UNION ALL SELECT 'audio', payload
+         |  FROM read_parquet('$FixtureDir/media_audio.parquet')
+         |  UNION ALL SELECT 'video', payload
+         |  FROM read_parquet('$FixtureDir/media_videos.parquet')),
+         |sn AS (SELECT src, octet_length(payload) AS len,
+         |  CASE
+         |    WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+         |    WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'png'
+         |    WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'gif'
+         |    WHEN substr(hex(payload), 1, 8) = '52494646'
+         |     AND substr(hex(payload), 17, 8) = '57415645' THEN 'wav'
+         |    WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+         |    WHEN substr(hex(payload), 1, 8) = '464F524D'
+         |     AND substr(hex(payload), 17, 8)
+         |         IN ('41494646', '41494643') THEN 'aiff'
+         |    WHEN substr(hex(payload), 9, 8) = '66747970' THEN 'mp4'
+         |    WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'mkv'
+         |    WHEN substr(hex(payload), 1, 6) = '494433' THEN 'mp3'
+         |    WHEN substr(hex(payload), 1, 8) = '25504446' THEN 'pdf'
+         |    WHEN substr(hex(payload), 1, 4) = '504B' THEN 'zip'
+         |    ELSE 'unknown' END AS fmt
+         |  FROM m)
+         |SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+         |  CAST(sum(len) AS BIGINT) AS n_bytes
+         |FROM sn GROUP BY fmt""".stripMargin,
     // v3: exact binary dedup across every media fixture. The engine
     // groups by sha256(payload) (digests shuffle, payloads never do —
     // the 100 TB design); DuckDB 1.0 cannot hash BLOBs, so the oracle

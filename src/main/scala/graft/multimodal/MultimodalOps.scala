@@ -70,6 +70,7 @@ object MultimodalOps {
       .when(hex8.startsWith("464F524D") &&
         (hex4at9 === "41494646" || hex4at9 === "41494643"), "aiff")
       .when(substring(hex8, 9, 8) === "66747970", "mp4")
+      .when(hex8.startsWith("1A45DFA3"), "mkv") // EBML: Matroska/WebM
       .when(hex8.startsWith("494433"), "mp3")
       .when(hex8.startsWith("25504446"), "pdf")
       .when(hex8.startsWith("504B"), "zip")

@@ -70,6 +70,34 @@ object MediaQueries {
     // Oracle groups by the payload BLOB itself — same row partition
     // absent a SHA-256 collision, and fully independent of the
     // engine's hash.
+    // MAGIC-BYTE SNIFF CENSUS across every media fixture — the intake
+    // triage a multimodal crawl runs FIRST, before routing payloads to
+    // any decoder: which container families arrived, how many, and how
+    // much byte mass each carries. sniffFormat is a pure built-in
+    // prefix compare (substring+hex+when), so the census is one
+    // whole-stage-codegen scan + one tiny keyed agg; payload bytes
+    // never shuffle — only the (fmt, len) pairs do. The oracle
+    // re-derives the same triage INDEPENDENTLY in SQL: DuckDB hexes
+    // the whole payload and string-compares prefixes of the hex, so a
+    // wrong magic constant, a wrong offset, or a false positive on a
+    // truncated prefix breaks the hash.
+    "v4_media_sniff" -> ((s, _) => {
+      val all = media(s, "media_images.parquet")
+        .select(lit("image").as("src"), col("payload"))
+        .unionByName(media(s, "media_audio.parquet")
+          .select(lit("audio").as("src"), col("payload")))
+        .unionByName(media(s, "media_videos.parquet")
+          .select(lit("video").as("src"), col("payload")))
+      all
+        .select(MultimodalOps.sniffFormat(col("payload")).as("fmt"),
+          col("src"), length(col("payload")).cast("long").as("len"))
+        .groupBy(col("fmt"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("src")).as("n_src"),
+          sum(col("len")).as("n_bytes"))
+    }),
+
     "v3_media_digest_dedup" -> ((s, _) => {
       val all = media(s, "media_images.parquet")
         .select(lit("image").as("src"), col("media_id"), col("payload"))

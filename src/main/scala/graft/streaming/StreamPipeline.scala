@@ -257,6 +257,31 @@ object StreamPipeline {
       .toDF(idCol, textCol)
   }
 
+  /** EXACT media dedup as an INGEST GATE — the streaming twin of the
+    * v3 batch query: admit a media row iff its sha256(payload) digest
+    * is first-seen within `ttl`, composed from [[ttlDedupStream]]
+    * keyed by the digest. The design constraint it preserves at
+    * 100 TB is the same one v3's batch plan states: payload BYTES
+    * never enter state or shuffle — the digest is computed in the
+    * stateless projection (codegen sha2 over the scan), and the
+    * RocksDB state per live key is the 64-char digest alone, so a
+    * petabyte-scale media stream carries megabytes of state per
+    * million distinct payloads. Emits (idCol, digest) for the
+    * admitted rows; the dropped rows are exactly the later-arriving
+    * members of each digest-identity class (arrival order, not
+    * min-id — a stream cannot see the future; feed id-ordered input
+    * to recover v3's min-id keeper choice, which
+    * MediaDigestDedupStreamSpec pins against the batch partition).
+    * Deployment note inherited from [[ttlDedupStream]]:
+    * ProcessingTime TimeMode — always set a trigger interval. */
+  def mediaDigestDedupStream(df: DataFrame, idCol: String,
+                             payloadCol: String,
+                             ttl: java.time.Duration): DataFrame =
+    ttlDedupStream(
+      df.select(col(idCol),
+        sha2(col(payloadCol), 256).as("digest")),
+      idCol, "digest", col("digest"), ttl)
+
   /** Per-key admission QUOTA with processing-time windows — the
     * crawl-fairness gate (cap any one source/domain at
     * `maxPerWindow` documents per `window` so a hot host cannot

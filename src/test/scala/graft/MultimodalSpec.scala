@@ -79,6 +79,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       ("riff", "RIFF....AVI ".getBytes("ISO-8859-1")),
       ("unknown", "FORM....XXXX".getBytes("ISO-8859-1")),
       ("mp4", b(0, 0, 0, 0x20) ++ "ftyp".getBytes("ISO-8859-1")),
+      ("mkv", b(0x1A, 0x45, 0xDF, 0xA3, 0x01, 0, 0, 0)),
       ("mp3", "ID3....".getBytes("ISO-8859-1")),
       ("pdf", "%PDF-1.7".getBytes("ISO-8859-1")),
       ("zip", "PK....".getBytes("ISO-8859-1")),
