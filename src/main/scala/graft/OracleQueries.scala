@@ -1340,6 +1340,32 @@ GROUP BY sym"""
          |  CAST((1000000 * n_hapax) // n_terms AS BIGINT) AS hapax_mu,
          |  CAST((1000000 * n_terms) // n_tokens AS BIGINT) AS ttr_mu
          |FROM a""".stripMargin,
+    // t38: tokenizer-vocabulary coverage — token and distinct-term
+    // OOV mass per source against the committed 262k model vocab
+    // (the engine broadcasts the vocab; the oracle left-joins it
+    // relationally). Micro-unit rates by integer division, the t35
+    // device. Engine-side Spark sum(when) ignores no rows and DuckDB
+    // count(DISTINCT CASE...) ignores NULLs on both sides.
+    "t38_vocab_coverage" ->
+      s"""WITH w AS (SELECT source, unnest($sqlToks) AS term
+         |  FROM documents),
+         |v AS (SELECT DISTINCT term, 1 AS in_vocab
+         |  FROM read_parquet('$FixtureDir/sentiment_vocab.parquet')),
+         |j AS (SELECT w.source, w.term, v.in_vocab
+         |  FROM w LEFT JOIN v ON w.term = v.term),
+         |a AS (SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov,
+         |    CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |    CAST(count(DISTINCT CASE WHEN in_vocab IS NULL THEN term
+         |      END) AS BIGINT) AS n_oov_terms
+         |  FROM j GROUP BY source)
+         |SELECT source, n_tokens, n_oov, n_terms, n_oov_terms,
+         |  CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_mu,
+         |  CAST((1000000 * n_oov_terms) // n_terms AS BIGINT)
+         |    AS oov_term_mu
+         |FROM a""".stripMargin,
     // t33: boilerplate line census — trimmed non-empty lines ranked
     // by (distinct docs, occurrences, line), top 50
     "t33_boilerplate" ->

@@ -688,6 +688,37 @@ private[graft] object TextQueries {
       CorpusOps.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
         cleanTokens, "source")),
 
+    // TOKENIZER-VOCABULARY COVERAGE per source — the gate a training
+    // pipeline runs before committing a corpus slice to a frozen
+    // tokenizer/model vocabulary: what share of the slice's token
+    // mass (and of its distinct terms) falls outside the vocab. One
+    // text scan exploded to (source, term), one BROADCAST left join
+    // against the committed 262k-term model vocab (a few MB of
+    // strings — the canonical small-dim broadcast; at 100 TB only
+    // the token stream shuffles for the per-source agg, never the
+    // vocab), then a keyed agg with two distinct counts. Rates in
+    // exact integer micro-units (the t35 device) so the driver hash
+    // is platform-exact.
+    "t38_vocab_coverage" -> ((s, dir) => {
+      val vocab = s.read
+        .parquet(s"${SparkEntry.FixtureDir}/sentiment_vocab.parquet")
+        .select(col("term"), lit(1).as("in_vocab"))
+      t(s, dir, "documents")
+        .select(col("source"), explode(cleanTokens).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(col("term")).as("n_terms"),
+          countDistinct(when(col("in_vocab").isNull, col("term")))
+            .as("n_oov_terms"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          col("n_terms"), col("n_oov_terms"),
+          expr("(1000000 * n_oov) div n_tokens").as("oov_mu"),
+          expr("(1000000 * n_oov_terms) div n_terms").as("oov_term_mu"))
+    }),
+
     // LEXICAL RICHNESS per source: hapax-legomenon rate (share of a
     // source's vocabulary appearing exactly once — the long-tail
     // health signal Zipf's slope (t28) summarizes corpus-wide) and

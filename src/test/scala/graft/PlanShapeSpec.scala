@@ -409,4 +409,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p.contains("row_number"), p)
     assert(windows <= 1, s"expected a single Window operator:\n$p")
   }
+
+  test("t38 probes the 262k vocab by broadcast, never a sort-merge join") {
+    // the 100 TB contract: only the token stream shuffles (for the
+    // per-source agg); the vocab rides to the executors as a
+    // broadcast — a sort-merge join here would shuffle the entire
+    // exploded token mass a second time, keyed by term
+    val plan = formatted("t38_vocab_coverage")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("v3/v4 media exchanges carry digests/format keys, never payload bytes") {
+    // both plans may shuffle only the small derived columns — the
+    // payload BLOB must die at the scan-side projection (v4) or the
+    // sha2 projection (v3); an Exchange carrying `payload` would
+    // move the full media byte mass across the cluster
+    for (q <- Seq("v3_media_digest_dedup", "v4_media_sniff")) {
+      val plan = formatted(q)
+      val exch = plan.split("\\n\\n").filter(b =>
+        b.startsWith("(") && b.contains("Exchange"))
+      assert(exch.nonEmpty, s"$q: no exchange blocks found\n$plan")
+      exch.foreach(b => assert(!b.contains("payload"),
+        s"$q: payload bytes cross an exchange\n$b"))
+    }
+  }
 }
