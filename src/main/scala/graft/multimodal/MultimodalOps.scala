@@ -237,37 +237,65 @@ object MultimodalOps {
 
   /** NEAR-DUP candidate pairs within hamming distance `maxDist` over
     * any 64-bit signature table (image pHash, audio fingerprint,
-    * SimHash) — the d3b banding generalized: pigeonhole-split the 64
-    * bits into `maxDist + 1` bands (two hashes within distance d MUST
-    * agree exactly on ≥ 1 of d+1 disjoint bands), band-keyed
-    * self-join, exact `bit_count(xor)` verify. Never all-pairs: the
-    * join is keyed on (band, band bits), so candidate volume rides
-    * collision counts, not n². Output: (id_a, id_b, dist) with
-    * id_a < id_b, one row per pair. */
+    * SimHash) — the d3b banding generalized twice over: pigeonhole-
+    * split the 64 bits into `blocks` disjoint blocks and key each row
+    * by EVERY (blocks − maxDist)-subset of blocks (two hashes within
+    * distance d dirty at most d blocks, so they agree EXACTLY on at
+    * least one such subset — the block-combination table scheme of
+    * Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3). Band-keyed self-join on the concatenated subset
+    * bits, exact `bit_count(xor)` verify.
+    *
+    * `blocks = maxDist + 1` (the default) degenerates to the classic
+    * d+1-band split: C(d+1, 1) = d+1 keys of 64/(d+1) bits each.
+    * That is the right shape for bounded tables, but its candidate
+    * volume on n uniform signatures is ≈ (d+1)·n²/2^(64/(d+1)) —
+    * for d = 6 that is n²/81, a quadratic term with a small constant
+    * that dominates once n reaches the tens of millions. Raising
+    * `blocks` trades key fan-out for collision bits: each row emits
+    * C(blocks, d) keys, but every key carries 64·(blocks−d)/blocks
+    * bits, so e.g. d = 6, blocks = 8 emits 28 keys/row (4× the
+    * default's 7) while cutting uniform collision mass by
+    * 2^16/(28/7·2^9.14) ≈ 29× — the knob a 10⁸⁺-signature corpus
+    * turns. Completeness is invariant in `blocks` (HammingBlocksSpec
+    * pins pair-set equality across settings); only the candidate
+    * volume moves. Output: (id_a, id_b, dist) with id_a < id_b, one
+    * row per pair. */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                          maxDist: Int): DataFrame = {
+                          maxDist: Int, blocks: Int = -1): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 63]")
+    val nBlocks = if (blocks == -1) maxDist + 1 else blocks
+    require(nBlocks > maxDist && nBlocks <= 64,
+      s"blocks must be in (maxDist, 64], got $nBlocks")
+    require(nBlocks <= maxDist + 4,
+      s"blocks = $nBlocks emits C($nBlocks,$maxDist) keys/row — cap " +
+        "fan-out at C(d+4, d) until a corpus actually needs more")
     // failed decodes carry the sentinel hash 0L ([[imagePHash]]) — an
     // unfiltered hash table would report every failed image as an
     // exact dup of every other failure, so drop non-ok rows here when
     // the marker column is present (r11 advice)
     val src =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
-    val nBands = maxDist + 1
-    val base = 64 / nBands
-    val extra = 64 % nBands // first `extra` bands carry one more bit
-    val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
-      off + base + (if (b < extra) 1 else 0)
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks // first `extra` blocks carry one more bit
+    val widths = (0 until nBlocks)
+      .map(b => base + (if (b < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockBits(b: Int): Column = {
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+      shiftrightunsigned(col("h"), offsets(b)).bitwiseAND(lit(mask))
     }
-    val bandCols = (0 until nBands).map { b =>
-      val off = offsets(b)
-      val width = base + (if (b < extra) 1 else 0)
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(lit(b).as("b"),
-        shiftrightunsigned(col("h"), off).bitwiseAND(lit(mask)).as("v"))
+    // one key per (nBlocks - maxDist)-subset: subset bits concatenated
+    // into a long (total width 64·(blocks−d)/blocks < 64 always)
+    val subsets = (0 until nBlocks).combinations(nBlocks - maxDist).toSeq
+    val keyCols = subsets.zipWithIndex.map { case (s, si) =>
+      val v = s.foldLeft(lit(0L): Column) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(blockBits(b))
+      }
+      struct(lit(si).as("b"), v.as("v"))
     }
     val keyed = src.select(col(idCol).as("id"), col(hashCol).as("h"))
-      .select(col("id"), col("h"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("h"), explode(array(keyCols: _*)).as("band"))
       .select(col("id"), col("h"),
         col("band.b").as("b"), col("band.v").as("v"))
     keyed.as("x").join(keyed.as("y"),
@@ -300,10 +328,10 @@ object MultimodalOps {
     * and the label/keeper readout is one keyed agg + one join —
     * identical scaling to the text-side d7/d10 family. */
   def hammingDedupLabels(hashes: DataFrame, idCol: String, hashCol: String,
-                         maxDist: Int): DataFrame = {
+                         maxDist: Int, blocks: Int = -1): DataFrame = {
     val ok =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
-    val pairs = hammingNearDupPairs(ok, idCol, hashCol, maxDist)
+    val pairs = hammingNearDupPairs(ok, idCol, hashCol, maxDist, blocks)
     val lab = graft.operators.GraphOps
       .connectedComponents(pairs, "id_a", "id_b")
     graft.operators.DedupOps

@@ -910,6 +910,41 @@ object StreamPipeline {
       .select(col(idCol) +: CorpusOps.dsirScoreCols(col("fs"), wMu): _*)
   }
 
+  /** Streaming twin of the t38 vocabulary-coverage gate: per
+    * event-time window and source, the share of arriving token mass
+    * that falls outside a BATCH-FROZEN tokenizer vocabulary — the
+    * live drift monitor a serving pipeline points at its ingest
+    * topic (rising OOV = the corpus is walking away from the frozen
+    * tokenizer). Same algebra as t38's token-mass side, same
+    * integer micro-units; the vocab arrives as a stream-static
+    * BROADCAST left join exactly like the batch plan, so only the
+    * exploded token stream shuffles (for the windowed agg — keyed
+    * by (window, source), watermark-bounded state, append mode
+    * emits each window once, closed). The distinct-term rates
+    * (n_terms / n_oov_terms) deliberately do NOT cross over:
+    * streaming aggregation forbids exact DISTINCT (unbounded
+    * per-window term state) — the monitor carries token-mass rates
+    * only, the batch query owns the vocabulary-shape ones.
+    * OovCoverageStreamSpec pins window-sliced equality with the
+    * batch computation on the same rows. */
+  def oovCoverageStream(docs: DataFrame, tsCol: String, textCol: String,
+                        keyCol: String, vocab: DataFrame, termCol: String,
+                        windowDur: String, watermark: String): DataFrame = {
+    val v = broadcast(vocab.select(col(termCol).as("term"),
+      lit(1).as("in_vocab")))
+    docs.withWatermark(tsCol, watermark)
+      .select(col(keyCol), col(tsCol),
+        explode(TextOps.cleanTokens(col(textCol))).as("term"))
+      .join(v, Seq("term"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("window.start").as("w_start"), col(keyCol),
+        col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_tokens").as("oov_mu"))
+  }
+
   /** Streaming twin of the d14 incremental-admission operator
     * ([[graft.operators.DedupOps.incrementalDedupReleasable]]): each
     * micro-batch of arriving documents is admitted against the static

@@ -193,6 +193,50 @@ object ScaleProbe {
       return
     }
 
+    // hamming-banding mode (third arg "hm"): the media-signature
+    // dedup family (d22-d25 spine) probed on a synthetic 64-bit
+    // signature corpus — per 10 ids, a 3-member planted family
+    // (anchor + 2-bit + 4-bit variants, all within maxDist 6) and 7
+    // uniform xxhash64 singletons, so family pair volume scales
+    // linearly while the UNIFORM collision mass exposes the banding
+    // geometry's quadratic term: the default d+1 split keys 9.1-bit
+    // bands (collision mass ~ 7·n²/2^9.14), blocks=8 keys 16-bit
+    // block pairs (~ 28·n²/2^16 — 29× less). Reported at 1× and F×
+    // for both geometries; labels-wall includes the CC closure.
+    if (args.length > 2 && args(2) == "hm") {
+      import graft.multimodal.MultimodalOps
+      def sigs(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("media_id"),
+          when(col("id") % 10 < 3,
+            xxhash64(concat(lit("fam"),
+              (col("id") / 10).cast("long").cast("string"))))
+            .otherwise(
+              xxhash64(concat(lit("s"), col("id").cast("string"))))
+            .bitwiseXOR(
+              when(col("id") % 10 === 1, lit(3L))        // 2 flips
+                .when(col("id") % 10 === 2, lit(0x1111L)) // 4 flips
+                .otherwise(lit(0L))).as("phash"))
+      val n1 = 100000L
+      def labels(n: Long, blocks: Int): Long =
+        MultimodalOps.hammingDedupLabels(
+          sigs(n), "media_id", "phash", maxDist = 6, blocks = blocks)
+          .filter(col("csize") > 1).count()
+      labels(10000L, 7); sweep() // warmup
+      for (b <- Seq(7, 8, 10)) {
+        // the default d+1 geometry is probed only to 3×: at 1M
+        // uniform signatures its ~7·n²/2^9.14 ≈ 6·10⁹ candidate
+        // rows spill past this box's 80 GB — measured, not
+        // estimated (the first hm run died ENOSPC there). That IS
+        // the finding; the wider-block geometries take the full
+        // factor in stride.
+        val f = if (b == 7) math.min(factor, 3) else factor
+        time(s"hamming labels 1x  B=$b")(labels(n1, b))
+        time(s"hamming labels ${f}x B=$b")(labels(n1 * f, b))
+      }
+      spark.stop()
+      return
+    }
+
     // JIT/codegen warmup pass at 1x, uncounted
     closure(docs1); semdedup(emb1, 16); ivf(emb1); pagerank(edges1); sweep()
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+
+/** [[MultimodalOps.hammingNearDupPairs]]' `blocks` knob — the
+  * block-combination table generalization. The pigeonhole guarantee
+  * (≤ d dirty bits ⇒ some (blocks−d)-subset of blocks exactly clean)
+  * must make the PAIR SET invariant in `blocks`: raising it may only
+  * move candidate volume, never recall. Pinned against a locally
+  * computed all-pairs ground truth on a corpus built to stress the
+  * boundary: planted families at distances 0 / exactly d / d+1
+  * (the d+1 members must NOT pair), flips placed both inside one
+  * block and straddling block boundaries for every blocks setting
+  * under test, plus seeded-random singletons. */
+class HammingBlocksSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def corpus: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(4242)
+    val rows = Seq.newBuilder[(Long, Long)]
+    var id = 0L
+    def add(h: Long): Unit = { rows += ((id, h)); id += 1 }
+    (0 until 40).foreach { f =>
+      val base = rnd.nextLong()
+      add(base)                                   // family anchor
+      add(base)                                   // exact twin (dist 0)
+      // exactly d = 6 flipped bits, positions chosen to straddle
+      // every block geometry under test (64/7≈9, 64/8=8, 64/10≈6):
+      // adjacent runs cross boundaries, spread bits land mid-block
+      val atD = Seq(0, 1, 7, 8, 31, 63)
+        .map(b => (b + f) % 64)
+        .foldLeft(base)((h, b) => h ^ (1L << b))
+      add(atD)
+      // d + 1 flips — must never appear in the pair set
+      val beyond = Seq(2, 9, 10, 20, 40, 50, 62)
+        .map(b => (b + f) % 64)
+        .foldLeft(base)((h, b) => h ^ (1L << b))
+      add(beyond)
+    }
+    (0 until 120).foreach(_ => add(rnd.nextLong()))
+    rows.result()
+  }
+
+  private def truth(rows: Seq[(Long, Long)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      dist = java.lang.Long.bitCount(ha ^ hb) if dist <= d
+    } yield (ia, ib, dist)).toSet
+
+  private def engine(rows: Seq[(Long, Long)], d: Int,
+                     blocks: Int): Set[(Long, Long, Int)] = {
+    import spark.implicits._
+    MultimodalOps.hammingNearDupPairs(
+        rows.toDF("media_id", "phash"), "media_id", "phash", d, blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("pair set is invariant in blocks (d = 6: default 7, 8, 10)") {
+    val rows = corpus
+    val want = truth(rows, 6)
+    assert(want.nonEmpty)
+    assert(want.exists(_._3 == 6), "boundary-distance family missing")
+    for (b <- Seq(7, 8, 10))
+      assert(engine(rows, 6, b) === want, s"blocks = $b")
+  }
+
+  test("pair set is invariant in blocks at other radii (d = 2, d = 0)") {
+    val rows = corpus
+    for ((d, bs) <- Seq(2 -> Seq(3, 5), 0 -> Seq(1, 4))) {
+      val want = truth(rows, d)
+      for (b <- bs)
+        assert(engine(rows, d, b) === want, s"d = $d blocks = $b")
+    }
+  }
+
+  test("fan-out guardrails reject degenerate block counts") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("media_id", "phash")
+    intercept[IllegalArgumentException] {
+      MultimodalOps.hammingNearDupPairs(df, "media_id", "phash", 6, 6)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.hammingNearDupPairs(df, "media_id", "phash", 6, 11)
+    }
+  }
+}
