@@ -1340,6 +1340,19 @@ GROUP BY sym"""
          |  CAST((1000000 * n_hapax) // n_terms AS BIGINT) AS hapax_mu,
          |  CAST((1000000 * n_terms) // n_tokens AS BIGINT) AS ttr_mu
          |FROM a""".stripMargin,
+    // t39: the naive global-window spelling of the training order —
+    // row_number over ORDER BY md5 key (identical seed/tiebreak).
+    // DuckDB md5 = Spark md5 (lowercase hex of the UTF-8 bytes);
+    // both sides order hex strings by binary collation.
+    "t39_train_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('graft-epoch-0:' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1 AS BIGINT) AS pos,
+        |  CAST((row_number() OVER (
+        |    ORDER BY md5('graft-epoch-0:' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1) // 512 AS BIGINT) AS batch_id
+        |FROM documents""".stripMargin,
     // t38: tokenizer-vocabulary coverage — token and distinct-term
     // OOV mass per source against the committed 262k model vocab
     // (the engine broadcasts the vocab; the oracle left-joins it

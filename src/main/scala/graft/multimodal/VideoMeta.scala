@@ -86,12 +86,28 @@ object VideoMeta {
   def parse(p: Array[Byte]): Either[String, Parsed] = {
     if (p == null || p.length < 12) Left("malformed: payload shorter than any container header")
     else sniff(p) match {
-      case "mp4" => parseMp4(p)
-      case "avi" => parseAvi(p)
-      case "mkv" => parseMkv(p)
+      case "mp4" => parseMp4(p).flatMap(sane)
+      case "avi" => parseAvi(p).flatMap(sane)
+      case "mkv" => parseMkv(p).flatMap(sane)
       case _ => Left("unsupported: not a recognized video container")
     }
   }
+
+  /** Declared-field sanity gate (VideoMetaFuzzSpec finding): AVI's
+    * dwStreams/dwWidth/dwHeight and MKV's PixelWidth/PixelHeight are
+    * DECLARED values, not structural ones — a single corrupted byte
+    * yielded n_tracks = 184,549,377 through a byte-valid header. An
+    * intake parser must not launder implausible claims into ok rows:
+    * dims cap at 65535 (MP4's 16.16 ceiling, generous for the rest),
+    * tracks at 1024, durations must be non-negative. */
+  private def sane(r: Parsed): Either[String, Parsed] =
+    if (r.durationMs < 0L) Left("malformed: negative duration")
+    else if (r.width < 0 || r.width > 65535 ||
+      r.height < 0 || r.height > 65535)
+      Left("malformed: implausible declared dimensions")
+    else if (r.nTracks < 0 || r.nTracks > 1024)
+      Left("malformed: implausible declared track count")
+    else Right(r)
 
   // ---- big/little-endian readers (bounds-checked by callers) --------
   private def be32(p: Array[Byte], o: Int): Long =

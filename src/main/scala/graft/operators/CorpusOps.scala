@@ -1258,4 +1258,50 @@ object CorpusOps {
   /** Merges between vocabulary re-materializations in [[bpeFitCore]]'s
     * training loop (see the lineage-checkpoint comment there). */
   private val MergeCheckpointEvery = 16
+
+  /** DETERMINISTIC GLOBAL TRAINING ORDER — the seeded corpus shuffle
+    * a training run fixes before packing batches: every document gets
+    * a dense position 0..n−1 in the order of `md5(seed ":" id)`
+    * (id-tiebroken), reproducible across runs, clusters, and engines.
+    *
+    * The scale point is HOW the dense index is assigned. The naive
+    * spelling — `row_number()` over a global ORDER BY — plans as a
+    * single-partition window: one task sees all n rows, which is
+    * exactly the 100 TB anti-pattern. Here the hash key's first two
+    * hex chars bucket rows into 256 ranges whose lexicographic order
+    * IS the global key order (a prefix is order-consistent), so:
+    *   1. a 256-row census (bucket → count) computes each bucket's
+    *      global offset — a bounded driver collect, same class as
+    *      the k-means centroid fold;
+    *   2. positions are offset + (per-bucket rank − 1), ranked by a
+    *      Window PARTITIONED on the bucket — 256 bounded partitions
+    *      of ~n/256 rows each, fully parallel;
+    *   3. batch_id = pos div batchRows falls out for free.
+    * MD5 is uniform enough that no bucket exceeds ~1.2× the mean on
+    * real ids; for adversarial skew, widen the prefix to 3-4 chars
+    * (4096/65536 buckets) — the census stays driver-bounded. */
+  def globalTrainOrder(docs: DataFrame, idCol: String, seed: String,
+                       batchRows: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol), key.as("_k"),
+      substring(key, 1, 2).as("_b"))
+    val counts = keyed.groupBy(col("_b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) =>
+      (b, acc + n)
+    } // scanLeft pairs each bucket with the count-sum of its predecessors
+    val offDf = docs.sparkSession.createDataFrame(
+      counts.zip(offsets.tail.map(_._2)).map { case ((b, n), end) =>
+        (b, end - n)
+      }.toSeq).toDF("_b", "_off")
+    val w = Window.partitionBy(col("_b")).orderBy(col("_k"), col(idCol))
+    keyed.join(broadcast(offDf), Seq("_b"))
+      .select(col(idCol),
+        (col("_off") + row_number().over(w) - 1L).as("pos"))
+      .select(col(idCol), col("pos"),
+        expr(s"pos div $batchRows").as("batch_id"))
+  }
 }

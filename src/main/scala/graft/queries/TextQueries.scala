@@ -688,6 +688,19 @@ private[graft] object TextQueries {
       CorpusOps.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
         cleanTokens, "source")),
 
+    // DETERMINISTIC GLOBAL TRAINING ORDER (CorpusOps.globalTrainOrder):
+    // the seeded corpus shuffle fixed before batch packing — dense
+    // position 0..n-1 in md5-key order, id-tiebroken, assigned WITHOUT
+    // a single-partition global window (hex-prefix bucket census +
+    // per-bucket bounded ranks; scale rationale on the operator). The
+    // oracle is the naive global row_number spelling — fine at
+    // sf0.01, the anti-pattern at 100 TB — so the hash compare proves
+    // the distributed assignment IS the global order.
+    "t39_train_order" -> ((s, dir) =>
+      CorpusOps.globalTrainOrder(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = "graft-epoch-0", batchRows = 512)),
+
     // TOKENIZER-VOCABULARY COVERAGE per source — the gate a training
     // pipeline runs before committing a corpus slice to a frozen
     // tokenizer/model vocabulary: what share of the slice's token

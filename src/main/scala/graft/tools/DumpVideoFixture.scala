@@ -175,33 +175,11 @@ object DumpVideoFixture {
     cat(header, el(0x18538067L, info, trks, cluster))
   }
 
-  def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0) else "fixtures"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    def writeSingle(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
-      val tmp = target + ".tmpdir"
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
-      val dst = new java.io.File(target)
-      if (dst.exists()) dst.delete()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      new java.io.File(tmp).listFiles().foreach(_.delete())
-      new java.io.File(tmp).delete()
-    }
-
-    def row(id: Long, bytes: Array[Byte]): MediaRow =
-      MediaRow(id, "video", "video/x-fixture", None, None, None, bytes)
-
-    // -- MP4s: v0/v1 headers, multi-track, largesize mdat, brands
+  /** The fixture's (media_id, container bytes) rows — one code path
+    * for the dump main AND the fuzz seeds (VideoMetaFuzzSpec mutates
+    * these, so the fuzz walks the same box/varint layouts the
+    * committed parquet carries). Pure and deterministic. */
+  private[graft] def payloads: Seq[(Long, Array[Byte])] = {
     val m1 = mp4("isom", 1000, 30000, Seq((1, 640, 360)), seed = 11)
     val m2 = mp4("mp42", 600, 7200, Seq((1, 1920, 1080), (2, 0, 0)), seed = 12)
     val m3 = mp4("avc1", 90000, 123456789L, Seq((1, 1280, 720)),
@@ -235,7 +213,37 @@ object DumpVideoFixture {
       90L -> truncated, 91L -> png, 92L -> noDur, 93L -> garbage, 94L -> short)
     // exact-duplicate payload pairs for v3 (same bytes, new ids)
     val dups = Seq(110L -> m1, 111L -> m1, 120L -> a2, 130L -> k2)
-    val media = (base ++ dups).map { case (id, b) => row(id, b) }.toDS()
+    base ++ dups
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "fixtures"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def writeSingle(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+      val tmp = target + ".tmpdir"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = new java.io.File(target)
+      if (dst.exists()) dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+
+    def row(id: Long, bytes: Array[Byte]): MediaRow =
+      MediaRow(id, "video", "video/x-fixture", None, None, None, bytes)
+
+    // -- MP4s: v0/v1 headers, multi-track, largesize mdat, brands
+    val media = payloads.map { case (id, b) => row(id, b) }.toDS()
     writeSingle(media.toDF(), s"$out/media_videos.parquet")
 
     val meta = VideoMeta.videoMeta(media)

@@ -410,6 +410,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(windows <= 1, s"expected a single Window operator:\n$p")
   }
 
+  test("t39 assigns global positions without a single-partition window") {
+    // the operator's whole reason to exist: dense global index by
+    // bucket-census offsets + 256 bounded per-bucket ranks — a plan
+    // that funnels all rows through Exchange SinglePartition is the
+    // naive global row_number the oracle (deliberately) uses
+    val plan = formatted("t39_train_order")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // the 256-row offset join
+  }
+
   test("t38 probes the 262k vocab by broadcast, never a sort-merge join") {
     // the 100 TB contract: only the token stream shuffles (for the
     // per-source agg); the vocab rides to the executors as a
