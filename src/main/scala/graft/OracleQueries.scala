@@ -1340,6 +1340,51 @@ GROUP BY sym"""
          |  CAST((1000000 * n_hapax) // n_terms AS BIGINT) AS hapax_mu,
          |  CAST((1000000 * n_terms) // n_tokens AS BIGINT) AS ttr_mu
          |FROM a""".stripMargin,
+    // t40: water-filling token-budget allocation — the same closed
+    // form (uncapped prefix by spend-at-own-level, one integer
+    // division for the level + remainder) spelled in SQL windows.
+    // Every windowed sum cast back to BIGINT (DuckDB promotes to
+    // HUGEINT); // and % on non-negative BIGINTs match Spark's
+    // div/% exactly.
+    "t40_token_budget" ->
+      s"""WITH c AS (SELECT source,
+         |    CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(row_number() OVER (ORDER BY n_tokens, source)
+         |      AS BIGINT) AS i,
+         |    CAST(count(*) OVER () AS BIGINT) AS s_cnt,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+         |  FROM c),
+         |r2 AS (SELECT *, total // 2 AS budget,
+         |    (cum - n_tokens + (s_cnt - i + 1) * n_tokens)
+         |      <= (total // 2) AS uncapped
+         |  FROM r),
+         |sc AS (SELECT
+         |    CAST(coalesce(max(CASE WHEN uncapped THEN i END), 0)
+         |      AS BIGINT) AS istar,
+         |    CAST(coalesce(max(CASE WHEN uncapped THEN cum END), 0)
+         |      AS BIGINT) AS cumstar
+         |  FROM r2),
+         |j AS (SELECT r2.*, sc.cumstar, s_cnt - sc.istar AS denom
+         |  FROM r2 CROSS JOIN sc),
+         |j2 AS (SELECT *,
+         |    CASE WHEN denom > 0 THEN (budget - cumstar) // denom
+         |      ELSE 0 END AS level,
+         |    CASE WHEN denom > 0 THEN (budget - cumstar) % denom
+         |      ELSE 0 END AS rem,
+         |    NOT uncapped AS capped
+         |  FROM j),
+         |j3 AS (SELECT *, CAST(row_number() OVER (PARTITION BY capped
+         |    ORDER BY source) AS BIGINT) AS rcap FROM j2)
+         |SELECT source, n_tokens,
+         |  CAST(CASE WHEN NOT capped THEN n_tokens
+         |    ELSE level + CASE WHEN rcap <= rem THEN 1 ELSE 0 END
+         |    END AS BIGINT) AS alloc,
+         |  capped
+         |FROM j3""".stripMargin,
     // t39: the naive global-window spelling of the training order —
     // row_number over ORDER BY md5 key (identical seed/tiebreak).
     // DuckDB md5 = Spark md5 (lowercase hex of the UTF-8 bytes);

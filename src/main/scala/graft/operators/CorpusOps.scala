@@ -1259,6 +1259,71 @@ object CorpusOps {
     * training loop (see the lineage-checkpoint comment there). */
   private val MergeCheckpointEvery = 16
 
+  /** TOKEN-BUDGET WATER-FILLING — the allocation a training mix runs
+    * when the corpus exceeds the token budget: find the unique water
+    * level L such that capping every source at L spends the budget,
+    * i.e. Σ_s min(n_s, L) ≤ B < Σ_s min(n_s, L+1), keep small
+    * sources whole, cap the big ones at L, and hand the integer
+    * remainder B − Σ min(n_s, L) one token each to the capped
+    * sources in source order (deterministic). B = total div 2 here —
+    * a fixed fraction keeps the query self-contained; production
+    * passes an absolute budget.
+    *
+    * Closed form, not iteration: sort sources by (n_s, source); a
+    * source i is UNCAPPED iff serving everything up to it and
+    * leveling the rest at n_i fits the budget
+    * (cum_{i−1} + (S−i+1)·n_i ≤ B — monotone in i, so the uncapped
+    * set is a prefix); L and the remainder then fall out of one
+    * integer division against the prefix maximum. Everything after
+    * the per-source token agg is window algebra over the S-row
+    * census — the windows are single-partition BY DESIGN and bounded
+    * by the source DIMENSION (like the t36 16-cell grid), not by
+    * corpus rows; the corpus itself contributes exactly one keyed
+    * agg. Output: (source, n_tokens, alloc, capped), with
+    * Σ alloc = min(B, total) — the invariant TokenBudgetSpec pins. */
+  def tokenBudgetAllocation(docs: DataFrame, srcCol: String,
+                            tokens: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs
+      .select(col(srcCol).as("source"), size(tokens).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val wAsc = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val wAll = Window.partitionBy()
+    val ranked = census.select(col("source"), col("n_tokens"),
+        sum(col("n_tokens")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum"),
+        row_number().over(wAsc).as("i"),
+        count(lit(1)).over(wAll).as("s_cnt"),
+        sum(col("n_tokens")).over(wAll).as("total"))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("uncapped",
+        col("cum") - col("n_tokens") +
+          (col("s_cnt") - col("i") + 1L) * col("n_tokens") <= col("budget"))
+    val scal = ranked.agg(
+      max(when(col("uncapped"), col("i"))).as("istar"),
+      max(when(col("uncapped"), col("cum"))).as("cumstar")).select(
+      coalesce(col("istar"), lit(0L)).cast("long").as("istar"),
+      coalesce(col("cumstar"), lit(0L)).as("cumstar"))
+    val joined = ranked.crossJoin(broadcast(scal)) // 1-row scalar, the q39 class
+      .withColumn("denom", col("s_cnt") - col("istar"))
+      .withColumn("level",
+        when(col("denom") > 0L,
+          expr("(budget - cumstar) div denom")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("denom") > 0L,
+          expr("(budget - cumstar) % denom")).otherwise(lit(0L)))
+      .withColumn("capped", !col("uncapped"))
+    val wCap = Window.partitionBy(col("capped")).orderBy(col("source").asc)
+    joined
+      .withColumn("rcap", row_number().over(wCap).cast("long"))
+      .select(col("source"), col("n_tokens"),
+        when(!col("capped"), col("n_tokens"))
+          .otherwise(col("level") +
+            when(col("rcap") <= col("rem"), 1L).otherwise(0L)).as("alloc"),
+        col("capped"))
+  }
+
   /** DETERMINISTIC GLOBAL TRAINING ORDER — the seeded corpus shuffle
     * a training run fixes before packing batches: every document gets
     * a dense position 0..n−1 in the order of `md5(seed ":" id)`

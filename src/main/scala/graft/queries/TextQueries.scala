@@ -688,6 +688,19 @@ private[graft] object TextQueries {
       CorpusOps.filterFunnel(t(s, dir, "documents"), "doc_id", "text",
         cleanTokens, "source")),
 
+    // TOKEN-BUDGET WATER-FILLING (CorpusOps.tokenBudgetAllocation):
+    // the "mix under budget" gate that complements t14's α-temperature
+    // rebalancing — given a global token budget B (here total div 2),
+    // cap every source at the water level L where
+    // Σ min(n_s, L) + remainder = B, remainder spread one token each
+    // over the capped sources in source order. Exact integer algebra
+    // over the S-row source census only (the corpus contributes one
+    // keyed agg); the census windows ARE single-partition, bounded by
+    // the source DIMENSION, never by corpus rows — the t36-grid class.
+    "t40_token_budget" -> ((s, dir) =>
+      CorpusOps.tokenBudgetAllocation(
+        t(s, dir, "documents"), "source", cleanTokens)),
+
     // DETERMINISTIC GLOBAL TRAINING ORDER (CorpusOps.globalTrainOrder):
     // the seeded corpus shuffle fixed before batch packing — dense
     // position 0..n-1 in md5-key order, id-tiebroken, assigned WITHOUT
