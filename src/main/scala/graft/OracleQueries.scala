@@ -1802,6 +1802,31 @@ GROUP BY sym"""
          |  (coalesce(lab.cluster, h.media_id) = h.media_id) AS keep
          |FROM h LEFT JOIN lab ON h.media_id = lab.node
          |LEFT JOIN cs ON lab.cluster = cs.cluster""".stripMargin,
+    // d26: byte-identical oracle to d23 — the engine side runs the
+    // blocks=8 scale geometry; same pairs, same closure, same keepers
+    // is exactly the claim under test.
+    "d26_image_dedup_blocks" ->
+      s"""WITH RECURSIVE
+         |h AS (SELECT media_id, phash
+         |  FROM read_parquet('$FixtureDir/image_phash.parquet')),
+         |pairs AS MATERIALIZED (SELECT a.media_id AS ia, b.media_id AS ib
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+         |sym AS MATERIALIZED (SELECT ia AS s, ib AS d FROM pairs
+         |  UNION SELECT ib, ia FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |  FROM lab GROUP BY cluster)
+         |SELECT h.media_id,
+         |  coalesce(lab.cluster, h.media_id) AS cluster,
+         |  coalesce(cs.csize, 1) AS csize,
+         |  (coalesce(lab.cluster, h.media_id) = h.media_id) AS keep
+         |FROM h LEFT JOIN lab ON h.media_id = lab.node
+         |LEFT JOIN cs ON lab.cluster = cs.cluster""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
          |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test

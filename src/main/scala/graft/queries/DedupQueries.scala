@@ -118,6 +118,24 @@ private[graft] object DedupQueries {
         "media_id", "phash", maxDist = 6)
     }),
 
+    // d23 THROUGH THE SCALE GEOMETRY: the identical image-dedup
+    // result computed with the block-combination banding (blocks = 8:
+    // 28 16-bit block-pair keys/row instead of 7 9-bit bands — the
+    // knob a 10⁸⁺-signature corpus turns, ~29× less uniform collision
+    // mass for 4× key fan-out; measured in ScaleProbe hm mode). The
+    // oracle is d23's all-pairs recursive-CTE closure VERBATIM — the
+    // driver's own artifact pins that the scale path is
+    // result-identical, not just spec-identical (HammingBlocksSpec's
+    // in-battery claim).
+    "d26_image_dedup_blocks" -> ((s, _) => {
+      import s.implicits._
+      MultimodalOps.hammingDedupLabels(
+        MultimodalOps.imagePHash(
+          s.read.parquet(s"${SparkEntry.FixtureDir}/media_images.parquet")
+            .as[MultimodalOps.MediaRow], dim = 32).toDF(),
+        "media_id", "phash", maxDist = 6, blocks = 8)
+    }),
+
     // AUDIO near-dup pairs — the d22 device on the audio side:
     // decode real PCM WAV/AIFF payloads → 64-bit spectral fingerprint
     // (Haitsma-Kalker shape: 9×8 time-band energy grid, sign-of-delta
