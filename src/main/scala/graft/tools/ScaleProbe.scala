@@ -222,7 +222,11 @@ object ScaleProbe {
           sigs(n), "media_id", "phash", maxDist = 6, blocks = blocks)
           .filter(col("csize") > 1).count()
       labels(10000L, 7); sweep() // warmup
-      for (b <- Seq(7, 8, 10)) {
+      // optional 4th+ args select the block geometries (isolated
+      // large-factor reruns without re-paying the 9-bit default)
+      val geoms = if (args.length > 3) args.drop(3).toSeq.map(_.toInt)
+        else Seq(7, 8, 10)
+      for (b <- geoms) {
         // the default d+1 geometry is probed only to 3×: at 1M
         // uniform signatures its ~7·n²/2^9.14 ≈ 6·10⁹ candidate
         // rows spill past this box's 80 GB — measured, not
