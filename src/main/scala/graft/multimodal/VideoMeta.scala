@@ -188,6 +188,11 @@ object VideoMeta {
                 nTracks += 1
                 walkBoxes(p, b2, e2) { (t3, b3, e3) =>
                   if (t3 == "tkhd") {
+                    // An empty tkhd (body ends at b3, possibly at buffer end)
+                    // must fail *before* the version-byte read — totality
+                    // contract: parse never throws on adversarial bytes.
+                    if (b3 >= e3) Left("malformed: tkhd too short")
+                    else {
                     val version = p(b3) & 0xFF
                     // v0: 4 flags + 4+4 times + 4 id + 4 res + 4 dur
                     //     + 8 res + 2+2+2+2 + 36 matrix = 76 to width
@@ -201,6 +206,7 @@ object VideoMeta {
                       if (tw > w) w = tw
                       if (th > h) h = th
                       Right(())
+                    }
                     }
                   } else Right(())
                 }

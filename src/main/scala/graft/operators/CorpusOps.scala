@@ -1336,32 +1336,37 @@ object CorpusOps {
     * hex chars bucket rows into 256 ranges whose lexicographic order
     * IS the global key order (a prefix is order-consistent), so:
     *   1. a 256-row census (bucket → count) computes each bucket's
-    *      global offset — a bounded driver collect, same class as
-    *      the k-means centroid fold;
+    *      global offset IN-PLAN: offset(b) = Σ count(b') over b' < b,
+    *      spelled as a triangular broadcast self-join of the census
+    *      with itself (256×256 comparisons — trivial, fully parallel,
+    *      and crucially free of both a driver collect and a
+    *      SinglePartition window, so construction stays LAZY and the
+    *      census scan is always inside the timed/benched action);
     *   2. positions are offset + (per-bucket rank − 1), ranked by a
     *      Window PARTITIONED on the bucket — 256 bounded partitions
     *      of ~n/256 rows each, fully parallel;
     *   3. batch_id = pos div batchRows falls out for free.
+    * The input is scanned twice (census subtree + ranked pass) — the
+    * unavoidable price of a dense global index without a global sort;
+    * both scans are lazy and belong to the caller's one action.
     * MD5 is uniform enough that no bucket exceeds ~1.2× the mean on
     * real ids; for adversarial skew, widen the prefix to 3-4 chars
-    * (4096/65536 buckets) — the census stays driver-bounded. */
+    * (4096/65536 buckets) — the census stays broadcast-bounded. */
   def globalTrainOrder(docs: DataFrame, idCol: String, seed: String,
                        batchRows: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
     val keyed = docs.select(col(idCol), key.as("_k"),
       substring(key, 1, 2).as("_b"))
-    val counts = keyed.groupBy(col("_b"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) =>
-      (b, acc + n)
-    } // scanLeft pairs each bucket with the count-sum of its predecessors
-    val offDf = docs.sparkSession.createDataFrame(
-      counts.zip(offsets.tail.map(_._2)).map { case ((b, n), end) =>
-        (b, end - n)
-      }.toSeq).toDF("_b", "_off")
+    val counts = keyed.groupBy(col("_b")).agg(count(lit(1)).as("n"))
+    val pred = counts.select(col("_b").as("_b2"), col("n").as("n2"))
+    // offset(b) = sum of counts over lexicographically smaller buckets
+    // (a hex prefix is order-consistent with the full key); left join
+    // keeps the first bucket (no smaller neighbor) at offset 0
+    val offDf = counts
+      .join(broadcast(pred), col("_b2") < col("_b"), "left")
+      .groupBy(col("_b"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("_off"))
     val w = Window.partitionBy(col("_b")).orderBy(col("_k"), col(idCol))
     keyed.join(broadcast(offDf), Seq("_b"))
       .select(col(idCol),

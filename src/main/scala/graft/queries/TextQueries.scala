@@ -728,6 +728,10 @@ private[graft] object TextQueries {
     "t38_vocab_coverage" -> ((s, dir) => {
       val vocab = s.read
         .parquet(s"${SparkEntry.FixtureDir}/sentiment_vocab.parquet")
+        // the oracle SQL applies SELECT DISTINCT defensively; mirror it
+        // here so a duplicate term in a regenerated fixture can't fan
+        // out the exploded token stream on the engine side only
+        .select(col("term")).distinct()
         .select(col("term"), lit(1).as("in_vocab"))
       t(s, dir, "documents")
         .select(col("source"), explode(cleanTokens).as("term"))

@@ -68,6 +68,24 @@ class MediaDigestDedupStreamSpec extends AnyFunSuite with SparkSessionFixture {
     assert(byDigest.values.exists(g =>
       g.map(x => batchOf(x._1)).distinct.size > 1),
       "twins must straddle micro-batches for the cross-batch pin")
+    // The admitted-set == min-id-keeper equality below additionally
+    // relies on intra-batch ORDER never deciding a keeper: value order
+    // after the groupByKey shuffle is not guaranteed, so if a digest
+    // class had two members in the same micro-batch with no
+    // earlier-batch keeper, first-seen could pick the higher id and
+    // flake. Make the assumption explicit — every multi-member class's
+    // min-id member must sit in a strictly earlier batch than ALL its
+    // twins; a future fixture violating this must fail loudly here,
+    // not intermittently at the equality.
+    byDigest.values.filter(_.size > 1).foreach { g =>
+      val minId = g.map(_._1).min
+      g.map(_._1).filter(_ != minId).foreach { id =>
+        assert(batchOf(id) > batchOf(minId),
+          s"fixture/batching invariant broken: twin $id (batch " +
+            s"${batchOf(id)}) must arrive strictly after keeper $minId " +
+            s"(batch ${batchOf(minId)})")
+      }
+    }
 
     val prev = spark.conf.getOption(ProviderKey)
     spark.conf.set(ProviderKey, RocksDb)

@@ -58,6 +58,29 @@ class VideoMetaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("empty tkhd box whose body ends exactly at buffer end parses totally") {
+    // Hand-built layout the seeded fuzz can't reach: the fixture seeds
+    // always carry bytes after tkhd, so an empty tkhd (size 8, body ==
+    // 0 bytes) terminating the buffer never arises from mutation. The
+    // version-byte read must be bounds-guarded, not reached-and-thrown.
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
+    val mvhd = box("mvhd", Array.fill[Byte](4)(0) ++ be32(1000) ++
+      be32(1000) ++ Array.fill[Byte](80)(0))
+    // trak whose only child is a ZERO-body tkhd; moov ends the buffer
+    val trak = box("trak", box("tkhd", Array.emptyByteArray))
+    val moov = box("moov", mvhd ++ trak)
+    assertTotal(ftyp ++ moov, "empty tkhd at EOF")
+    assert(VideoMeta.parse(ftyp ++ moov).isLeft, "empty tkhd must reject")
+    // and the same with the mvhd after the trak (tkhd truly last bytes)
+    val moov2 = box("moov", trak ++ mvhd)
+    assertTotal(ftyp ++ moov2, "empty tkhd mid-moov")
+  }
+
   test("random tails and spliced magics parse totally") {
     val rnd = new scala.util.Random(992)
     val magics = Seq(
