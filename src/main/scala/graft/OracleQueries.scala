@@ -1742,6 +1742,29 @@ GROUP BY sym"""
          |  CAST(count(DISTINCT src) AS BIGINT) AS n_src,
          |  CAST(max(octet_length(payload)) AS BIGINT) AS n_bytes
          |FROM m GROUP BY payload""".stripMargin,
+    // v5: video near-dup pairs recomputed ALL-PAIRS from the
+    // committed sampled-frame hash table — slot-aligned distances,
+    // then the same exact integer 3/4 fraction gate on the shorter
+    // side's slot count. The engine side re-decodes the MJPEG AVIs
+    // and never leaves the slot-keyed banding; equality pins both
+    // banding completeness and decode+pHash determinism.
+    "v5_video_framedup" ->
+      s"""WITH h AS (SELECT media_id, frame_idx, phash
+         |  FROM read_parquet('$FixtureDir/video_frame_phash.parquet')),
+         |n AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nf
+         |  FROM h GROUP BY media_id),
+         |m AS (SELECT a.media_id AS ia, b.media_id AS ib,
+         |    CAST(count(*) AS BIGINT) AS matched
+         |  FROM h a JOIN h b
+         |    ON a.media_id < b.media_id AND a.frame_idx = b.frame_idx
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+         |  GROUP BY 1, 2)
+         |SELECT m.ia AS id_a, m.ib AS id_b, m.matched,
+         |  na.nf AS n_a, nb.nf AS n_b
+         |FROM m
+         |JOIN n na ON na.media_id = m.ia
+         |JOIN n nb ON nb.media_id = m.ib
+         |WHERE m.matched * 4 >= 3 * least(na.nf, nb.nf)""".stripMargin,
     "d25_audio_dedup" ->
       s"""WITH RECURSIVE
          |h AS (SELECT media_id, afp
@@ -1806,6 +1829,31 @@ GROUP BY sym"""
     // blocks=8 scale geometry; same pairs, same closure, same keepers
     // is exactly the claim under test.
     "d26_image_dedup_blocks" ->
+      s"""WITH RECURSIVE
+         |h AS (SELECT media_id, phash
+         |  FROM read_parquet('$FixtureDir/image_phash.parquet')),
+         |pairs AS MATERIALIZED (SELECT a.media_id AS ia, b.media_id AS ib
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+         |sym AS MATERIALIZED (SELECT ia AS s, ib AS d FROM pairs
+         |  UNION SELECT ib, ia FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node),
+         |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+         |  FROM lab GROUP BY cluster)
+         |SELECT h.media_id,
+         |  coalesce(lab.cluster, h.media_id) AS cluster,
+         |  coalesce(cs.csize, 1) AS csize,
+         |  (coalesce(lab.cluster, h.media_id) = h.media_id) AS keep
+         |FROM h LEFT JOIN lab ON h.media_id = lab.node
+         |LEFT JOIN cs ON lab.cluster = cs.cluster""".stripMargin,
+    // d28: byte-identical oracle to d23/d26 — the engine side lets
+    // autoHammingBlocks pick the geometry from the signature count;
+    // same pairs, same closure, same keepers is exactly the claim.
+    "d28_image_dedup_auto" ->
       s"""WITH RECURSIVE
          |h AS (SELECT media_id, phash
          |  FROM read_parquet('$FixtureDir/image_phash.parquet')),

@@ -136,6 +136,24 @@ private[graft] object DedupQueries {
         "media_id", "phash", maxDist = 6, blocks = 8)
     }),
 
+    // d23 WITH THE GEOMETRY CHOSEN BY THE OPERATOR (r12 verdict #1):
+    // hammingDedupLabelsAuto counts the signature table and picks
+    // blocks B from the measured ladder (autoHammingBlocks — B=7 to
+    // ~1.3e5 sigs, 8 to ~6.8e5, 9 to ~2.5e6, 10 beyond), so the one
+    // silent at-scale cliff — the default d+1 split ENOSPC-ing at
+    // ~1M uniform signatures — self-tunes away. Oracle is d23's
+    // all-pairs recursive-CTE closure VERBATIM: the auto choice must
+    // be result-identical, not just spec-identical (completeness is
+    // invariant in B; only candidate volume moves).
+    "d28_image_dedup_auto" -> ((s, _) => {
+      import s.implicits._
+      MultimodalOps.hammingDedupLabelsAuto(
+        MultimodalOps.imagePHash(
+          s.read.parquet(s"${SparkEntry.FixtureDir}/media_images.parquet")
+            .as[MultimodalOps.MediaRow], dim = 32).toDF(),
+        "media_id", "phash", maxDist = 6)
+    }),
+
     // AUDIO near-dup pairs — the d22 device on the audio side:
     // decode real PCM WAV/AIFF payloads → 64-bit spectral fingerprint
     // (Haitsma-Kalker shape: 9×8 time-band energy grid, sign-of-delta

@@ -98,6 +98,30 @@ object MediaQueries {
           sum(col("len")).as("n_bytes"))
     }),
 
+    // VIDEO near-dup by sampled-frame pHash over the committed MJPEG
+    // fixture — the r12 "real frame decode" item: MjpegAvi walks the
+    // RIFF movi list, each 00dc chunk is a complete JPEG decoded by
+    // the SAME ImageIO path still images use, DCT-pHashed, 8 slots
+    // sampled evenly; near-dup iff ≥ 3/4 of the shorter side's slots
+    // land within hamming 6 (slot-ALIGNED banded join — frame 3 meets
+    // only frame 3s — then an exact integer fraction gate). Oracle
+    // recomputes the pair set ALL-PAIRS in DuckDB from the committed
+    // frame-hash table (video_frame_phash.parquet, dumped through
+    // this same decode path), so banding completeness AND
+    // decode+pHash determinism are both value-checked; the planted
+    // structure includes a quality-0.5 re-encode twin (7/8 slots, one
+    // slot at distance 8 — the gate must pass it), a 4/8 partial
+    // overlap (must REJECT), and a 24-frame long cut whose sampled
+    // slots equal its 8-frame excerpt (sampling invariance).
+    "v5_video_framedup" -> ((s, _) => {
+      import s.implicits._
+      MultimodalOps.videoFrameNearDupPairs(
+        MultimodalOps.videoFramePHash(
+          media(s, "media_mjpeg.parquet").as[MultimodalOps.MediaRow],
+          maxFrames = 8, dim = 32).toDF(),
+        maxDist = 6, minMatchNum = 3, minMatchDen = 4)
+    }),
+
     "v3_media_digest_dedup" -> ((s, _) => {
       val all = media(s, "media_images.parquet")
         .select(lit("image").as("src"), col("media_id"), col("payload"))

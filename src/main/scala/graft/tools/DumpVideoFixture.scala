@@ -120,6 +120,123 @@ object DumpVideoFixture {
     cat(ascii("RIFF"), le32(inner.length.toLong), inner)
   }
 
+  // ---- MJPEG-in-AVI (real decodable frames) -------------------------
+  /** The DumpImageFixture textured device: seeded 9×9 splitmix grid
+    * upscaled bilinearly — low-frequency structure, so the DCT pHash
+    * bits are content, not noise, and a JPEG round-trip (or a mild
+    * intensity shift) moves few bits. */
+  private def textured(seed: Long, shift: Int = 0)(x: Int, y: Int): Int = {
+    def cell(i: Int, j: Int): Double = {
+      var h = i * 0x9E3779B97F4A7C15L + j * 0xC2B2AE3D27D4EB4FL +
+        seed * 0x165667B19E3779F9L
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      ((h >>> 24) & 0xffL).toDouble / 255.0 * 160.0 + 40.0
+    }
+    val fx = x / 8.0; val fy = y / 8.0
+    val i = fx.toInt; val j = fy.toInt
+    val dx = fx - i; val dy = fy - j
+    val v = cell(i, j) * (1 - dx) * (1 - dy) + cell(i + 1, j) * dx * (1 - dy) +
+      cell(i, j + 1) * (1 - dx) * dy + cell(i + 1, j + 1) * dx * dy
+    v.toInt + shift
+  }
+  /** Small grayscale baseline JPEG — the frame payload of an MJPEG
+    * `00dc` chunk (every frame a complete SOI..EOI image, per the
+    * MJPEG convention; decodable by plain ImageIO). Kept small
+    * (32×32 ≈ 800 B) so the fuzz battery's O(len²) prefix sweep over
+    * these payloads stays cheap. */
+  private def jpegFrame(seed: Long, shift: Int = 0, quality: Float = -1f,
+                        w: Int = 32, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0,
+        math.max(0, math.min(255, textured(seed, shift)(x, y))))
+    val bos = new ByteArrayOutputStream()
+    if (quality < 0f) {
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    } else {
+      // explicit low quality: heavier AC quantization noise, so the
+      // re-encoded twin lands at small NONZERO pHash distance (a
+      // uniform intensity shift only moves the DC coefficient, which
+      // the pHash is invariant to by design)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+    }
+    bos.toByteArray
+  }
+  /** AVI whose `movi` list carries one `00dc` JPEG chunk per frame —
+    * the real-decode video fixture. `recWrap` nests frames inside a
+    * `rec ` LIST (interleaved-AVI grammar) to pin the walker's
+    * recursion; `junkFrames` prepends non-JPEG video chunks (must be
+    * skipped, not errored). */
+  private def aviMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       recWrap: Boolean = false, junkFrames: Int = 0,
+                       seed: Long = 5): Array[Byte] = {
+    val avih = riffChunk("avih", cat(
+      le32(33333L), le32(4000000L), le32(0), le32(0x10),
+      le32(frames.size.toLong), le32(0), le32(1L), le32(65536L),
+      le32(w.toLong), le32(h.toLong), le32(0), le32(0), le32(0), le32(0)))
+    val hdrl = riffList("hdrl", avih)
+    val junkChunks = (0 until junkFrames)
+      .map(i => riffChunk("00dc", junk(seed + i, 63))) // odd: exercises pad
+    val frameChunks = frames.map(f => riffChunk("00dc", f))
+    val body: Seq[Array[Byte]] =
+      if (recWrap) junkChunks ++ frameChunks.map(c => riffList("rec ", c))
+      else junkChunks ++ frameChunks
+    val movi = riffList("movi", body: _*)
+    val inner = cat(ascii("AVI "), hdrl, movi)
+    cat(ascii("RIFF"), le32(inner.length.toLong), inner)
+  }
+
+  /** The MJPEG fixture's (media_id, container bytes) rows — separate
+    * from [[payloads]] so the v1–v4 oracles over media_videos.parquet
+    * are untouched. Planted structure for v5_video_framedup
+    * (maxDist 6, match fraction 3/4 of the shorter side's slots):
+    *  - 200/201: 8-frame twins (201 re-encoded at JPEG quality 0.5 —
+    *    AC quantization noise lands slots at small NONZERO pHash
+    *    distance, so the verify band is exercised, not just exact
+    *    equality; a uniform intensity shift would be pHash-invariant);
+    *  - 202: first 4 of 8 frames shared with 200 — a candidate the
+    *    fraction gate must REJECT (4/8 < 3/4);
+    *  - 230/231: sampling invariance — 230 has 24 frames, 231 the
+    *    exact 8 frames slot-sampling picks from 230 (⌊j·24/8⌋ =
+    *    frames 0,3,…,21), so they match slot-for-slot;
+    *  - 240: rec-wrapped + junk-chunk layout of 200's frames (same
+    *    hashes through the walker's recursion/skip paths);
+    *  - 220–223: unrelated singletons;
+    *  - 290: AVI whose video chunks are not JPEGs (ok=false row),
+    *    291: MP4 (not AVI — error routes). */
+  private[graft] def mjpegPayloads: Seq[(Long, Array[Byte])] = {
+    def framesOf(seeds: Seq[Long], shift: Int = 0,
+                 quality: Float = -1f): Seq[Array[Byte]] =
+      seeds.map(s => jpegFrame(s, shift, quality))
+    val fam = (0 until 8).map(i => 2000L + i)
+    val v200 = aviMjpeg(framesOf(fam), 32, 32)
+    val v201 = aviMjpeg(framesOf(fam, quality = 0.5f), 32, 32)
+    val v202 = aviMjpeg(framesOf(fam.take(4) ++ (0 until 4).map(i => 2900L + i)), 32, 32)
+    val long = (0 until 24).map(i => 2300L + i)
+    val v230 = aviMjpeg(framesOf(long), 32, 32)
+    val v231 = aviMjpeg(
+      framesOf(graft.multimodal.MjpegAvi.sampleIndices(24, 8).map(long)),
+      32, 32)
+    val v240 = aviMjpeg(framesOf(fam), 32, 32, recWrap = true, junkFrames = 2)
+    val singles = (0 until 4).map { i =>
+      (220L + i) -> aviMjpeg(framesOf((0 until 8).map(j => 5000L + i * 10 + j)), 32, 32)
+    }
+    val v290 = avi(33333, 900, 1, 320, 240, seed = 29) // junk 00dc, no JPEG
+    val v291 = mp4("isom", 1000, 5000, Seq((1, 160, 120)), seed = 30)
+    Seq(200L -> v200, 201L -> v201, 202L -> v202,
+      230L -> v230, 231L -> v231, 240L -> v240) ++ singles ++
+      Seq(290L -> v290, 291L -> v291)
+  }
   // ---- Matroska / WebM (EBML) ---------------------------------------
   /** Element ID bytes are written verbatim (IDs include the marker). */
   private def ebmlIdBytes(id: Long): Array[Byte] = {
@@ -248,6 +365,25 @@ object DumpVideoFixture {
 
     val meta = VideoMeta.videoMeta(media)
     writeSingle(meta.toDF(), s"$out/video_meta.parquet")
+
+    // MJPEG fixture (separate table — v1-v4 oracles stay untouched):
+    // payloads + the engine-path frame-hash table for v5's all-pairs
+    // oracle (ok rows only, the image_phash.parquet convention)
+    val mjpeg = mjpegPayloads.map { case (id, b) => row(id, b) }.toDS()
+    writeSingle(mjpeg.toDF(), s"$out/media_mjpeg.parquet")
+    val frameHashes = graft.multimodal.MultimodalOps
+      .videoFramePHash(mjpeg, maxFrames = 8, dim = 32)
+    writeSingle(frameHashes.filter(_.ok)
+        .map(f => (f.media_id, f.frame_idx, f.phash))
+        .toDF("media_id", "frame_idx", "phash"),
+      s"$out/video_frame_phash.parquet")
+    val fh = frameHashes.collect().sortBy(f => (f.media_id, f.frame_idx))
+    fh.groupBy(_.media_id).toSeq.sortBy(_._1).foreach { case (id, fs) =>
+      val oks = fs.filter(_.ok)
+      println(f"mjpeg $id%4d frames=${oks.length} " +
+        (if (oks.isEmpty) s"err=${fs.head.error}"
+         else oks.map(f => f"${f.phash}%016x").mkString(" ")))
+    }
 
     val parsed = meta.collect().sortBy(_.media_id)
     parsed.foreach(r => println(

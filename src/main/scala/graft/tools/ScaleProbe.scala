@@ -221,21 +221,47 @@ object ScaleProbe {
         MultimodalOps.hammingDedupLabels(
           sigs(n), "media_id", "phash", maxDist = 6, blocks = blocks)
           .filter(col("csize") > 1).count()
+      // geometry chosen by the operator (r12 verdict #1): persist the
+      // signature table first — the shape a real caller at 10⁶⁺ has —
+      // so the auto count() pass reads the cache, then report the
+      // PhaseLog-recorded choice alongside the wall
+      def labelsAuto(n: Long): Long = {
+        val s = sigs(n).persist()
+        try MultimodalOps.hammingDedupLabelsAuto(
+            s, "media_id", "phash", maxDist = 6)
+          .filter(col("csize") > 1).count()
+        finally s.unpersist(blocking = false)
+      }
+      graft.PhaseLog.enabled = true
       labels(10000L, 7); sweep() // warmup
       // optional 4th+ args select the block geometries (isolated
-      // large-factor reruns without re-paying the 9-bit default)
-      val geoms = if (args.length > 3) args.drop(3).toSeq.map(_.toInt)
-        else Seq(7, 8, 10)
-      for (b <- geoms) {
-        // the default d+1 geometry is probed only to 3×: at 1M
-        // uniform signatures its ~7·n²/2^9.14 ≈ 6·10⁹ candidate
-        // rows spill past this box's 80 GB — measured, not
-        // estimated (the first hm run died ENOSPC there). That IS
-        // the finding; the wider-block geometries take the full
-        // factor in stride.
-        val f = if (b == 7) math.min(factor, 3) else factor
-        time(s"hamming labels 1x  B=$b")(labels(n1, b))
-        time(s"hamming labels ${f}x B=$b")(labels(n1 * f, b))
+      // large-factor reruns without re-paying the 9-bit default);
+      // "auto" probes the operator-chosen geometry
+      val geoms = if (args.length > 3) args.drop(3).toSeq
+        else Seq("7", "8", "10", "auto")
+      for (g <- geoms) {
+        if (g == "auto") {
+          def chosen(): Unit = graft.PhaseLog.drain()
+            .filter(_._1 == "hamming auto-blocks")
+            .foreach { case (_, b) =>
+              println(s"    auto geometry chose B=${b.toInt}") }
+          graft.PhaseLog.drain() // clear pre-warmup noise
+          time("hamming labels 1x  B=auto")(labelsAuto(n1))
+          chosen()
+          time(s"hamming labels ${factor}x B=auto")(labelsAuto(n1 * factor))
+          chosen()
+        } else {
+          val b = g.toInt
+          // the default d+1 geometry is probed only to 3×: at 1M
+          // uniform signatures its ~7·n²/2^9.14 ≈ 6·10⁹ candidate
+          // rows spill past this box's 80 GB — measured, not
+          // estimated (the first hm run died ENOSPC there). That IS
+          // the finding; the wider-block geometries take the full
+          // factor in stride.
+          val f = if (b == 7) math.min(factor, 3) else factor
+          time(s"hamming labels 1x  B=$b")(labels(n1, b))
+          time(s"hamming labels ${f}x B=$b")(labels(n1 * f, b))
+        }
       }
       spark.stop()
       return

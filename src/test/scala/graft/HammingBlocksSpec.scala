@@ -85,4 +85,38 @@ class HammingBlocksSpec extends AnyFunSuite with SparkSessionFixture {
       MultimodalOps.hammingNearDupPairs(df, "media_id", "phash", 6, 11)
     }
   }
+
+  test("autoHammingBlocks reproduces the measured d=6 ladder") {
+    // the round-12 probe curve, made self-tuning: smallest B whose
+    // expected uniform candidate mass fits the 1e8 budget. Breakpoints
+    // (d=6): B=7 ≈ mass n²/161 → n* ≈ 1.27e5; B=8 ≈ n²/4681 →
+    // n* ≈ 6.8e5; B=9 ≈ n²/6.3e4... → n* ≈ 2.5e6; B=10 beyond.
+    def b(n: Long) = MultimodalOps.autoHammingBlocks(n, 6)
+    assert(b(0L) === 7)
+    assert(b(201L) === 7)           // the committed fixture's regime
+    assert(b(100000L) === 7)        // probe point: d+1 carries 100k
+    assert(b(200000L) === 8)        // past the B=7 breakpoint
+    assert(b(1000000L) === 9)       // 1M — where the default ENOSPC'd
+    assert(b(3000000L) === 10)      // probe's third decade
+    assert(b(100000000L) === 10)    // capped at d+4, over budget logged
+    // monotone non-decreasing in n (a bigger corpus never narrows B)
+    val ladder = Seq(1L, 1000L, 1e5.toLong, 5e5.toLong, 1e6.toLong,
+      1e7.toLong, 1e9.toLong).map(b)
+    assert(ladder === ladder.sorted)
+    // other radii stay inside the legal (d, d+4] window
+    for (d <- Seq(0, 2, 7); n <- Seq(1L, 1e6.toLong, 1e9.toLong)) {
+      val got = MultimodalOps.autoHammingBlocks(n, d)
+      assert(got > d && got <= d + 4, s"d=$d n=$n got=$got")
+    }
+  }
+
+  test("auto geometry is result-identical to every manual geometry") {
+    val rows = corpus
+    val want = truth(rows, 6)
+    import spark.implicits._
+    val got = MultimodalOps.hammingNearDupPairsAuto(
+        rows.toDF("media_id", "phash"), "media_id", "phash", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
 }

@@ -94,4 +94,41 @@ class VideoMetaFuzzSpec extends AnyFunSuite {
       assertTotal(src ++ tail, s"tail $i")
     }
   }
+
+  // ---- MjpegAvi.mjpegFrames: same totality contract, seeded from the
+  // MJPEG fixture payloads (real multi-KB AVIs with JPEG 00dc chunks)
+
+  private def mjpegPayloads: Seq[Array[Byte]] =
+    graft.tools.DumpVideoFixture.mjpegPayloads.map(_._2)
+
+  private def assertFramesTotal(p: Array[Byte], what: String): Unit =
+    graft.multimodal.MjpegAvi.mjpegFrames(p) match {
+      case Right(frames) =>
+        assert(frames.nonEmpty, what)
+        // a parse that survives mutation must still return honest
+        // JPEG chunk payloads (SOI leading) of bounded count
+        assert(frames.size <= 65536, what)
+        frames.foreach(f => assert((f(0) & 0xFF) == 0xFF &&
+          (f(1) & 0xFF) == 0xD8, what))
+      case Left(reason) => assert(reason.nonEmpty, what)
+    }
+
+  test("every strict prefix of every MJPEG payload extracts totally") {
+    mjpegPayloads.foreach { p =>
+      (0 until p.length).foreach(n =>
+        assertFramesTotal(p.take(n), s"mjpeg prefix $n"))
+    }
+  }
+
+  test("20k seeded corruptions of MJPEG payloads extract totally") {
+    val rnd = new scala.util.Random(993)
+    val ps = mjpegPayloads
+    (0 until 20000).foreach { i =>
+      val p = ps(rnd.nextInt(ps.length)).clone()
+      p(rnd.nextInt(p.length)) = rnd.nextInt().toByte
+      assertFramesTotal(p, s"mjpeg corruption $i")
+      // the metadata parser must also stay total on the MJPEG family
+      assertTotal(p, s"mjpeg meta corruption $i")
+    }
+  }
 }
