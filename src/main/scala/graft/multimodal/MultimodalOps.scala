@@ -288,30 +288,17 @@ object MultimodalOps {
     // the marker column is present (r11 advice)
     val src =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
-    val base = 64 / nBlocks
-    val extra = 64 % nBlocks // first `extra` blocks carry one more bit
-    val widths = (0 until nBlocks)
-      .map(b => base + (if (b < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def blockBits(b: Int): Column = {
-      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
-      shiftrightunsigned(col("h"), offsets(b)).bitwiseAND(lit(mask))
-    }
-    // one key per (nBlocks - maxDist)-subset: subset bits concatenated
-    // into a long (total width 64·(blocks−d)/blocks < 64 always)
-    val subsets = (0 until nBlocks).combinations(nBlocks - maxDist).toSeq
-    val keyCols = subsets.zipWithIndex.map { case (s, si) =>
-      val v = s.foldLeft(lit(0L): Column) { (acc, b) =>
-        shiftleft(acc, widths(b)).bitwiseOR(blockBits(b))
-      }
-      struct(lit(si).as("b"), v.as("v"))
-    }
+    // one key per (nBlocks - maxDist)-subset of bit blocks, emitted by
+    // the custom Generator: the declarative explode(array(struct…))
+    // spelling materializes C(blocks,d) struct columns and its
+    // generated doConsume blows the JVM 64 KB method limit at B ≥ 9
+    // (measured Janino fallback, r13 hm probe) — the Generator loops
+    // the subsets per row with zero array allocation instead
     val alignSel = alignCol.map(a => col(a).cast("long").as("al")).toSeq
     val keyed = src.select(
-        Seq(col(idCol).as("id"), col(hashCol).as("h")) ++ alignSel: _*)
-      .withColumn("band", explode(array(keyCols: _*)))
-      .withColumn("b", col("band.b")).withColumn("v", col("band.v"))
-      .drop("band")
+      Seq(col(idCol).as("id"), col(hashCol).as("h")) ++ alignSel ++
+        Seq(graft.plans.HammingBandKeys
+          .of(col(hashCol), maxDist, nBlocks)): _*)
     val alignEq = alignCol
       .map(_ => col("x.al") === col("y.al")).getOrElse(lit(true))
     val dedupKeys =
