@@ -1875,6 +1875,27 @@ GROUP BY sym"""
          |  (coalesce(lab.cluster, h.media_id) = h.media_id) AS keep
          |FROM h LEFT JOIN lab ON h.media_id = lab.node
          |LEFT JOIN cs ON lab.cluster = cs.cluster""".stripMargin,
+    // d27: exact-substring spans rederived independently — parallel
+    // unnests zip (pos, gram-md5) positionally, the census keeps
+    // grams occurring >= 2 times anywhere, islands merge consecutive
+    // duplicated starts; 0-based positions, window = 20.
+    "d27_exact_substring" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, len(toks) - 19)) AS pos,
+         |    unnest(list_transform(range(0, len(toks) - 19),
+         |      i -> md5(array_to_string(toks[i+1:i+20], ' ')))) AS gh
+         |  FROM d WHERE len(toks) >= 20),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |p AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS isl
+         |  FROM g JOIN dup USING (gh))
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
+         |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
+         |FROM p GROUP BY doc_id, isl""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
          |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test

@@ -641,4 +641,70 @@ object DedupOps {
         coalesce(col("component"), col(idCol)).as("cluster"),
         coalesce(col("csize"), lit(1L)).as("csize"))
   }
+
+  /** EXACT SUBSTRING duplicate spans at arbitrary boundaries — the
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", §4.1 ExactSubstr) spine re-expressed as Spark
+    * relational algebra instead of a suffix array. d9/d15 fingerprint
+    * fixed chunks; this finds the MAXIMAL duplicated token spans at
+    * any offset:
+    *
+    *  1. every `window`-token n-gram of every document fingerprinted
+    *     (md5 — the repo-wide oracle-reproducible hash; at 128 bits a
+    *     collision across 10¹² grams is ~10⁻¹³, and the 100 TB user
+    *     swaps in a longer hash, not a different plan);
+    *  2. a gram is DUPLICATED iff it occurs ≥ 2 times corpus-wide
+    *     (cross-document or self-repetition alike — ExactSubstr
+    *     semantics); one keyed census + a same-key join back, so the
+    *     gram exchange is computed once and reused, posting-list
+    *     shape, never all-pairs;
+    *  3. runs of CONSECUTIVE duplicated start positions merge into
+    *     maximal spans (gaps-and-islands: island = pos − row_number
+    *     per doc — the Window is partitioned by document, bounded by
+    *     document length, never global).
+    *
+    * A span [s, e] in the output means every `window`-gram starting
+    * in [s, e−window+1] occurs elsewhere — the standard distributed
+    * relaxation of suffix-array maximality (a span is reported once,
+    * with its full extent, not once per window). Output:
+    * (doc_id, span_start, span_end, span_tokens), positions 0-based
+    * token indices, span_tokens ≥ window by construction.
+    *
+    * 100 TB shape: the gram table is O(total tokens) narrow rows
+    * (id, pos, 32-char hash); shuffles are one gram-keyed census +
+    * join (reused exchange) and one doc-keyed window+agg (the agg
+    * rides the window's partitioning — no extra exchange). Nothing
+    * quadratic, nothing driver-side. */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, tokens: Column,
+                          window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= window)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - window),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
+          .as(Seq("pos", "gh")))
+      // shuffle-hash on both sides: census and join-back shuffle the
+      // SAME child on the same key, so ReusedExchange pays the gram
+      // pass once (the minhashCandidatePairs device)
+      .hint("shuffle_hash")
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dup, Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + window - 1).cast("long").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + window).cast("long")
+          .as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
 }

@@ -154,6 +154,18 @@ private[graft] object DedupQueries {
         "media_id", "phash", maxDist = 6)
     }),
 
+    // EXACT SUBSTRING duplicate spans (Lee et al. 2022 ExactSubstr,
+    // r12 verdict #3): maximal token spans whose every 20-token
+    // window occurs >= 2 times corpus-wide, at ARBITRARY offsets —
+    // the stronger operator behind d9/d15's fixed-chunk fingerprints.
+    // Engine: gram fingerprints -> reused-exchange census+join ->
+    // per-doc gaps-and-islands merge. Oracle: the same rederivation
+    // in DuckDB (parallel-unnest grams, HAVING census, window-island
+    // GROUP BY) over the same md5 fingerprints.
+    "d27_exact_substring" -> ((s, dir) =>
+      DedupOps.exactSubstringSpans(
+        t(s, dir, "documents"), "doc_id", cleanTokens, window = 20)),
+
     // AUDIO near-dup pairs — the d22 device on the audio side:
     // decode real PCM WAV/AIFF payloads → 64-bit spectral fingerprint
     // (Haitsma-Kalker shape: 9×8 time-band energy grid, sign-of-delta

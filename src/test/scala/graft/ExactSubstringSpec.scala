@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** [[DedupOps.exactSubstringSpans]] — the ExactSubstr (Lee et al.
+  * 2022) spine. Pins on a hand-built corpus with known span algebra:
+  *  - a shared run at DIFFERENT offsets in two documents is found in
+  *    both, with the correct 0-based extents (the suffix-array
+  *    property the fixed-chunk d9/d15 operators cannot see);
+  *  - maximality: consecutive duplicated windows merge into ONE span
+  *    covering the full shared run, not one row per window;
+  *  - self-repetition inside a single document is duplication;
+  *  - two separate shared runs in one document yield two islands;
+  *  - docs shorter than the window, and corpora with no duplication,
+  *    yield nothing;
+  *  - span_tokens ≥ window always, and spans never overlap per doc. */
+class ExactSubstringSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val W = 5
+
+  private def spans(rows: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    DedupOps.exactSubstringSpans(
+        rows.toDF("doc_id", "text"), "doc_id",
+        split(col("text"), " "), window = W)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("shared run at different offsets, full maximal extent, both docs") {
+    // doc 1: 3 unique + 8 shared + 4 unique; doc 2: 6 unique + 8 shared
+    val shared = words("s", 8)
+    val d1 = words("a", 3) + " " + shared + " " + words("b", 4)
+    val d2 = words("c", 6) + " " + shared
+    val got = spans(Seq(1L -> d1, 2L -> d2))
+    // doc 1: duplicated windows start at 3..6 → one span [3, 10], 8 toks
+    // doc 2: starts 6..9 → [6, 13], 8 toks
+    assert(got === Set((1L, 3L, 10L, 8L), (2L, 6L, 13L, 8L)))
+  }
+
+  test("self-repetition within one document counts as duplication") {
+    // the same 6-token run twice in one doc, nothing shared elsewhere
+    val run = words("r", 6)
+    val d = run + " " + words("x", 4) + " " + run
+    val got = spans(Seq(7L -> d, 8L -> words("z", 30)))
+    assert(got === Set((7L, 0L, 5L, 6L), (7L, 10L, 15L, 6L)))
+  }
+
+  test("two separate shared runs in one doc make two islands") {
+    val r1 = words("p", 6)
+    val r2 = words("q", 7)
+    val d1 = r1 + " " + words("m", 5) + " " + r2
+    val d2 = r1 + " " + words("n", 9) + " " + r2
+    val got = spans(Seq(1L -> d1, 2L -> d2))
+    assert(got === Set(
+      (1L, 0L, 5L, 6L), (1L, 11L, 17L, 7L),
+      (2L, 0L, 5L, 6L), (2L, 15L, 21L, 7L)))
+  }
+
+  test("short docs and dup-free corpora yield nothing") {
+    assert(spans(Seq(1L -> words("a", 4), 2L -> words("a", 4))) === Set.empty)
+    assert(spans(Seq(1L -> words("a", 20), 2L -> words("b", 20))) === Set.empty)
+  }
+
+  test("exact-window-length duplication is the minimal span") {
+    // exactly W shared tokens — one duplicated window each
+    val shared = words("s", W)
+    val got = spans(Seq(
+      1L -> (words("a", 7) + " " + shared),
+      2L -> (shared + " " + words("b", 7))))
+    assert(got === Set((1L, 7L, 11L, 5L), (2L, 0L, 4L, 5L)))
+  }
+
+  test("per-doc spans never overlap and always span >= window") {
+    // the committed-corpus style check on sf0.001 testdata
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = DedupOps.exactSubstringSpans(
+        docs, "doc_id", QuerySupport.cleanTokens, window = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.foreach { case (_, s, e, n) =>
+      assert(n >= 10); assert(e - s + 1 === n)
+    }
+    got.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2, s"overlap: $a $b")
+        case _ =>
+      }
+    }
+  }
+}
