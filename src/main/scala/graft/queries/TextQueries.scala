@@ -626,9 +626,13 @@ private[graft] object TextQueries {
     // days-present × 16 grid, micro-nat logs, exact cross-multiplied
     // p−q rational in DECIMAL(38,0), guarded non-negative division.
     // Cost: one narrow join + keyed agg folded map-side to
-    // |days| × 16 cells, COLLECTED (bounded: a year of days is 366 ×
-    // 16 cells), grid arithmetic on a local relation — flat at
-    // 100 TB.
+    // |days| × 16 cells; the DENSE grid (every day × every bucket,
+    // zeros included — add-one smoothing needs the absent cells) is
+    // assembled IN-PLAN by exploding a 16-long sequence under each
+    // distinct day and left-joining the occupancy back (r12 advice:
+    // the former driver-side collect+local-relation grew with the
+    // calendar horizon and hid the census scan from bench timing;
+    // this stays lazy, bounded, and fully distributed).
     "t37_psi_event_drift" -> ((s, dir) => {
       val nB = 16
       val ev = t(s, dir, "events")
@@ -637,17 +641,14 @@ private[graft] object TextQueries {
         .select(col("doc_id"),
           expr(s"least(n_chars div 64, ${nB - 1}L)").as("bucket"))
         .join(ev, col("doc_id") === col("event_id"))
-      // day rides the bounded local relation as its ISO string (the
-      // tuple encoder rejects java.sql.Date here) and is cast back to
-      // DATE below; ISO strings sort chronologically
-      val occ = d.groupBy(col("day").cast("string").as("day"), col("bucket"))
-        .agg(count(lit(1)).as("c")).collect()
-        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-      val days = occ.keySet.map(_._1).toSeq.sorted
-      import s.implicits._
-      val full = (for (e <- days; b <- 0L until nB.toLong)
-        yield (e, b, occ.getOrElse((e, b), 0L))).toDF("day_s", "bucket", "c")
-        .select(to_date(col("day_s")).as("day"), col("bucket"), col("c"))
+      val occ = d.groupBy(col("day"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val full = occ.select(col("day")).distinct()
+        .select(col("day"),
+          explode(sequence(lit(0L), lit((nB - 1).toLong))).as("bucket"))
+        .join(occ, Seq("day", "bucket"), "left")
+        .select(col("day"), col("bucket"),
+          coalesce(col("c"), lit(0L)).as("c"))
       val ne = full.groupBy(col("day")).agg(sum(col("c")).as("n_e"))
       val fe = full.join(ne, "day")
       def microNat(num: Column, den: Column): Column =

@@ -420,6 +420,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plan.contains("BroadcastHashJoin"), plan) // the 256-row offset join
   }
 
+  test("t37 grid assembly stays in-plan (no driver collect, no local grid)") {
+    // r12 advice: the former spelling collect()ed the day×bucket
+    // occupancy at CONSTRUCTION time and rebuilt the dense grid as a
+    // LocalTableScan — eager, horizon-bounded-but-growing, and the
+    // census scan escaped bench timing. The dense grid must now come
+    // from an explode(sequence) under the distinct days (a Generate
+    // node), with zero local relations and no single-partition funnel.
+    val plan = formatted("t37_psi_event_drift")
+    assert(!plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("t38 probes the 262k vocab by broadcast, never a sort-merge join") {
     // the 100 TB contract: only the token stream shuffles (for the
     // per-source agg); the vocab rides to the executors as a
