@@ -1613,6 +1613,32 @@ GROUP BY sym"""
       s"""$ccLabCte
          |SELECT node AS doc_id, cluster,
          |  count(*) OVER (PARTITION BY cluster) AS csize FROM lab""".stripMargin,
+    // d29: the Bloom pre-filter never drops a true member and the
+    // engine's exact semi-join removes its false positives, so the
+    // oracle is the PLAIN chunk-fingerprint semi-join over the same
+    // hash-deterministic base/incoming split (d15's chunk spelling)
+    "d29_bloom_admission" ->
+      s"""WITH ${OracleSql.chunkCte(sqlToks, "ci")},
+         |f AS (SELECT doc_id, ${OracleSql.chunkFpSql("ci")} AS chunk_fp,
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 5 = 0 AS is_new
+         |  FROM c)
+         |SELECT doc_id, count(DISTINCT chunk_fp) AS n_shared_chunks
+         |FROM f WHERE is_new
+         |  AND chunk_fp IN (SELECT chunk_fp FROM f WHERE NOT is_new)
+         |GROUP BY doc_id""".stripMargin,
+    // d30: d21's full per-doc label table (singletons = own id), then
+    // the split is a pure function of the CLUSTER label — the oracle
+    // rederives the closure recursively and applies the same
+    // md5-prefix hash ladder
+    "d30_leak_free_split" ->
+      s"""$ccLabCte,
+         |fl AS (SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node)
+         |SELECT doc_id, cluster,
+         |  CASE h WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+         |FROM (SELECT doc_id, cluster,
+         |    ${OracleSql.hash32("'split:' || CAST(cluster AS VARCHAR)")} % 10 AS h
+         |  FROM fl)""".stripMargin,
     // d20: cluster-size histogram over the d7 closure + the
     // singleton remainder (docs in no candidate pair) — the
     // governance census of HOW duplicated the corpus is

@@ -497,12 +497,12 @@ object DedupOps {
                      cfgs: Seq[(Int, Int)]): DataFrame =
     lshRecallSweepReleasable(docs, idCol, textCol, threshold, goldN, cfgs)._1
 
-  /** [[lshRecallSweep]] plus a release hook covering BOTH of its
-    * persists (gold trigram table + multi-config candidate pairs) —
-    * same caller contract as [[lshCandidateRecallReleasable]]. Each
-    * caller-supplied config is validated against the signature length
-    * up front (see [[bandKeysCfg]]) so a bad grid fails loudly before
-    * any Spark job runs. */
+  /** [[lshRecallSweep]] plus a release hook covering its one persist
+    * (the gold trigram table) — same caller contract as
+    * [[lshCandidateRecallReleasable]]. Each caller-supplied config is
+    * validated against the signature length up front (see
+    * [[bandKeysCfg]]) so a bad grid fails loudly before any Spark job
+    * runs. */
   def lshRecallSweepReleasable(docs: DataFrame, idCol: String,
                                textCol: String, threshold: Double,
                                goldN: Int, cfgs: Seq[(Int, Int)])
@@ -544,17 +544,21 @@ object DedupOps {
         col("l.rows_per_band").as("rows_per_band"),
         col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
       .distinct()
-      .persist()
-    val cagg = cands.groupBy(col("bands"), col("rows_per_band"))
-      .agg(count(lit(1)).as("n_cand"))
-    val hagg = cands.join(exact, Seq("doc_a", "doc_b"))
+    // Candidate volume and gold-hit count in ONE pass: left-mark each
+    // candidate pair against the (broadcast) gold-pair table and fold
+    // both counts in a single per-config aggregation. Round 13: the
+    // previous spelling persisted `cands` and scanned it twice (one
+    // groupBy for volume, a second join+groupBy for hits) — the merged
+    // pass drops the persist, one full scan of the pair set, and two
+    // materialization jobs; the output is hash-identical.
+    val scored = cands
+      .join(broadcast(exact.withColumn("is_hit", lit(1L))),
+        Seq("doc_a", "doc_b"), "left")
       .groupBy(col("bands"), col("rows_per_band"))
-      .agg(count(lit(1)).as("n_hit"))
-    val out = cagg
-      .join(hagg, Seq("bands", "rows_per_band"), "left")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("is_hit"), lit(0L))).as("n_hit"))
+    val out = scored
       .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true"))))
-      .select(col("bands"), col("rows_per_band"), col("n_true"),
-        col("n_cand"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .select(col("bands"), col("rows_per_band"), col("n_true"),
         col("n_cand"), col("n_hit"),
         expr("CASE WHEN n_true = 0 THEN 0L " +
@@ -563,7 +567,6 @@ object DedupOps {
           "ELSE (1000000 * n_hit) div n_cand END").as("cand_precision_mu"))
     (out, () => {
       tg.unpersist(blocking = true)
-      cands.unpersist(blocking = true)
       ()
     })
   }

@@ -371,6 +371,66 @@ private[graft] object DedupQueries {
         .agg(count_distinct(col("gh")).as("n_shared"))
     }),
 
+    // BFF/Dolma-style cross-corpus ADMISSION (Bloom pre-filter): an
+    // incoming shard is screened against the already-ingested base
+    // corpus at CHUNK granularity — the d15/t15 overlapping token
+    // windows, the unit paragraph-level Bloom dedup actually runs at.
+    // The base side's chunk fingerprints fold into a constant-size
+    // Bloom bitmap (SketchOps.bloomBitmap — one narrow pass, 128 KiB
+    // to the driver, shipped back as a plan literal); incoming chunks
+    // probe it MAP-SIDE inside codegen, so at a healthy ingest (~all
+    // chunks novel) almost nothing reaches the exchange — only
+    // bloom-positives pay the exact fingerprint semi-join that
+    // removes false positives. The per-doc rollup (how many of my
+    // chunks already exist in base) is therefore EXACTLY the plain
+    // semi-join's, which is the oracle. Base/incoming split is
+    // hash-deterministic like d8/d14.
+    "d29_bloom_admission" -> ((s, dir) => {
+      val ch = t(s, dir, "documents")
+        .select(col("doc_id"), cleanTokens.as("toks"),
+          (pmod(DedupOps.md5Hash32(col("doc_id").cast("string")),
+            lit(5)) === 0).as("is_new"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("is_new"),
+          explode(TextOps.chunkIndices("toks")).as("ci"), col("toks"))
+        .select(col("doc_id"), col("is_new"),
+          TextOps.chunkFingerprint(TextOps.chunkSlice("toks", "ci"))
+            .as("chunk_fp"))
+      SketchOps.bloomPrunedSemiJoin(
+          ch.filter(col("is_new")).select(col("doc_id"), col("chunk_fp")),
+          "chunk_fp",
+          ch.filter(!col("is_new")).select(col("chunk_fp")), "chunk_fp")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("chunk_fp")).as("n_shared_chunks"))
+    }),
+
+    // LEAKAGE-FREE train/val/test SPLIT: the d7/d21 near-dup closure
+    // decides the assignment unit — every member of a connected
+    // near-dup cluster lands in the SAME split (assigning by per-doc
+    // hash would leak near-copies of eval documents into train, the
+    // contamination Lee et al. 2022 measure). The split hashes the
+    // CLUSTER label, so assignment is reproducible across runs and
+    // cluster counts; singletons (docs in no candidate pair) are
+    // their own unit, giving ~80/10/10 by the mod-10 ladder. At
+    // 100 TB this is the d7 closure (banded LSH, never all-pairs)
+    // plus one narrow hash projection — no new shuffle beyond d21's.
+    "d30_leak_free_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = GraphOps.connectedComponents(
+          DedupOps.minhashCandidatePairs(docs, "doc_id", "text"),
+          "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val h = pmod(DedupOps.md5Hash32(
+        concat(lit("split:"), col("cluster").cast("string"))), lit(10))
+      docs.select(col("doc_id"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .select(col("doc_id"), col("cluster"),
+          when(h === 0, "test").when(h === 1, "val")
+            .otherwise("train").as("split"))
+    }),
+
 
     // duplicated-span measurement (the span-level signal behind
     // "Deduplicating Training Data Makes Language Models Better",

@@ -920,13 +920,19 @@ object StreamPipeline {
     * BROADCAST left join exactly like the batch plan, so only the
     * exploded token stream shuffles (for the windowed agg — keyed
     * by (window, source), watermark-bounded state, append mode
-    * emits each window once, closed). The distinct-term rates
-    * (n_terms / n_oov_terms) deliberately do NOT cross over:
-    * streaming aggregation forbids exact DISTINCT (unbounded
-    * per-window term state) — the monitor carries token-mass rates
-    * only, the batch query owns the vocabulary-shape ones.
+    * emits each window once, closed). The distinct-term rates cross
+    * over as HLL++ ESTIMATES (`n_terms_est` / `n_oov_terms_est`):
+    * exact DISTINCT is illegal in a streaming agg (unbounded
+    * per-window term state), but `approx_count_distinct` is a
+    * fixed-buffer imperative aggregate — per-(window, source) state
+    * stays O(2^p) bytes however many distinct terms arrive, which is
+    * exactly the trade a live monitor wants. At small cardinality the
+    * sketch runs in sparse mode and the estimate is EXACT; beyond
+    * that the documented error is rsd ≈ 2% (precision from
+    * rsd 0.02). The batch t38 query remains the exact-count owner.
     * OovCoverageStreamSpec pins window-sliced equality with the
-    * batch computation on the same rows. */
+    * batch computation on the same rows, and the estimate against a
+    * known-cardinality batch within the documented error. */
   def oovCoverageStream(docs: DataFrame, tsCol: String, textCol: String,
                         keyCol: String, vocab: DataFrame, termCol: String,
                         windowDur: String, watermark: String): DataFrame = {
@@ -939,10 +945,18 @@ object StreamPipeline {
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        approx_count_distinct(col("term"), rsd = 0.02)
+          .as("n_terms_est"),
+        // nulls are skipped by the aggregate, so the `when` restricts
+        // the sketch to OOV terms without a second explode/join pass
+        approx_count_distinct(
+          when(col("in_vocab").isNull, col("term")), rsd = 0.02)
+          .as("n_oov_terms_est"))
       .select(col("window.start").as("w_start"), col(keyCol),
         col("n_tokens"), col("n_oov"),
-        expr("(1000000 * n_oov) div n_tokens").as("oov_mu"))
+        expr("(1000000 * n_oov) div n_tokens").as("oov_mu"),
+        col("n_terms_est"), col("n_oov_terms_est"))
   }
 
   /** Streaming twin of the d14 incremental-admission operator
