@@ -900,6 +900,23 @@ GROUP BY sym"""
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
     // zero-norm guards mirror the Spark side (the s7 lesson)
+    // s18: filtered search — the label equality lives in the JOIN
+    // condition on both sides (the engine makes it the broadcast-hash
+    // join key; the oracle spells the same pre-filter relationally)
+    "s18_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    label AS q_attr
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id,
+         |  ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
+         |  FROM embeddings e
+         |  JOIN q ON e.label = q.q_attr AND e.vec_id != q.q_id)
+         |SELECT q_id, vec_id, sim, rn FROM (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
     "s8_ann_join" ->
       s"""WITH lb AS (SELECT vec_id AS l_id, embedding AS l_emb,
          |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
@@ -1389,6 +1406,28 @@ GROUP BY sym"""
     // row_number over ORDER BY md5 key (identical seed/tiebreak).
     // DuckDB md5 = Spark md5 (lowercase hex of the UTF-8 bytes);
     // both sides order hex strings by binary collation.
+    // t41: the oracle is the NAIVE global cumulative-sum window over
+    // the full key order — fine at sf0.01, a SinglePartition plan at
+    // 100 TB; hash equality proves the engine's 256-bucket two-offset
+    // assignment reproduces the exact global token prefix
+    "t41_shard_manifest" ->
+      s"""WITH kd AS (SELECT doc_id,
+         |    CAST(len($sqlToks) AS BIGINT) AS n,
+         |    md5('graft-epoch-0:' || CAST(doc_id AS VARCHAR)) AS mk
+         |  FROM documents),
+         |o AS (SELECT doc_id, n,
+         |    CAST(row_number() OVER (ORDER BY mk, doc_id) - 1
+         |      AS BIGINT) AS pos,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY mk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cumb
+         |  FROM kd)
+         |SELECT CAST(cumb // 2000 AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(min(pos) AS BIGINT) AS first_pos,
+         |  CAST(max(pos) AS BIGINT) AS last_pos
+         |FROM o GROUP BY 1""".stripMargin,
     "t39_train_order" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (

@@ -1374,4 +1374,55 @@ object CorpusOps {
       .select(col(idCol), col("pos"),
         expr(s"pos div $batchRows").as("batch_id"))
   }
+
+  /** TOKEN-BUDGET SHARD MANIFEST — the write-side twin of
+    * [[globalTrainOrder]]: docs are laid out in the same seeded
+    * global order and cut into contiguous shards of ~`targetTokens`
+    * tokens each, documents kept atomic (a doc belongs to the shard
+    * where its cumulative-token prefix starts, so shards overflow by
+    * at most one document — the standard greedy doc-atomic fill every
+    * sharded-training-data writer uses). The emitted MANIFEST — one
+    * row per shard with document count, token mass, and the
+    * [first_pos, last_pos] position range — is what a downstream
+    * loader needs to seek without reading data files.
+    *
+    * Scale shape: the naive spelling is a cumulative `sum() OVER
+    * (ORDER BY key)` — a SinglePartition window over all n rows, the
+    * same anti-pattern [[globalTrainOrder]] kills for row ranks, here
+    * applied to a measure. Same cure: the 2-hex-char key prefix
+    * buckets rows into 256 ranges ordered like the full key; a
+    * 256-row census (per-bucket row AND token totals) yields each
+    * bucket's global row/token offsets via the triangular broadcast
+    * self-join (in-plan, lazy, no driver collect); within a bucket a
+    * partitioned running sum finishes the prefix. Two lazy scans of
+    * the input (census + ranked pass), both inside the caller's one
+    * action; everything after the token-count projection moves
+    * (id, n) pairs only — the text never shuffles. */
+  def shardManifest(docs: DataFrame, idCol: String, tokens: Column,
+                    seed: String, targetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetTokens > 0, "targetTokens must be positive")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol), size(tokens).cast("long").as("_n"),
+      key.as("_k"), substring(key, 1, 2).as("_b"))
+    val counts = keyed.groupBy(col("_b"))
+      .agg(count(lit(1)).as("rows"), sum(col("_n")).as("toks"))
+    val pred = counts.select(col("_b").as("_b2"),
+      col("rows").as("r2"), col("toks").as("t2"))
+    val offDf = counts
+      .join(broadcast(pred), col("_b2") < col("_b"), "left")
+      .groupBy(col("_b"))
+      .agg(coalesce(sum(col("r2")), lit(0L)).as("_roff"),
+        coalesce(sum(col("t2")), lit(0L)).as("_toff"))
+    val w = Window.partitionBy(col("_b")).orderBy(col("_k"), col(idCol))
+    val cum = keyed.join(broadcast(offDf), Seq("_b"))
+      .select(col(idCol), col("_n"),
+        (col("_roff") + row_number().over(w) - 1L).as("pos"),
+        // cumulative tokens BEFORE this doc in global key order
+        (col("_toff") + sum(col("_n")).over(w) - col("_n")).as("_cumb"))
+      .withColumn("shard_id", expr(s"_cumb div ${targetTokens}L"))
+    cum.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+  }
 }

@@ -138,6 +138,37 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** METADATA-FILTERED exact top-k — the vector-DB "filtered search"
+    * shape: each query retrieves only among corpus rows whose
+    * attribute matches the query's own (label-constrained retrieval,
+    * tenant isolation, source-restricted RAG). The filter is applied
+    * as PRE-filter, not post-filter: the attribute becomes the JOIN
+    * KEY of the broadcast hash join, so candidate pairs form only
+    * inside matching attribute classes — a query over a class holding
+    * p% of the corpus scores p%·|C| pairs, never the |Q|·|C| of
+    * score-then-filter, and (unlike post-filtering a fixed-k pool) k
+    * survivors are guaranteed whenever the class has k members.
+    * Corpus side never shuffles (broadcast join + per-query top-k);
+    * norms staged once per side so each pair costs one dot product. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, attrCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+        col(attrCol).as("q_attr"))
+      .withColumn("q_nrm", l2norm(col("q_emb"))))
+    val c = corpus.select(col(idCol), col(embCol), col(attrCol))
+      .withColumn("c_nrm", l2norm(col(embCol)))
+    val scored = c.join(q,
+        col(attrCol) === col("q_attr") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(dotD(col("q_emb"), col(embCol)) /
+          (col("q_nrm") * col("c_nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates = vectors sharing at
     * least one band key with the query, then exact cosine + top-k on
     * the (bounded) candidate set. */

@@ -40,6 +40,17 @@ private[graft] object SimilarityQueries {
     // cross-corpus ANN JOIN: both sides large (even vs odd split of
     // the embedding table standing in for crawl-vs-training-set), no
     // broadcast — band-keyed shuffle join + bounded-state top-k
+    // metadata-filtered exact top-k: neighbors restricted to the
+    // query's own label class — the attribute is the broadcast-join
+    // KEY (pre-filter), never a post-filter on a scored pool
+    "s18_filtered_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.filteredTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "label", 5)
+    }),
+
+
     "s8_ann_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilarityOps.lshJoinTopK(

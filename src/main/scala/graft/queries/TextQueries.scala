@@ -702,6 +702,17 @@ private[graft] object TextQueries {
       CorpusOps.tokenBudgetAllocation(
         t(s, dir, "documents"), "source", cleanTokens)),
 
+    // TOKEN-BUDGET SHARD MANIFEST (CorpusOps.shardManifest): docs in
+    // t39's seeded global order cut into ~2000-token doc-atomic
+    // shards; one manifest row per shard. The oracle is the naive
+    // global cumulative-sum window — the hash compare proves the
+    // bucketed two-offset assignment reproduces the exact global
+    // token prefix (the t39 argument, applied to a measure).
+    "t41_shard_manifest" -> ((s, dir) =>
+      CorpusOps.shardManifest(
+        t(s, dir, "documents"), "doc_id", cleanTokens,
+        seed = "graft-epoch-0", targetTokens = 2000L)),
+
     // DETERMINISTIC GLOBAL TRAINING ORDER (CorpusOps.globalTrainOrder):
     // the seeded corpus shuffle fixed before batch packing — dense
     // position 0..n-1 in md5-key order, id-tiebroken, assigned WITHOUT

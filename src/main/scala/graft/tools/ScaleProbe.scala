@@ -178,6 +178,56 @@ object ScaleProbe {
       val n = ranks.count(); rel(); n
     }
 
+    // closure-only mode (third arg "cc"): the d7/d10 LSH→verify→CC
+    // spine in isolation, so the 100× point (r12 verdict item 6 —
+    // the sweep stopped at 40×) runs without paying semdedup/ivf/
+    // pagerank. The ×F corpus is the same affine-map construction;
+    // candidate volume scales linearly (cross-copy trigram Jaccard
+    // ≲ 2%, see object doc) and the closure's round count stays flat
+    // because component structure replicates per copy.
+    if (args.length > 2 && args(2) == "cc") {
+      graft.PhaseLog.enabled = true
+      closure(docs1); sweep() // warmup
+      graft.PhaseLog.drain()
+      def ccRounds(): Unit = {
+        val ph = graft.PhaseLog.drain()
+        val rounds = ph.count(_._1.startsWith("cc.round"))
+        val total = ph.filter(_._1.startsWith("cc.round")).map(_._2).sum
+        println(f"    cc rounds=$rounds (cc wall ${total}%.2fs)")
+      }
+      time("closure 1x")(closure(docs1)); ccRounds()
+      time(s"closure ${factor}x")(closure(docs10)); ccRounds()
+      spark.stop()
+      return
+    }
+
+    // s8 both-sides-large ANN-join mode (third arg "s8"): lshJoinTopK
+    // with the embeddings corpus split even/odd vec_id — BOTH sides
+    // scale with F (no broadcast side, no fixed probe set; this is
+    // the crawl-vs-training-set shape). Pairs are generated only on
+    // band collisions; per-left-row top-k rides the bounded-state
+    // TopKRows aggregate, so wall growth should track collision
+    // volume (~linear under the decorrelated ×F construction), never
+    // |L|·|R|.
+    if (args.length > 2 && args(2) == "s8") {
+      def s8(e: DataFrame): Long =
+        SimilarityOps.lshJoinTopK(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", 3).count()
+      s8(emb1); sweep() // warmup
+      time("s8 ann-join 1x")(s8(emb1))
+      time(s"s8 ann-join ${factor}x")(s8(emb10))
+      args.drop(3).map(_.toInt).foreach { f =>
+        val baseF = s"/tmp/graft_scale$f/embeddings"
+        require(new java.io.File(baseF).exists(),
+          s"build the ${f}x corpus first (run the default sweep at $f)")
+        time(s"s8 ann-join ${f}x")(s8(spark.read.parquet(baseF)))
+      }
+      spark.stop()
+      return
+    }
+
     // pagerank-only mode (third arg "pr"): iterate on the one family
     // whose 100x point needs isolated reruns without paying the full
     // corpus-build + closure sweep each time; extra factors after it
