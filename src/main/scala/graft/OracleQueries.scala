@@ -899,10 +899,10 @@ GROUP BY sym"""
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
-    // zero-norm guards mirror the Spark side (the s7 lesson)
     // s18: filtered search — the label equality lives in the JOIN
     // condition on both sides (the engine makes it the broadcast-hash
-    // join key; the oracle spells the same pre-filter relationally)
+    // join key; the oracle spells the same pre-filter relationally).
+    // Like s1, intentionally NO zero-norm guard.
     "s18_filtered_ann" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
          |    label AS q_attr
@@ -917,6 +917,7 @@ GROUP BY sym"""
          |      ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+    // zero-norm guards mirror the Spark side (the s7 lesson)
     "s8_ann_join" ->
       s"""WITH lb AS (SELECT vec_id AS l_id, embedding AS l_emb,
          |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey

@@ -439,13 +439,17 @@ object MultimodalOps {
     * "auto-select the hamming band geometry" item — removes the one
     * silent at-scale cliff, a 100 TB user no longer needs to know
     * the knob exists). Runs one eager `count()` over the narrow
-    * (id, hash) projection at construction time — on a persisted
-    * signature table that is a metadata-cheap scan; on a
-    * decode-derived frame it re-pays the decode, so persist the
-    * signature table first at scale (the shape every caller at
-    * 10⁶⁺ already has). The count is deliberate: geometry is a
-    * plan-shape decision and must precede planning, exactly like
-    * AQE's own runtime re-plan consulting observed statistics.
+    * (id, hash) projection at construction time — the count is
+    * deliberate: geometry is a plan-shape decision and must precede
+    * planning, exactly like AQE's own runtime re-plan consulting
+    * observed statistics. The operator PERSISTS that narrow
+    * projection itself (MEMORY_AND_DISK) before counting, so a
+    * decode-derived caller pays the decode exactly once — the count
+    * materializes the 16-bytes-per-row cache and pair generation
+    * reads from it (pinned by HammingBlocksSpec's single-decode
+    * test). The cache is left to Spark's LRU (the downstream pair
+    * plan is lazy, so there is no safe eager release point; at
+    * ~16 B/signature even 10⁹ signatures cache in 16 GB cluster-wide).
     * Completeness is invariant in the choice (HammingBlocksSpec);
     * only candidate volume moves, so results are hash-identical to
     * any manual geometry. Records the choice via [[graft.PhaseLog]]
@@ -455,24 +459,33 @@ object MultimodalOps {
                               hashCol: String, maxDist: Int): DataFrame = {
     val src =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
-    val n = src.select(col(idCol)).count()
+    val sig = src.select(col(idCol), col(hashCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sig.count()
     val b = autoHammingBlocks(n, maxDist)
     graft.PhaseLog.add("hamming auto-blocks", b.toDouble)
-    hammingNearDupPairs(src, idCol, hashCol, maxDist, blocks = b)
+    hammingNearDupPairs(sig, idCol, hashCol, maxDist, blocks = b)
   }
 
   /** [[hammingDedupLabels]] end-to-end with the [[autoHammingBlocks]]
     * geometry — signature table → auto-banded pairs → CC closure →
-    * min-id keeper. */
+    * min-id keeper. Persists the narrow (id, hash) projection ONCE
+    * and feeds both the pair generation and the id-universe scan from
+    * it, so a decode-derived caller pays the decode a single time
+    * across the whole pipeline. */
   def hammingDedupLabelsAuto(hashes: DataFrame, idCol: String,
                              hashCol: String, maxDist: Int): DataFrame = {
     val ok =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
-    val pairs = hammingNearDupPairsAuto(ok, idCol, hashCol, maxDist)
+    val sig = ok.select(col(idCol), col(hashCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = autoHammingBlocks(sig.count(), maxDist)
+    graft.PhaseLog.add("hamming auto-blocks", b.toDouble)
+    val pairs = hammingNearDupPairs(sig, idCol, hashCol, maxDist, blocks = b)
     val lab = graft.operators.GraphOps
       .connectedComponents(pairs, "id_a", "id_b")
     graft.operators.DedupOps
-      .fullClusterLabels(ok.select(col(idCol)), idCol, lab)
+      .fullClusterLabels(sig.select(col(idCol)), idCol, lab)
       .select(col(idCol), col("cluster"), col("csize"),
         (col("cluster") === col(idCol)).as("keep"))
   }

@@ -1397,7 +1397,12 @@ object CorpusOps {
     * partitioned running sum finishes the prefix. Two lazy scans of
     * the input (census + ranked pass), both inside the caller's one
     * action; everything after the token-count projection moves
-    * (id, n) pairs only — the text never shuffles. */
+    * (id, n) pairs only — the text never shuffles.
+    *
+    * Precondition: `tokens` must be non-null per row (Spark's
+    * `size(null)` is -1 where SQL `len(null)` is NULL — a null text
+    * row would skew the prefix). The documents fixture guarantees
+    * this; callers with nullable text filter first. */
   def shardManifest(docs: DataFrame, idCol: String, tokens: Column,
                     seed: String, targetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1415,11 +1420,15 @@ object CorpusOps {
       .agg(coalesce(sum(col("r2")), lit(0L)).as("_roff"),
         coalesce(sum(col("t2")), lit(0L)).as("_toff"))
     val w = Window.partitionBy(col("_b")).orderBy(col("_k"), col(idCol))
+    // explicit ROWS frame: the default RANGE frame would pool tied
+    // (_k, id) rows into one cumulative value — (_k, id) is unique
+    // today, but the oracle spells ROWS and so must we
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = keyed.join(broadcast(offDf), Seq("_b"))
       .select(col(idCol), col("_n"),
         (col("_roff") + row_number().over(w) - 1L).as("pos"),
         // cumulative tokens BEFORE this doc in global key order
-        (col("_toff") + sum(col("_n")).over(w) - col("_n")).as("_cumb"))
+        (col("_toff") + sum(col("_n")).over(wRows) - col("_n")).as("_cumb"))
       .withColumn("shard_id", expr(s"_cumb div ${targetTokens}L"))
     cum.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"),

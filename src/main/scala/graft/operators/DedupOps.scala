@@ -653,9 +653,11 @@ object DedupOps {
     * any offset:
     *
     *  1. every `window`-token n-gram of every document fingerprinted
-    *     (md5 — the repo-wide oracle-reproducible hash; at 128 bits a
-    *     collision across 10¹² grams is ~10⁻¹³, and the 100 TB user
-    *     swaps in a longer hash, not a different plan);
+    *     (unhex(md5) — 16 BYTES of binary key, not the 32-char hex
+    *     string: the gram table is the dominant exchange and the key
+    *     is most of each row, so halving it halves the shuffle; at
+    *     128 bits a collision across 10¹² grams is ~10⁻¹³, and the
+    *     100 TB user swaps in a longer hash, not a different plan);
     *  2. a gram is DUPLICATED iff it occurs ≥ 2 times corpus-wide
     *     (cross-document or self-repetition alike — ExactSubstr
     *     semantics); one keyed census + a same-key join back, so the
@@ -674,7 +676,7 @@ object DedupOps {
     * token indices, span_tokens ≥ window by construction.
     *
     * 100 TB shape: the gram table is O(total tokens) narrow rows
-    * (id, pos, 32-char hash); shuffles are one gram-keyed census +
+    * (id, pos, 16-byte hash); shuffles are one gram-keyed census +
     * join (reused exchange) and one doc-keyed window+agg (the agg
     * rides the window's partitioning — no extra exchange). Nothing
     * quadratic, nothing driver-side. */
@@ -688,7 +690,8 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), size(col("toks")) - window),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
+          i => unhex(md5(
+            concat_ws(" ", slice(col("toks"), i + 1, lit(window)))))))
           .as(Seq("pos", "gh")))
       // shuffle-hash on both sides: census and join-back shuffle the
       // SAME child on the same key, so ReusedExchange pays the gram

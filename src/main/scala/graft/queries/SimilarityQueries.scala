@@ -37,9 +37,6 @@ private[graft] object SimilarityQueries {
     }),
 
 
-    // cross-corpus ANN JOIN: both sides large (even vs odd split of
-    // the embedding table standing in for crawl-vs-training-set), no
-    // broadcast — band-keyed shuffle join + bounded-state top-k
     // metadata-filtered exact top-k: neighbors restricted to the
     // query's own label class — the attribute is the broadcast-join
     // KEY (pre-filter), never a post-filter on a scored pool
@@ -51,6 +48,9 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // cross-corpus ANN JOIN: both sides large (even vs odd split of
+    // the embedding table standing in for crawl-vs-training-set), no
+    // broadcast — band-keyed shuffle join + bounded-state top-k
     "s8_ann_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilarityOps.lshJoinTopK(

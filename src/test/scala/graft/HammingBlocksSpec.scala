@@ -110,6 +110,25 @@ class HammingBlocksSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("auto pairs pay a decode-derived signature exactly once") {
+    // the geometry count used to re-pay an upstream decode; the
+    // operator now persists the narrow (id, hash) projection itself.
+    // A counting UDF stands in for the decode: one call per row at
+    // cache fill (the count), zero at pair generation.
+    import spark.implicits._
+    val calls = spark.sparkContext.longAccumulator("decode-calls")
+    val decode = udf { h: Long => calls.add(1L); h }
+    val rows = corpus
+    val derived = rows.toDF("media_id", "raw")
+      .select(col("media_id"), decode(col("raw")).as("phash"))
+    val got = MultimodalOps.hammingNearDupPairsAuto(
+        derived, "media_id", "phash", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth(rows, 6))
+    assert(calls.value === rows.size.toLong,
+      s"decode ran ${calls.value} times for ${rows.size} rows")
+  }
+
   test("auto geometry is result-identical to every manual geometry") {
     val rows = corpus
     val want = truth(rows, 6)
