@@ -1962,6 +1962,30 @@ GROUP BY sym"""
          |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
          |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
          |FROM p GROUP BY doc_id, isl""".stripMargin,
+    // d31: d27's census against the static base partition only — the
+    // base gram set is DISTINCT (occurrence count in base is
+    // irrelevant, presence is), delta grams semi-join it, islands
+    // merge as in d27. Split mirrors the engine's md5-mod-5 ladder.
+    "d31_span_admission" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 5 = 0
+         |      AS is_new
+         |  FROM documents),
+         |g AS (SELECT doc_id, is_new,
+         |    unnest(range(0, len(toks) - 19)) AS pos,
+         |    unnest(list_transform(range(0, len(toks) - 19),
+         |      i -> md5(array_to_string(toks[i+1:i+20], ' ')))) AS gh
+         |  FROM d WHERE len(toks) >= 20),
+         |bg AS (SELECT DISTINCT gh FROM g WHERE NOT is_new),
+         |p AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS isl
+         |  FROM g JOIN bg USING (gh) WHERE is_new)
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
+         |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
+         |FROM p GROUP BY doc_id, isl""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
          |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test

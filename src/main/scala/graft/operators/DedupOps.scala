@@ -680,11 +680,12 @@ object DedupOps {
     * join (reused exchange) and one doc-keyed window+agg (the agg
     * rides the window's partitioning — no extra exchange). Nothing
     * quadratic, nothing driver-side. */
-  def exactSubstringSpans(docs: DataFrame, idCol: String, tokens: Column,
-                          window: Int): DataFrame = {
-    require(window >= 2, "window must be >= 2 tokens")
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+  /** The (doc_id, pos, gh) gram table behind [[exactSubstringSpans]]
+    * and [[exactSubstringSpansVsBase]] — one shared spelling so the
+    * batch, vs-base, and probe paths cannot silently diverge. */
+  private def substringGramTable(docs: DataFrame, idCol: String,
+                                 tokens: Column, window: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), tokens.as("toks"))
       .filter(size(col("toks")) >= window)
       .select(col("doc_id"),
@@ -693,6 +694,25 @@ object DedupOps {
           i => unhex(md5(
             concat_ws(" ", slice(col("toks"), i + 1, lit(window)))))))
           .as(Seq("pos", "gh")))
+
+  /** The duplicated-gram census stage of [[exactSubstringSpans]] in
+    * isolation: (gh, occ) for every `window`-gram occurring ≥ 2 times
+    * corpus-wide. Exposed for the ScaleProbe d27 mode, which times
+    * the census and the full span operator separately. */
+  def exactSubstringDupGramCensus(docs: DataFrame, idCol: String,
+                                  tokens: Column, window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    substringGramTable(docs, idCol, tokens, window)
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+  }
+
+  def exactSubstringSpans(docs: DataFrame, idCol: String, tokens: Column,
+                          window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val grams = substringGramTable(docs, idCol, tokens, window)
       // shuffle-hash on both sides: census and join-back shuffle the
       // SAME child on the same key, so ReusedExchange pays the gram
       // pass once (the minhashCandidatePairs device)
@@ -702,6 +722,47 @@ object DedupOps {
       .filter(col("occ") >= 2)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     grams.join(dup, Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + window - 1).cast("long").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + window).cast("long")
+          .as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
+
+  /** [[exactSubstringSpans]] against a STATIC BASE corpus — the
+    * incremental/streaming variant (the d14 delta-vs-base shape
+    * applied to span dedup): a gram of an ARRIVING document is
+    * duplicated iff it occurs ANYWHERE in `base`, and maximal runs of
+    * duplicated gram starts merge into spans exactly as in the batch
+    * operator. Because the census side is the static base alone, a
+    * document's spans are a function of (document, base) only —
+    * independent of which micro-batch delivered it or what else
+    * shares the batch. That invariance is what makes this the d27
+    * streaming twin ([[graft.streaming.StreamPipeline
+    * .exactSubstringAdmitStream]]); ExactSubstringSpec pins
+    * batch/stream census equality under micro-batch splits.
+    *
+    * 100 TB shape: identical to d27's — the base gram set is one
+    * distinct projection (at scale a persisted/bucketed gram index
+    * built once, reused every batch; see the d14 scaladoc for the
+    * index discipline), the delta side explodes only the arriving
+    * batch, and the join is a semi-join on the 16-byte binary key.
+    * Per-batch cost is O(batch grams), never O(base). */
+  def exactSubstringSpansVsBase(delta: DataFrame, base: DataFrame,
+                                idCol: String, deltaTokens: Column,
+                                baseTokens: Column, window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val baseGrams = substringGramTable(base, idCol, baseTokens, window)
+      .select(col("gh")).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    substringGramTable(delta, idCol, deltaTokens, window)
+      .join(baseGrams, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
       .withColumn("isl", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))

@@ -404,6 +404,23 @@ private[graft] object DedupQueries {
         .agg(count_distinct(col("chunk_fp")).as("n_shared_chunks"))
     }),
 
+    // SPAN-LEVEL ADMISSION census (d27 vs a static base — the d14
+    // delta-vs-base shape applied to exact-substring dedup, and the
+    // batch face of the exactSubstringAdmitStream streaming twin): a
+    // gram of an INCOMING doc is duplicated iff it occurs anywhere in
+    // the already-ingested base, islands merge exactly as in d27. The
+    // base side is one distinct gram projection (a persisted index at
+    // scale); per-delta cost is O(delta grams), never O(base). Base/
+    // incoming split is hash-deterministic like d8/d14/d29.
+    "d31_span_admission" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = pmod(DedupOps.md5Hash32(col("doc_id").cast("string")),
+        lit(5)) === 0
+      DedupOps.exactSubstringSpansVsBase(
+        docs.filter(isNew), docs.filter(!isNew), "doc_id",
+        cleanTokens, cleanTokens, window = 20)
+    }),
+
     // LEAKAGE-FREE train/val/test SPLIT: the d7/d21 near-dup closure
     // decides the assignment unit — every member of a connected
     // near-dup cluster lands in the SAME split (assigning by per-doc

@@ -1016,6 +1016,106 @@ object StreamPipeline {
       } finally release()
     }
 
+  /** Streaming twin of the d27 exact-substring span operator
+    * ([[graft.operators.DedupOps.exactSubstringSpansVsBase]]): each
+    * micro-batch of arriving documents is censused against the STATIC
+    * already-ingested base corpus, and every maximal duplicated token
+    * span (window-gram present anywhere in base, arbitrary offsets)
+    * is written to the sink parquet stamped with its batch id.
+    *
+    * Shape: `foreachBatch`, like [[incrementalAdmitStream]] — a
+    * span's extent aggregates over a doc's gram collisions (gaps-and-
+    * islands), not a stateless row predicate, so the stream-static
+    * join class cannot express it. Because the census side is the
+    * static base alone, a doc's spans are invariant under micro-batch
+    * splits (ExactSubstringSpec pins stream-vs-batch equality). The
+    * dynamic-partition overwrite by `batch_id` makes at-least-once
+    * replays rewrite themselves (the S6/S7 sink discipline). At
+    * scale the base gram set comes from a persisted gram index built
+    * once, not recomputed per batch (see the operator scaladoc). */
+  def exactSubstringAdmitStream(docs: DataFrame, base: DataFrame,
+                                idCol: String, textCol: String,
+                                window: Int, path: String,
+                                checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        exactSubstringBatchWriter(base, idCol, textCol, window, path))
+
+  /** The per-batch span writer behind [[exactSubstringAdmitStream]]
+    * (exposed so replay idempotence and batch/stream equality are
+    * testable without checkpoint surgery). */
+  def exactSubstringBatchWriter(base: DataFrame, idCol: String,
+                                textCol: String, window: Int, path: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      import graft.functions.TextOps
+      // at-least-once sources can repeat an id within a batch; spans
+      // are per-doc so any survivor is the right one
+      val b = batch.dropDuplicates(idCol)
+      graft.operators.DedupOps
+        .exactSubstringSpansVsBase(b, base, idCol,
+          TextOps.cleanTokens(col(textCol)),
+          TextOps.cleanTokens(col(textCol)), window)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    }
+
+  /** Streaming twin of the d30 leakage-free split: each arriving
+    * document is assigned train/val/test CONSISTENTLY WITH ITS
+    * NEAR-DUPS IN THE BASE CORPUS — a near-copy of a base document
+    * inherits that document's split (via the d14 delta-vs-base
+    * verified-dup flags), so an eval document's paraphrases can never
+    * leak into a training batch; documents with no base near-dup get
+    * the same hash-of-own-id ladder d30 gives base singletons.
+    *
+    * `baseSplits` is the batch d30 output over the base corpus
+    * ((idCol, split) — the frozen assignment of record). foreachBatch
+    * for the same reason as [[incrementalAdmitStream]]: the dup
+    * decision aggregates over band collisions. Per-batch release, no
+    * state growth; replays rewrite their own batch_id partition. */
+  def leakFreeSplitAssignStream(docs: DataFrame, base: DataFrame,
+                                baseSplits: DataFrame, idCol: String,
+                                textCol: String, threshold: Double,
+                                path: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(leakFreeSplitBatchWriter(
+        base, baseSplits, idCol, textCol, threshold, path))
+
+  /** The per-batch assigner behind [[leakFreeSplitAssignStream]]. */
+  def leakFreeSplitBatchWriter(base: DataFrame, baseSplits: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double, path: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val b = batch.dropDuplicates(idCol)
+      val (flags, release) = graft.operators.DedupOps
+        .incrementalDedupReleasable(base, b, idCol, textCol, threshold)
+      try {
+        val own = pmod(graft.operators.DedupOps.md5Hash32(
+          concat(lit("split:"), col(idCol).cast("string"))), lit(10))
+        flags
+          .join(baseSplits.select(col(idCol).as("dup_of"),
+            col("split").as("base_split")), Seq("dup_of"), "left")
+          .select(col(idCol), col("dup_of"),
+            coalesce(col("base_split"),
+              when(own === 0, "test").when(own === 1, "val")
+                .otherwise("train")).as("split"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+      } finally release()
+    }
+
   /** Streaming sibling of the d15 duplicated-chunk census: the
     * arriving document stream is exploded into t15's overlapping
     * token windows ([[graft.functions.TextOps.ChunkSize]]/

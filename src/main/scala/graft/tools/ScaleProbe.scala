@@ -243,6 +243,31 @@ object ScaleProbe {
       return
     }
 
+    // exact-substring mode (third arg "d27"): the span-dedup spine —
+    // gram census (the dominant gram-keyed exchange) and the full
+    // span operator (census + join-back + per-doc island merge) timed
+    // separately at 1× and F×. Under the affine-map corpus, token
+    // 20-grams are disjoint across copies (every word's letters map
+    // per copy, and the salt token shifts positions), so duplicated-
+    // gram structure replicates per copy: census keys, duplicated
+    // grams, and spans all scale ≈ ×F with no artificial cross-copy
+    // gram collisions — wall growth isolates pure volume.
+    if (args.length > 2 && args(2) == "d27") {
+      import graft.functions.TextOps
+      val toks = TextOps.cleanTokens(col("text"))
+      def census(d: DataFrame): Long =
+        DedupOps.exactSubstringDupGramCensus(d, "doc_id", toks, 20).count()
+      def spansN(d: DataFrame): Long =
+        DedupOps.exactSubstringSpans(d, "doc_id", toks, 20).count()
+      spansN(docs1); sweep() // warmup
+      time("d27 gram census 1x")(census(docs1))
+      time(s"d27 gram census ${factor}x")(census(docs10))
+      time("d27 spans 1x")(spansN(docs1))
+      time(s"d27 spans ${factor}x")(spansN(docs10))
+      spark.stop()
+      return
+    }
+
     // hamming-banding mode (third arg "hm"): the media-signature
     // dedup family (d22-d25 spine) probed on a synthetic 64-bit
     // signature corpus — per 10 ids, a 3-member planted family

@@ -78,6 +78,52 @@ class ExactSubstringSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got === Set((1L, 7L, 11L, 5L), (2L, 0L, 4L, 5L)))
   }
 
+  private def spansVsBase(delta: Seq[(Long, String)],
+                          base: Seq[(Long, String)])
+      : Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val toks = (c: String) => split(col(c), " ")
+    DedupOps.exactSubstringSpansVsBase(
+        delta.toDF("doc_id", "text"), base.toDF("doc_id", "text"),
+        "doc_id", toks("text"), toks("text"), window = W)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("vs-base spans: base grams censused, delta-only repeats ignored") {
+    val shared = words("s", 8)
+    val selfRep = words("r", 6)
+    // delta doc 1 shares a run with BASE at different offsets; delta
+    // docs 2+3 share a run with EACH OTHER but not with base — the
+    // vs-base operator must NOT report the delta-internal duplication
+    // (that is the full-batch d27's job, not the admission census)
+    val d1 = words("a", 3) + " " + shared + " " + words("b", 4)
+    val d2 = selfRep + " " + words("x", 9)
+    val d3 = words("y", 9) + " " + selfRep
+    val b1 = words("c", 6) + " " + shared
+    val got = spansVsBase(
+      Seq(1L -> d1, 2L -> d2, 3L -> d3), Seq(100L -> b1))
+    assert(got === Set((1L, 3L, 10L, 8L)))
+  }
+
+  test("vs-base census of an arriving doc equals full-batch d27's " +
+       "view of it after ingestion") {
+    // an arriving doc with no self-repetition: its vs-base spans must
+    // equal what the full-batch operator reports for it once the doc
+    // is part of the corpus (its every duplication is base-resident)
+    val shared = words("s", 8)
+    val base = Seq(
+      1L -> (words("a", 3) + " " + shared),
+      2L -> (shared + " " + words("b", 5)),
+      3L -> words("z", 25))
+    val arriving = 4L -> (words("m", 4) + " " + shared + " " + words("n", 2))
+    val vsBase = spansVsBase(Seq(arriving), base)
+    val full = spans(base :+ arriving).filter(_._1 == 4L)
+    assert(vsBase === full)
+    assert(vsBase === Set((4L, 4L, 11L, 8L)))
+  }
+
   test("per-doc spans never overlap and always span >= window") {
     // the committed-corpus style check on sf0.001 testdata
     val docs = spark.read

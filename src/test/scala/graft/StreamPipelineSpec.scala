@@ -231,6 +231,113 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
       "within-batch duplicate ids multiplied rows")
   }
 
+  test("exact-substring admission stream matches the vs-base batch operator under splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    import graft.functions.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val deltaDf = docs.filter(col("doc_id") % 5 === 0)
+    val delta = deltaDf.select("doc_id", "text").as[(Long, String)].collect()
+    // batch-operator reference over the WHOLE delta
+    val expected = DedupOps.exactSubstringSpansVsBase(
+        deltaDf, base, "doc_id",
+        TextOps.cleanTokens(col("text")), TextOps.cleanTokens(col("text")),
+        window = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty, "fixture produced no vs-base spans")
+    val outDir = tmp("espan_out")
+    val ckDir = tmp("espan_ck")
+    val input = MemoryStream[(Long, String)]
+    val (half1, half2) = delta.splitAt(delta.length / 2)
+    input.addData(half1.toSeq)
+    val q = StreamPipeline.exactSubstringAdmitStream(
+      input.toDF().toDF("doc_id", "text"), base,
+      "doc_id", "text", 10, outDir, ckDir).start()
+    q.processAllAvailable()
+    input.addData(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.select("batch_id").distinct().count() == 2L)
+    val got = out.select("doc_id", "span_start", "span_end", "span_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the census side is the static base alone, so micro-batch splits
+    // must not change any doc's spans
+    assert(got == expected)
+    // at-least-once replay rewrites its own batch_id partition
+    val writer = StreamPipeline.exactSubstringBatchWriter(
+      base, "doc_id", "text", 10, outDir)
+    val n1 = spark.read.parquet(outDir).count()
+    writer(half2.toSeq.toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(outDir).count() == n1, "replay duplicated rows")
+  }
+
+  test("leak-free split stream: near-dups of base inherit the base split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    // frozen base assignment of record (stand-in for batch d30 output)
+    val baseSplits = base.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "test")
+        .when(col("doc_id") % 3 === 1, "val").otherwise("train").as("split"))
+    val deltaDf = docs.filter(col("doc_id") % 5 === 0)
+    val delta = deltaDf.select("doc_id", "text").as[(Long, String)].collect()
+    val outDir = tmp("lfs_out")
+    val ckDir = tmp("lfs_ck")
+    val input = MemoryStream[(Long, String)]
+    val (half1, half2) = delta.splitAt(delta.length / 2)
+    input.addData(half1.toSeq)
+    val q = StreamPipeline.leakFreeSplitAssignStream(
+      input.toDF().toDF("doc_id", "text"), base, baseSplits,
+      "doc_id", "text", 0.6, outDir, ckDir).start()
+    q.processAllAvailable()
+    input.addData(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        Option(r.get(r.fieldIndex("dup_of"))).map(_.asInstanceOf[Long]),
+        r.getString(r.fieldIndex("split")))).toList
+    // every delta doc assigned exactly once, regardless of batching
+    assert(out.map(_._1).sorted == delta.map(_._1).sorted.toList)
+    val baseSplitMap = baseSplits.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch reference for the dup flags
+    val (flags, release) = DedupOps.incrementalDedupReleasable(
+      base, deltaDf, "doc_id", "text", 0.6)
+    val dupOf = flags.collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    release()
+    assert(out.exists(_._2.nonEmpty), "fixture produced no base near-dups")
+    out.foreach { case (id, dup, split) =>
+      assert(dup == dupOf(id), s"doc $id dup flag diverged from batch")
+      dup match {
+        case Some(b) =>
+          // THE leak-free property: inherit the near-dup's base split
+          assert(split == baseSplitMap(b), s"doc $id leaked across splits")
+        case None =>
+          // the d30 singleton ladder on the doc's own id
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"split:$id".getBytes("UTF-8"))
+          val h32 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          val want = (h32 % 10) match {
+            case 0 => "test"; case 1 => "val"; case _ => "train"
+          }
+          assert(split == want, s"doc $id singleton ladder diverged")
+      }
+    }
+  }
+
   test("incremental batch (AvailableNow) processes only new files per run") {
     val srcDir = tmp("incr_src")
     val outDir = tmp("incr_out")
