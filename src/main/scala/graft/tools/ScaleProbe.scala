@@ -259,7 +259,11 @@ object ScaleProbe {
         DedupOps.exactSubstringDupGramCensus(d, "doc_id", toks, 20).count()
       def spansN(d: DataFrame): Long =
         DedupOps.exactSubstringSpans(d, "doc_id", toks, 20).count()
-      spansN(docs1); sweep() // warmup
+      // warm up at BOTH scales: the first F× query otherwise absorbs
+      // scale-dependent codegen/AQE compilation and the cold corpus
+      // read (measured: census 40× read 27-52 s as the first 40×
+      // query vs 3.8-5.4 s warm — the q38 bench-SF warm-up lesson)
+      spansN(docs1); census(docs10); sweep()
       time("d27 gram census 1x")(census(docs1))
       time(s"d27 gram census ${factor}x")(census(docs10))
       time("d27 spans 1x")(spansN(docs1))
