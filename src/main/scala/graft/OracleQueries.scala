@@ -1962,6 +1962,46 @@ GROUP BY sym"""
          |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
          |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
          |FROM p GROUP BY doc_id, isl""".stripMargin,
+    // d32: d27's islands + the keep-one decision — a span survives
+    // iff its (doc_id, span_start) is the struct-min over ALL corpus
+    // occurrences of its leading gram (DuckDB structs compare
+    // lexicographically by field order, matching Spark's struct min).
+    "d32_span_strip" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, len(toks) - 19)) AS pos,
+         |    unnest(list_transform(range(0, len(toks) - 19),
+         |      i -> md5(array_to_string(toks[i+1:i+20], ' ')))) AS gh
+         |  FROM d WHERE len(toks) >= 20),
+         |cen AS (SELECT gh, count(*) AS occ,
+         |    min(struct_pack(d := doc_id, p := pos)) AS first_occ
+         |  FROM g GROUP BY gh),
+         |p AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS isl
+         |  FROM g JOIN cen USING (gh) WHERE occ >= 2),
+         |sp AS (SELECT doc_id, min(pos) AS span_start,
+         |    CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
+         |  FROM p GROUP BY doc_id, isl),
+         |dec AS (SELECT sp.doc_id, sp.span_tokens,
+         |    cen.first_occ = struct_pack(d := sp.doc_id, p := sp.span_start)
+         |      AS keep
+         |  FROM sp JOIN g ON sp.doc_id = g.doc_id AND sp.span_start = g.pos
+         |  JOIN cen USING (gh)),
+         |acct AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_spans_stripped,
+         |    sum(CASE WHEN keep THEN 0 ELSE span_tokens END)
+         |      AS n_tokens_stripped
+         |  FROM dec GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(n_spans_stripped, 0) AS BIGINT)
+         |    AS n_spans_stripped,
+         |  CAST(coalesce(n_tokens_stripped, 0) AS BIGINT)
+         |    AS n_tokens_stripped,
+         |  CAST(len(toks) - coalesce(n_tokens_stripped, 0) AS BIGINT)
+         |    AS n_tokens_kept
+         |FROM d LEFT JOIN acct ON d.doc_id = acct.doc_id""".stripMargin,
     // d31: d27's census against the static base partition only — the
     // base gram set is DISTINCT (occurrence count in base is
     // irrelevant, presence is), delta grams semi-join it, islands
@@ -2978,7 +3018,8 @@ FROM tok JOIN wsyms USING (w) GROUP BY doc_id, lang"""),
     // the Spark spelling; sums CAST to BIGINT (never HUGEINT out).
     "m15_knn_eval" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
-         |    label AS true_label FROM embeddings WHERE vec_id % 5 = 0),
+         |    label AS true_label FROM embeddings
+         |  WHERE vec_id % 5 = 0 AND vec_id < 2000),
          |scored AS (SELECT q_id, e.vec_id, e.label,
          |    ${OracleSql.cos6("q_emb", "e.embedding")} AS sim
          |  FROM embeddings e JOIN q ON e.vec_id != q.q_id),
@@ -3003,7 +3044,8 @@ FROM tok JOIN wsyms USING (w) GROUP BY doc_id, lang"""),
     // labels with no second member excluded (NDCG undefined)
     "m19_ndcg" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
-         |    label AS q_label FROM embeddings WHERE vec_id % 5 = 0),
+         |    label AS q_label FROM embeddings
+         |  WHERE vec_id % 5 = 0 AND vec_id < 2000),
          |lc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT)
          |    AS n_label FROM embeddings GROUP BY 1),
          |scored AS (SELECT q_id, q_label, e.vec_id, e.label,

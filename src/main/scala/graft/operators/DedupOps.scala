@@ -734,6 +734,78 @@ object DedupOps {
         col("span_tokens"))
   }
 
+  /** The ACTION face of [[exactSubstringSpans]] — ExactSubstr span
+    * REMOVAL with keep-one-occurrence semantics (Lee et al. 2022
+    * §4.1 deduplicate, not just measure): every maximal duplicated
+    * span is stripped from every document EXCEPT the one canonical
+    * occurrence, decided by the span's LEADING gram: a span survives
+    * iff its (doc_id, span_start) is the lexicographic minimum over
+    * ALL corpus occurrences of that leading gram. Exactly one span
+    * per leading-gram group survives when the minimum occurrence is
+    * itself a span start; when the minimum lies MID-span elsewhere
+    * (an overlapping longer run already keeps that content), the
+    * group conservatively strips everything — the distributed
+    * relaxation of suffix-array keep-one (global occurrence order
+    * without a global sort), erring toward removal, never toward
+    * keeping two copies.
+    *
+    * Output is the per-doc strip accounting (the t34 discipline):
+    * (doc_id, n_tokens, n_spans, n_spans_stripped, n_tokens_stripped,
+    * n_tokens_kept), all integers — n_tokens_kept = n_tokens −
+    * n_tokens_stripped, docs without spans keep everything.
+    *
+    * 100 TB shape: exactly d27's two gram-table passes (census +
+    * reused-exchange join-back) — the island merge CARRIES the
+    * leading gram out via `min_by(gh, pos)` instead of joining back
+    * to the gram table a third time, so the keep-one decision is
+    * pure span-sized algebra: one broadcast-or-shuffle join of the
+    * output-sized span table against the (gh, first_occ) census
+    * columns, a struct-min hash agg, no window, no global order. */
+  def exactSubstringStrip(docs: DataFrame, idCol: String, tokens: Column,
+                          window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val grams = substringGramTable(docs, idCol, tokens, window)
+      .hint("shuffle_hash")
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"), min(struct(col("doc_id"), col("pos")))
+        .as("first_occ"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dup.filter(col("occ") >= 2).select(col("gh")),
+        Seq("gh"))
+      .select(col("doc_id"), col("pos"), col("gh"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + window).cast("long")
+          .as("span_tokens"),
+        min_by(col("gh"), col("pos")).as("lead_gh"))
+    // the span's leading gram decides the keeper: compare the span's
+    // own coordinate to that gram's first corpus occurrence
+    val decided = spans
+      .join(dup.select(col("gh").as("lead_gh"), col("first_occ")),
+        Seq("lead_gh"))
+      .select(col("doc_id"), col("span_tokens"),
+        // field names must match first_occ's (doc_id, pos) for the
+        // struct comparison to typecheck
+        (col("first_occ") === struct(col("doc_id"),
+          col("span_start").cast("int").as("pos"))).as("keep"))
+    val perDoc = decided.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_spans_stripped"),
+        sum(when(col("keep"), 0L).otherwise(col("span_tokens")))
+          .as("n_tokens_stripped"))
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_spans_stripped"), lit(0L)).as("n_spans_stripped"),
+        coalesce(col("n_tokens_stripped"), lit(0L)).as("n_tokens_stripped"),
+        (col("n_tokens") - coalesce(col("n_tokens_stripped"), lit(0L)))
+          .as("n_tokens_kept"))
+  }
+
   /** [[exactSubstringSpans]] against a STATIC BASE corpus — the
     * incremental/streaming variant (the d14 delta-vs-base shape
     * applied to span dedup): a gram of an ARRIVING document is

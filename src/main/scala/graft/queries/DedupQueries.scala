@@ -404,6 +404,16 @@ private[graft] object DedupQueries {
         .agg(count_distinct(col("chunk_fp")).as("n_shared_chunks"))
     }),
 
+    // ExactSubstr span REMOVAL accounting (Lee et al. 2022 §4.1's
+    // actual deduplicate step — d27's action face, the d32 of the
+    // t33→t34 census→strip discipline): every duplicated span
+    // stripped except the keep-one occurrence decided by the span's
+    // leading gram's first corpus occurrence (struct-min, no global
+    // sort). Integer strip accounting per doc.
+    "d32_span_strip" -> ((s, dir) =>
+      DedupOps.exactSubstringStrip(
+        t(s, dir, "documents"), "doc_id", cleanTokens, window = 20)),
+
     // SPAN-LEVEL ADMISSION census (d27 vs a static base — the d14
     // delta-vs-base shape applied to exact-substring dedup, and the
     // batch face of the exactSubstringAdmitStream streaming twin): a

@@ -311,8 +311,15 @@ private[graft] object TrainEvalQueries {
     // (−count, label) struct so no per-query sort exists.
     "m15_knn_eval" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // BOUNDED eval set (the s1/s11 broadcast-query discipline): the
+      // residue alone is a corpus FRACTION, so both join sides would
+      // grow with the corpus — quadratic work (measured 15.9x wall at
+      // 10x data in the r14 sf1 sweep). vec_id < 2000 covers every
+      // vector at all test SFs (hash-identical) while pinning the
+      // eval set at scale — an eval holdout is a constant of the
+      // experiment, not a corpus fraction.
       SimilarityOps.knnClassifyEval(
-        e, e.filter(col("vec_id") % 5 === 0),
+        e, e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 2000),
         "vec_id", "embedding", "label", k = 5)
     }),
 
@@ -394,8 +401,9 @@ private[graft] object TrainEvalQueries {
     // BIGINT sums, integer divisions; semantics on the operator).
     "m19_ndcg" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // bounded eval set — see m15_knn_eval (11.0x at 10x data before)
       SimilarityOps.ndcgAtK(
-        e, e.filter(col("vec_id") % 5 === 0),
+        e, e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 2000),
         "vec_id", "embedding", "label", k = 5)
     })
   )

@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *    preserved, group-by-key cardinalities scale ×F while per-date /
   *    per-nation groups get ×F denser (exactly how a real corpus
   *    grows against fixed dimensions).
-  *  - events: event_id/user_id shift by k·10⁹, timestamps kept (the
+  *  - events: event_id shifts by k·10⁹; user_id shifts by k·10⁴ only
+  *    — the user population grows ×F but STAYS inside
+  *    q21_bitmap_distinct's declared exact-bitmap domain [0, 2²⁰)
+  *    (the first sf1 run shifted user_id by 10⁹ and the operator
+  *    failed LOUDLY on its contract, as designed — beyond-domain id
+  *    spaces are what `hllDistinct` is for); timestamps kept (the
   *    windowed aggs see ×F density per window — the scale shape that
   *    stresses them).
   *  - documents: the ScaleProbe affine letter map (copy k remaps
@@ -72,7 +77,10 @@ object SfScaleBuild {
     write(shifted(read("orders"), "o_orderkey", "o_custkey"), "orders")
     write(shifted(read("lineitem"),
       "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
-    write(shifted(read("events"), "event_id", "user_id"), "events")
+    write(copies(read("events")) { (d, k) =>
+      d.withColumn("event_id", col("event_id") + lit(k * Shift))
+        .withColumn("user_id", col("user_id") + lit(k * 10000L))
+    }, "events")
 
     // documents: the ScaleProbe affine-map device (see ScaleProbe's
     // object doc for the ≤2-letter pairwise-agreement argument that

@@ -124,6 +124,55 @@ class ExactSubstringSpec extends AnyFunSuite with SparkSessionFixture {
     assert(vsBase === Set((4L, 4L, 11L, 8L)))
   }
 
+  private def strip(rows: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    DedupOps.exactSubstringStrip(
+        rows.toDF("doc_id", "text"), "doc_id",
+        split(col("text"), " "), window = W)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("strip keeps exactly the first corpus occurrence of a shared run") {
+    val shared = words("s", 8)
+    val d1 = words("a", 3) + " " + shared + " " + words("b", 4)
+    val d2 = words("c", 6) + " " + shared
+    val got = strip(Seq(1L -> d1, 2L -> d2))
+    // doc 1's span leads at (1,3) < (2,6): doc 1 keeps, doc 2 strips
+    assert(got(1L) === ((15L, 1L, 0L, 0L, 15L)))
+    assert(got(2L) === ((14L, 1L, 1L, 8L, 6L)))
+  }
+
+  test("strip keeps the first self-repetition and removes the rest") {
+    val run = words("r", 6)
+    val d = run + " " + words("x", 4) + " " + run
+    val got = strip(Seq(7L -> d, 8L -> words("z", 30)))
+    // two spans; the (7,0) occurrence is the keeper, (7,10) strips
+    assert(got(7L) === ((16L, 2L, 1L, 6L, 10L)))
+    assert(got(8L) === ((30L, 0L, 0L, 0L, 30L)))
+  }
+
+  test("strip accounting is conserved on real testdata") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = DedupOps.exactSubstringStrip(
+        docs, "doc_id", QuerySupport.cleanTokens, window = 10)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, spans, stripped, tokStripped, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      assert(stripped <= spans)
+      assert(kept === n - tokStripped)
+      assert(tokStripped >= 0 && kept >= 0)
+      if (spans == 0) assert(tokStripped === 0 && kept === n)
+    }
+  }
+
   test("per-doc spans never overlap and always span >= window") {
     // the committed-corpus style check on sf0.001 testdata
     val docs = spark.read
