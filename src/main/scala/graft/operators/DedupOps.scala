@@ -645,41 +645,6 @@ object DedupOps {
         coalesce(col("csize"), lit(1L)).as("csize"))
   }
 
-  /** EXACT SUBSTRING duplicate spans at arbitrary boundaries — the
-    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    * Models Better", §4.1 ExactSubstr) spine re-expressed as Spark
-    * relational algebra instead of a suffix array. d9/d15 fingerprint
-    * fixed chunks; this finds the MAXIMAL duplicated token spans at
-    * any offset:
-    *
-    *  1. every `window`-token n-gram of every document fingerprinted
-    *     (unhex(md5) — 16 BYTES of binary key, not the 32-char hex
-    *     string: the gram table is the dominant exchange and the key
-    *     is most of each row, so halving it halves the shuffle; at
-    *     128 bits a collision across 10¹² grams is ~10⁻¹³, and the
-    *     100 TB user swaps in a longer hash, not a different plan);
-    *  2. a gram is DUPLICATED iff it occurs ≥ 2 times corpus-wide
-    *     (cross-document or self-repetition alike — ExactSubstr
-    *     semantics); one keyed census + a same-key join back, so the
-    *     gram exchange is computed once and reused, posting-list
-    *     shape, never all-pairs;
-    *  3. runs of CONSECUTIVE duplicated start positions merge into
-    *     maximal spans (gaps-and-islands: island = pos − row_number
-    *     per doc — the Window is partitioned by document, bounded by
-    *     document length, never global).
-    *
-    * A span [s, e] in the output means every `window`-gram starting
-    * in [s, e−window+1] occurs elsewhere — the standard distributed
-    * relaxation of suffix-array maximality (a span is reported once,
-    * with its full extent, not once per window). Output:
-    * (doc_id, span_start, span_end, span_tokens), positions 0-based
-    * token indices, span_tokens ≥ window by construction.
-    *
-    * 100 TB shape: the gram table is O(total tokens) narrow rows
-    * (id, pos, 16-byte hash); shuffles are one gram-keyed census +
-    * join (reused exchange) and one doc-keyed window+agg (the agg
-    * rides the window's partitioning — no extra exchange). Nothing
-    * quadratic, nothing driver-side. */
   /** The (doc_id, pos, gh) gram table behind [[exactSubstringSpans]]
     * and [[exactSubstringSpansVsBase]] — one shared spelling so the
     * batch, vs-base, and probe paths cannot silently diverge. */
@@ -696,32 +661,75 @@ object DedupOps {
           .as(Seq("pos", "gh")))
 
   /** The duplicated-gram census stage of [[exactSubstringSpans]] in
-    * isolation: (gh, occ) for every `window`-gram occurring ≥ 2 times
-    * corpus-wide. Exposed for the ScaleProbe d27 mode, which times
-    * the census and the full span operator separately. */
+    * isolation, in the operator's OWN spelling (gh-partitioned
+    * window, not a groupBy — so the probe times the stage as it
+    * actually executes): one row per duplicated-gram OCCURRENCE,
+    * (doc_id, pos, gh, occ), occ ≥ 2. Exposed for the ScaleProbe d27
+    * mode, which times the census and the full span operator
+    * separately. */
   def exactSubstringDupGramCensus(docs: DataFrame, idCol: String,
                                   tokens: Column, window: Int): DataFrame = {
     require(window >= 2, "window must be >= 2 tokens")
+    import org.apache.spark.sql.expressions.Window
     substringGramTable(docs, idCol, tokens, window)
-      .groupBy(col("gh"))
-      .agg(count(lit(1)).as("occ"))
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("gh"))))
       .filter(col("occ") >= 2)
   }
 
+  /** EXACT SUBSTRING duplicate spans at arbitrary boundaries — the
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", §4.1 ExactSubstr) spine re-expressed as Spark
+    * relational algebra instead of a suffix array. d9/d15 fingerprint
+    * fixed chunks; this finds the MAXIMAL duplicated token spans at
+    * any offset:
+    *
+    *  1. every `window`-token n-gram of every document fingerprinted
+    *     (unhex(md5) — 16 BYTES of binary key, not the 32-char hex
+    *     string: the gram table is the dominant exchange and the key
+    *     is most of each row, so halving it halves the shuffle; at
+    *     128 bits a collision across 10¹² grams is ~10⁻¹³, and the
+    *     100 TB user swaps in a longer hash, not a different plan);
+    *  2. a gram is DUPLICATED iff it occurs ≥ 2 times corpus-wide
+    *     (cross-document or self-repetition alike — ExactSubstr
+    *     semantics); the census is a `count() OVER (PARTITION BY gh)`
+    *     window — ONE gram exchange, no census+join-back pair (the
+    *     r14 plan audit showed the join spelling pays the gram
+    *     explode twice: column pruning narrows the census branch so
+    *     its exchange can never be reused; the window is the CC
+    *     star-step device — one exchange, one pass), posting-list
+    *     shape, never all-pairs;
+    *  3. runs of CONSECUTIVE duplicated start positions merge into
+    *     maximal spans (gaps-and-islands: island = pos − row_number
+    *     per doc — the Window is partitioned by document, bounded by
+    *     document length, never global).
+    *
+    * A span [s, e] in the output means every `window`-gram starting
+    * in [s, e−window+1] occurs elsewhere — the standard distributed
+    * relaxation of suffix-array maximality (a span is reported once,
+    * with its full extent, not once per window). Output:
+    * (doc_id, span_start, span_end, span_tokens), positions 0-based
+    * token indices, span_tokens ≥ window by construction.
+    *
+    * 100 TB shape: the gram table is O(total tokens) narrow rows
+    * (id, pos, 16-byte hash); shuffles are ONE gram-keyed window
+    * (the occurrence census — a whole-partition count over each tiny
+    * gh group) and one doc-keyed window+agg (the agg rides the
+    * window's partitioning — no extra exchange). One gram explode
+    * total. Nothing quadratic, nothing driver-side. */
   def exactSubstringSpans(docs: DataFrame, idCol: String, tokens: Column,
                           window: Int): DataFrame = {
     require(window >= 2, "window must be >= 2 tokens")
     import org.apache.spark.sql.expressions.Window
-    val grams = substringGramTable(docs, idCol, tokens, window)
-      // shuffle-hash on both sides: census and join-back shuffle the
-      // SAME child on the same key, so ReusedExchange pays the gram
-      // pass once (the minhashCandidatePairs device)
-      .hint("shuffle_hash")
-    val dup = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
+    // occurrence census as a gh-partitioned WINDOW, not census+join:
+    // the join spelling pays the gram explode twice (column pruning
+    // narrows the census branch, so its exchange is never reusable —
+    // r14 executed-plan audit); the window is one exchange, one pass
+    val wg = Window.partitionBy(col("gh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dup, Seq("gh"))
+    substringGramTable(docs, idCol, tokens, window)
+      .withColumn("occ", count(lit(1)).over(wg))
+      .filter(col("occ") >= 2)
       .select(col("doc_id"), col("pos"))
       .withColumn("isl", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))
@@ -754,41 +762,39 @@ object DedupOps {
     * n_tokens_kept), all integers — n_tokens_kept = n_tokens −
     * n_tokens_stripped, docs without spans keep everything.
     *
-    * 100 TB shape: exactly d27's two gram-table passes (census +
-    * reused-exchange join-back) — the island merge CARRIES the
-    * leading gram out via `min_by(gh, pos)` instead of joining back
-    * to the gram table a third time, so the keep-one decision is
-    * pure span-sized algebra: one broadcast-or-shuffle join of the
-    * output-sized span table against the (gh, first_occ) census
-    * columns, a struct-min hash agg, no window, no global order. */
+    * 100 TB shape: d27's exact plan — ONE gram explode, ONE
+    * gh-keyed window (whose single partition sort amortizes BOTH the
+    * occurrence count and the first-occurrence struct-min), the
+    * doc-keyed island merge carrying the leading gram's first_occ
+    * out via `min_by(first_occ, pos)`, and a per-doc agg. The
+    * keep-one decision adds ZERO shuffles on top of d27. */
   def exactSubstringStrip(docs: DataFrame, idCol: String, tokens: Column,
                           window: Int): DataFrame = {
     require(window >= 2, "window must be >= 2 tokens")
     import org.apache.spark.sql.expressions.Window
-    val grams = substringGramTable(docs, idCol, tokens, window)
-      .hint("shuffle_hash")
-    val dup = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("occ"), min(struct(col("doc_id"), col("pos")))
-        .as("first_occ"))
+    // same single-window census device as [[exactSubstringSpans]],
+    // with the first corpus occurrence computed by the SAME window
+    val wg = Window.partitionBy(col("gh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = grams.join(dup.filter(col("occ") >= 2).select(col("gh")),
-        Seq("gh"))
-      .select(col("doc_id"), col("pos"), col("gh"))
+    val spans = substringGramTable(docs, idCol, tokens, window)
+      .withColumn("occ", count(lit(1)).over(wg))
+      .withColumn("first_occ",
+        min(struct(col("doc_id"), col("pos"))).over(wg))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"), col("pos"), col("first_occ"))
       .withColumn("isl", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + window).cast("long")
           .as("span_tokens"),
-        min_by(col("gh"), col("pos")).as("lead_gh"))
+        min_by(col("first_occ"), col("pos")).as("lead_first_occ"))
     // the span's leading gram decides the keeper: compare the span's
     // own coordinate to that gram's first corpus occurrence
     val decided = spans
-      .join(dup.select(col("gh").as("lead_gh"), col("first_occ")),
-        Seq("lead_gh"))
       .select(col("doc_id"), col("span_tokens"),
         // field names must match first_occ's (doc_id, pos) for the
         // struct comparison to typecheck
-        (col("first_occ") === struct(col("doc_id"),
+        (col("lead_first_occ") === struct(col("doc_id"),
           col("span_start").cast("int").as("pos"))).as("keep"))
     val perDoc = decided.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),

@@ -96,6 +96,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(executed("d5_embed_neardup").contains("ReusedExchange"))
   }
 
+  test("d27/d32 final plans explode the gram table exactly once") {
+    // the census+join-back spelling paid the gram explode TWICE
+    // (column pruning narrows the census branch, so its exchange is
+    // never reusable — r14 executed-plan audit); the window census
+    // must keep it to ONE Generate in the AQE final plan
+    for (q <- Seq("d27_exact_substring", "d32_span_strip")) {
+      val fin = executed(q).split("== Initial Plan ==")(0)
+      val gens = fin.linesIterator.count(_.contains("Generate posexplode"))
+      assert(gens === 1, s"$q: $gens gram explodes in the final plan")
+    }
+  }
+
   test("q22 salted join keeps the shuffled-hash strategy end to end") {
     // the regression this pins (round 6): left to stats, AQE elected to
     // BROADCAST the saltFactor-x replicated small side — which un-salts
