@@ -1074,7 +1074,11 @@ object StreamPipeline {
     * the same hash-of-own-id ladder d30 gives base singletons.
     *
     * `baseSplits` is the batch d30 output over the base corpus
-    * ((idCol, split) — the frozen assignment of record). foreachBatch
+    * ((idCol, split) — the frozen assignment of record) and must
+    * cover every base id: a base near-dup whose id is missing from
+    * `baseSplits` would silently fall back to the own-id ladder,
+    * which is exactly the leak this operator exists to prevent —
+    * derive both inputs from the same base snapshot. foreachBatch
     * for the same reason as [[incrementalAdmitStream]]: the dup
     * decision aggregates over band collisions. Per-batch release, no
     * state growth; replays rewrite their own batch_id partition. */

@@ -108,16 +108,23 @@ object ScaleProbe {
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$base/documents")
       val dim = emb1.select(size(col("embedding"))).head().getInt(0)
-      require(factor < dim, s"embedding circular shift needs factor < $dim")
-      val embCopies = (0 until factor).map { k =>
-        val rot = k % dim
-        emb1.select(
-          (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
-          concat(slice(col("embedding"), rot + 1, dim - rot),
-            slice(col("embedding"), 1, rot)).as("embedding"))
-      }
-      embCopies.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$base/embeddings")
+      // the decorrelating circular shift needs factor < dim; past it,
+      // skip the embeddings build (the doc-only modes — d27, cc —
+      // probe beyond the embedding ceiling) instead of failing the
+      // whole corpus build
+      if (factor < dim) {
+        val embCopies = (0 until factor).map { k =>
+          val rot = k % dim
+          emb1.select(
+            (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+            concat(slice(col("embedding"), rot + 1, dim - rot),
+              slice(col("embedding"), 1, rot)).as("embedding"))
+        }
+        embCopies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$base/embeddings")
+      } else System.err.println(
+        s"[probe] factor $factor >= dim $dim: embeddings ×F skipped " +
+          "(doc-only modes unaffected; embedding modes require F < dim)")
     }
     lazy val docs10 = spark.read.parquet(s"$base/documents")
     lazy val emb10 = spark.read.parquet(s"$base/embeddings")
