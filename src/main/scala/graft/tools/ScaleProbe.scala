@@ -266,6 +266,9 @@ object ScaleProbe {
         DedupOps.exactSubstringDupGramCensus(d, "doc_id", toks, 20).count()
       def spansN(d: DataFrame): Long =
         DedupOps.exactSubstringSpans(d, "doc_id", toks, 20).count()
+      def stripN(d: DataFrame): Long =
+        DedupOps.exactSubstringStrip(d, "doc_id", toks, 20)
+          .filter(col("n_spans_stripped") > 0).count()
       // warm up at BOTH scales: the first F× query otherwise absorbs
       // scale-dependent codegen/AQE compilation and the cold corpus
       // read (measured: census 40× read 27-52 s as the first 40×
@@ -275,6 +278,8 @@ object ScaleProbe {
       time(s"d27 gram census ${factor}x")(census(docs10))
       time("d27 spans 1x")(spansN(docs1))
       time(s"d27 spans ${factor}x")(spansN(docs10))
+      time("d32 strip 1x")(stripN(docs1))
+      time(s"d32 strip ${factor}x")(stripN(docs10))
       spark.stop()
       return
     }
