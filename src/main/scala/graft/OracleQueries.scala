@@ -1962,6 +1962,41 @@ GROUP BY sym"""
          |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
          |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
          |FROM p GROUP BY doc_id, isl""".stripMargin,
+    // d33: the d27 rederivation per window size, islands folded to
+    // corpus stats and UNION ALL'd before one GROUP BY — a window
+    // with no duplication emits NO row (matching the engine's
+    // groupBy), never a NULL-aggregate row.
+    "d33_span_window_sweep" -> {
+      def branch(w: Int): String =
+        s"""SELECT $w AS gram_window, doc_id,
+           |    max(pos) - min(pos) + 1 AS n_starts,
+           |    max(pos) - min(pos) + $w AS st
+           |  FROM (SELECT doc_id, pos,
+           |      pos - row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY pos) AS isl
+           |    FROM (SELECT doc_id, pos, gh,
+           |        count(*) OVER (PARTITION BY gh) AS occ
+           |      FROM (SELECT doc_id,
+           |          unnest(range(0, len(toks) - ${w - 1})) AS pos,
+           |          unnest(list_transform(range(0, len(toks) - ${w - 1}),
+           |            i -> md5(array_to_string(toks[i+1:i+$w], ' '))))
+           |            AS gh
+           |        FROM d WHERE len(toks) >= $w))
+           |    WHERE occ >= 2)
+           |  GROUP BY doc_id, isl""".stripMargin
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |sp AS (${branch(10)}
+         |UNION ALL
+         |${branch(20)}
+         |UNION ALL
+         |${branch(40)})
+         |SELECT CAST(gram_window AS INTEGER) AS gram_window,
+         |  CAST(sum(n_starts) AS BIGINT) AS n_dup_gram_starts,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(st) AS BIGINT) AS span_tokens
+         |FROM sp GROUP BY gram_window""".stripMargin
+    },
     // d32: d27's islands + the keep-one decision — a span survives
     // iff its (doc_id, span_start) is the struct-min over ALL corpus
     // occurrences of its leading gram (DuckDB structs compare

@@ -852,4 +852,68 @@ object DedupOps {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"))
   }
+
+  /** WINDOW-SIZE SWEEP for [[exactSubstringSpans]] — the d16
+    * discipline applied to the ExactSubstr knob: per candidate gram
+    * window W, the corpus-level duplication readout a practitioner
+    * prices W with (Lee et al. 2022 use 50 BPE tokens; the right
+    * word-token W is corpus-dependent). ONE text pass: every row
+    * explodes its grams for ALL windows at once (tagged (w, pos,
+    * gh)), the occurrence census is the d27 window partitioned by
+    * (w, gh), islands merge per (w, doc), and the final agg folds to
+    * one row per window:
+    * (gram_window, n_dup_gram_starts, n_spans, n_docs, span_tokens)
+    * — duplicated-gram starts, maximal spans, documents hit, and
+    * total duplicated token mass. All counts exact/integer.
+    *
+    * 100 TB shape: d27's plan with the gram table Σ_W (len−W+1)
+    * rows instead of one window's — the sweep costs the UNION of its
+    * windows in one pass, never a pass per window; everything after
+    * the explode is the same window/island algebra keyed one level
+    * wider. Output is |windows| rows. */
+  def exactSubstringWindowSweep(docs: DataFrame, idCol: String,
+                                tokens: Column,
+                                windows: Seq[Int]): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 2),
+      "windows must be >= 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val emptyG = array()
+      .cast("array<struct<w:int,pos:int,gh:binary>>")
+    val perWindow = windows.map { wsz =>
+      when(size(col("toks")) >= wsz,
+        transform(
+          sequence(lit(0), size(col("toks")) - wsz),
+          i => struct(lit(wsz).as("w"), i.as("pos"),
+            unhex(md5(concat_ws(" ",
+              slice(col("toks"), i + 1, lit(wsz))))).as("gh"))))
+        .otherwise(emptyG)
+    }
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"),
+        explode(flatten(array(perWindow: _*))).as("g"))
+      .select(col("doc_id"), col("g.w").as("w"), col("g.pos").as("pos"),
+        col("g.gh").as("gh"))
+    val wg = Window.partitionBy(col("w"), col("gh"))
+    val wd = Window.partitionBy(col("w"), col("doc_id")).orderBy(col("pos"))
+    grams
+      .withColumn("occ", count(lit(1)).over(wg))
+      .filter(col("occ") >= 2)
+      .select(col("w"), col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(wd))
+      .groupBy(col("w"), col("doc_id"), col("isl"))
+      .agg(
+        (max(col("pos")) - min(col("pos")) + 1).cast("long").as("n_starts"),
+        (max(col("pos")) - min(col("pos")) + col("w")).cast("long")
+          .as("span_tokens"))
+      .groupBy(col("w"))
+      .agg(
+        sum(col("n_starts")).as("n_dup_gram_starts"),
+        count(lit(1)).as("n_spans"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("span_tokens")).as("span_tokens"))
+      .select(col("w").cast("int").as("gram_window"),
+        col("n_dup_gram_starts"), col("n_spans"), col("n_docs"),
+        col("span_tokens"))
+  }
 }

@@ -404,6 +404,14 @@ private[graft] object DedupQueries {
         .agg(count_distinct(col("chunk_fp")).as("n_shared_chunks"))
     }),
 
+    // ExactSubstr WINDOW sweep (the d16 discipline on the d27 knob):
+    // duplication readout per candidate gram window in ONE text pass
+    // — duplicated-gram starts, maximal spans, docs hit, duplicated
+    // token mass per W. How a practitioner prices the window choice.
+    "d33_span_window_sweep" -> ((s, dir) =>
+      DedupOps.exactSubstringWindowSweep(
+        t(s, dir, "documents"), "doc_id", cleanTokens, Seq(10, 20, 40))),
+
     // ExactSubstr span REMOVAL accounting (Lee et al. 2022 §4.1's
     // actual deduplicate step — d27's action face, the d32 of the
     // t33→t34 census→strip discipline): every duplicated span

@@ -173,6 +173,75 @@ class ExactSubstringSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("window sweep: per-window stats agree with per-window span runs") {
+    import spark.implicits._
+    // shared 8-token run: duplicated at W=5 and W=8, gone at W=9
+    val shared = words("s", 8)
+    val docs = Seq(
+      1L -> (words("a", 3) + " " + shared + " " + words("b", 4)),
+      2L -> (words("c", 6) + " " + shared),
+      3L -> words("z", 30))
+    val got = DedupOps.exactSubstringWindowSweep(
+        docs.toDF("doc_id", "text"), "doc_id",
+        split(col("text"), " "), Seq(5, 8, 9))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // W=5: spans (1,[3,10],8toks) + (2,[6,13],8toks): 4 starts each
+    assert(got(5) === ((8L, 2L, 2L, 16L)))
+    // W=8: exactly one duplicated window per doc
+    assert(got(8) === ((2L, 2L, 2L, 16L)))
+    // W=9: no 9-gram repeats anywhere -> NO row (not a zero row)
+    assert(!got.contains(9))
+    // and each window row must agree with an independent single-window
+    // span run folded the same way
+    for (w <- Seq(5, 8)) {
+      val sp = DedupOps.exactSubstringSpans(
+          docs.toDF("doc_id", "text"), "doc_id",
+          split(col("text"), " "), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val starts = sp.map { case (_, s, e, _) => e - w + 1 - s + 1 }.sum
+      assert(got(w) === ((starts, sp.length.toLong,
+        sp.map(_._1).distinct.length.toLong, sp.map(_._4).sum)))
+    }
+  }
+
+  test("randomized parity vs a brute-force local reference") {
+    // 40 docs over a 6-token alphabet (dense accidental duplication,
+    // lengths straddling the window) — the engine must match a
+    // straight-line local recomputation of ExactSubstr semantics
+    val rnd = new scala.util.Random(20260815)
+    val docs = (0 until 40).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    // local reference: census every W-gram, duplicated iff occ >= 2,
+    // islands of consecutive duplicated starts merge
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    val starts = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val gs = (0 to toks.length - W).map(p => toks.slice(p, p + W).mkString(" "))
+      gs.foreach(g => occ(g) = occ.getOrElse(g, 0) + 1)
+      id -> gs
+    }
+    val want = starts.flatMap { case (id, gs) =>
+      val dupPos = gs.zipWithIndex.collect { case (g, p) if occ(g) >= 2 => p }
+      // islands
+      val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+        case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+          (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }
+      islands.map { isl =>
+        val s = isl.min; val e = isl.max
+        (id, s.toLong, (e + W - 1).toLong, (e - s + W).toLong)
+      }
+    }.toSet
+    assert(want.nonEmpty, "random corpus produced no duplication")
+    assert(spans(docs) === want)
+  }
+
   test("per-doc spans never overlap and always span >= window") {
     // the committed-corpus style check on sf0.001 testdata
     val docs = spark.read
