@@ -106,6 +106,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
       val gens = fin.linesIterator.count(_.contains("Generate posexplode"))
       assert(gens === 1, s"$q: $gens gram explodes in the final plan")
     }
+    // the window SWEEP likewise pays ONE text pass for ALL windows
+    val fin33 = executed("d33_span_window_sweep").split("== Initial Plan ==")(0)
+    assert(fin33.linesIterator.count(_.contains("Generate explode")) === 1)
+    assert(fin33.linesIterator.count(_.contains("Scan parquet")) === 1)
   }
 
   test("q22 salted join keeps the shuffled-hash strategy end to end") {
