@@ -876,6 +876,8 @@ object DedupOps {
                                 windows: Seq[Int]): DataFrame = {
     require(windows.nonEmpty && windows.forall(_ >= 2),
       "windows must be >= 2 tokens")
+    require(windows.distinct.size == windows.size,
+      "duplicate window sizes would double-count the census")
     import org.apache.spark.sql.expressions.Window
     val emptyG = array()
       .cast("array<struct<w:int,pos:int,gh:binary>>")
