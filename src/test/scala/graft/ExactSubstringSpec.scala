@@ -240,6 +240,33 @@ class ExactSubstringSpec extends AnyFunSuite with SparkSessionFixture {
     }.toSet
     assert(want.nonEmpty, "random corpus produced no duplication")
     assert(spans(docs) === want)
+
+    // the strip accounting must match the same local reference
+    // extended with keep-one: a span survives iff its (doc, start)
+    // is the lexicographic minimum over all corpus occurrences of
+    // its leading gram
+    val firstOcc = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    starts.foreach { case (id, gs) =>
+      gs.zipWithIndex.foreach { case (g, p) =>
+        val cand = (id, p)
+        if (!firstOcc.contains(g) ||
+            Ordering[(Long, Int)].lt(cand, firstOcc(g))) firstOcc(g) = cand
+      }
+    }
+    val gramsOf = starts.toMap
+    val wantStrip = docs.map { case (id, text) =>
+      val n = text.split(" ").length.toLong
+      val mySpans = want.filter(_._1 == id).toSeq
+      val stripped = mySpans.filterNot { case (_, s, _, _) =>
+        firstOcc(gramsOf(id)(s.toInt)) == ((id, s.toInt))
+      }
+      id -> ((n, mySpans.size.toLong, stripped.size.toLong,
+        stripped.map(_._4).sum, n - stripped.map(_._4).sum))
+    }.toMap
+    assert(wantStrip.values.exists(_._3 > 0), "no span ever stripped")
+    assert(wantStrip.values.exists(v => v._2 > 0 && v._3 < v._2),
+      "no span ever kept")
+    assert(strip(docs) === wantStrip)
   }
 
   test("per-doc spans never overlap and always span >= window") {
