@@ -394,44 +394,44 @@ object MultimodalOps {
         col("n_a"), col("n_b"))
   }
 
-  /** Expected uniform-collision candidate budget for
-    * [[autoHammingBlocks]]: ~10⁸ pairs ≈ 2.4 GB of 24-byte verify
-    * rows — one comfortable shuffle stage on a modest cluster. Above
-    * it, the next-wider block geometry pays linear key fan-out to cut
-    * the quadratic collision term. */
-  val HammingCandidateBudget: Double = 1e8
-
   /** Pick the block-combination geometry `B` for
     * [[hammingNearDupPairs]] from the signature cardinality `n` —
-    * the round-12 scale finding made self-tuning. The default
+    * the round-12 scale finding made self-tuning, re-calibrated
+    * against head-to-head measurement in round 14. The default
     * `B = d+1` split dies at ~10⁶ uniform 64-bit signatures (its
     * uniform collision mass is C(d+1,d)·n²/2^(64/(d+1)) ≈ n²/161 for
     * d = 6 — measured ENOSPC at 1M in ScaleProbe hm mode), while
-    * wider blocks carry 3M+ cheaply. Selection rule: the SMALLEST
-    * `B ∈ (d, d+4]` whose expected uniform candidate mass
-    *   C(B,d) · n² / 2 / 2^(64·(B−d)/B)
-    * stays under [[HammingCandidateBudget]]; if none qualifies, the
-    * widest (d+4 — the fan-out cap [[hammingNearDupPairs]] enforces)
-    * is returned, which simply means the verify stage runs above
-    * budget and should be given shuffle headroom. For d = 6 this
-    * reproduces the measured ladder: B=7 to ~1.3·10⁵, B=8 to
-    * ~6.8·10⁵, B=9 to ~2.5·10⁶, B=10 beyond — tracking the manual-B
-    * probe curve (ScaleProbe hm 100k/1M/3M). Smaller B is always
-    * preferred when affordable: fewer keys/row (C(B,d) grows ~B⁴/24)
-    * means a proportionally smaller exploded band table. */
+    * wider blocks carry 3M+ cheaply.
+    *
+    * Selection rule: the `B ∈ (d, d+4]` minimizing expected TOTAL
+    * ROW VOLUME — the exploded band table plus the uniform candidate
+    * verify rows,
+    *   C(B,d)·n  +  C(B,d) · n² / 2 / 2^(64·(B−d)/B)
+    * — a unit-cost row model: a band row (~20 B, one shuffle+sort)
+    * and a verify row (~24 B, one shuffle+bit_count) cost about the
+    * same, so minimizing their sum tracks wall time. The earlier
+    * fixed candidate BUDGET (10⁸) kept B=7 to ~1.3·10⁵ signatures,
+    * where its ~6·10⁷ candidates were measured 8–27× SLOWER than
+    * B=8's 4× key fan-out (50.3 s vs 6.3 s at 10⁵, 413 s vs 15 s at
+    * 3·10⁵ — ScaleProbe hm, r14): near the boundary the quadratic
+    * term dominates long before it exhausts a byte budget. The
+    * min-volume ladder for d = 6 — B=7 to ~3.5·10³, B=8 to
+    * ~2.8·10⁵, B=9 to ~9.1·10⁶, B=10 beyond — matches every
+    * head-to-head probe point (B=8 wins at 10⁵/3·10⁵; B=9 vs B=10
+    * at 3·10⁶ measured in r14; the cap C(d+4,d) is
+    * [[hammingNearDupPairs]]'s fan-out guard). */
   def autoHammingBlocks(n: Long, maxDist: Int): Int = {
     require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 63]")
     def chooseK(b: Int, k: Int): Double = // C(b, k) for tiny k (≤ 4)
       (1 to k).foldLeft(1.0)((acc, i) => acc * (b - k + i) / i)
-    def uniformMass(b: Int): Double = {
+    def totalRows(b: Int): Double = {
       val keys = chooseK(b, b - maxDist) // C(B, B−d) = C(B, d)
-      keys * n.toDouble * n.toDouble / 2.0 /
-        math.pow(2.0, 64.0 * (b - maxDist) / b)
+      keys * n.toDouble +
+        keys * n.toDouble * n.toDouble / 2.0 /
+          math.pow(2.0, 64.0 * (b - maxDist) / b)
     }
     val cap = math.min(maxDist + 4, 64)
-    (maxDist + 1 to cap)
-      .find(uniformMass(_) <= HammingCandidateBudget)
-      .getOrElse(cap)
+    (maxDist + 1 to cap).minBy(totalRows)
   }
 
   /** [[hammingNearDupPairs]] with the band geometry CHOSEN BY THE

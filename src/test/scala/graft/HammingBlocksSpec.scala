@@ -87,18 +87,24 @@ class HammingBlocksSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("autoHammingBlocks reproduces the measured d=6 ladder") {
-    // the round-12 probe curve, made self-tuning: smallest B whose
-    // expected uniform candidate mass fits the 1e8 budget. Breakpoints
-    // (d=6): B=7 ≈ mass n²/161 → n* ≈ 1.27e5; B=8 ≈ n²/4681 →
-    // n* ≈ 6.8e5; B=9 ≈ n²/6.3e4... → n* ≈ 2.5e6; B=10 beyond.
+    // min-total-row-volume rule (r14 re-calibration): band rows
+    // C(B,d)·n plus uniform candidate rows C(B,d)·n²/2/2^(64(B−d)/B).
+    // Crossovers (d=6): 7→8 at n ≈ 3.5e3, 8→9 at ≈ 2.8e5,
+    // 9→10 at ≈ 9.1e6 — matching the head-to-head probe points
+    // (B=8 beat B=7 by 8x at 1e5 and 27x at 3e5; the old fixed
+    // 1e8-candidate budget kept B=7 to 1.3e5, measured 50.3 s vs
+    // 6.3 s there).
     def b(n: Long) = MultimodalOps.autoHammingBlocks(n, 6)
     assert(b(0L) === 7)
     assert(b(201L) === 7)           // the committed fixture's regime
-    assert(b(100000L) === 7)        // probe point: d+1 carries 100k
-    assert(b(200000L) === 8)        // past the B=7 breakpoint
+    assert(b(3000L) === 7)          // below the first crossover
+    assert(b(5000L) === 8)          // past it
+    assert(b(100000L) === 8)        // measured: 6.3 s vs B=7's 50.3 s
+    assert(b(200000L) === 8)
     assert(b(1000000L) === 9)       // 1M — where the default ENOSPC'd
-    assert(b(3000000L) === 10)      // probe's third decade
-    assert(b(100000000L) === 10)    // capped at d+4, over budget logged
+    assert(b(3000000L) === 9)       // min-volume holds 9 to ~9.1e6
+    assert(b(20000000L) === 10)     // past the 9→10 crossover
+    assert(b(100000000L) === 10)    // capped at d+4
     // monotone non-decreasing in n (a bigger corpus never narrows B)
     val ladder = Seq(1L, 1000L, 1e5.toLong, 5e5.toLong, 1e6.toLong,
       1e7.toLong, 1e9.toLong).map(b)
