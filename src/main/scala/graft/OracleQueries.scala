@@ -2001,6 +2001,10 @@ GROUP BY sym"""
     // iff its (doc_id, span_start) is the struct-min over ALL corpus
     // occurrences of its leading gram (DuckDB structs compare
     // lexicographically by field order, matching Spark's struct min).
+    // n_tokens_stripped is the UNION of stripped span extents, not
+    // the sum of their lengths (islands with a start gap < window
+    // overlap in token extent — summing double-counts; r14 advice):
+    // a second gaps-and-islands pass merges overlapping extents.
     "d32_span_strip" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          |g AS (SELECT doc_id,
@@ -2018,25 +2022,39 @@ GROUP BY sym"""
          |sp AS (SELECT doc_id, min(pos) AS span_start,
          |    CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
          |  FROM p GROUP BY doc_id, isl),
-         |dec AS (SELECT sp.doc_id, sp.span_tokens,
+         |dec AS (SELECT sp.doc_id, sp.span_start, sp.span_tokens,
          |    cen.first_occ = struct_pack(d := sp.doc_id, p := sp.span_start)
          |      AS keep
          |  FROM sp JOIN g ON sp.doc_id = g.doc_id AND sp.span_start = g.pos
          |  JOIN cen USING (gh)),
-         |acct AS (SELECT doc_id, count(*) AS n_spans,
-         |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_spans_stripped,
-         |    sum(CASE WHEN keep THEN 0 ELSE span_tokens END)
-         |      AS n_tokens_stripped
-         |  FROM dec GROUP BY doc_id)
+         |cnt AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_spans_stripped
+         |  FROM dec GROUP BY doc_id),
+         |se AS (SELECT doc_id, span_start AS s,
+         |    span_start + span_tokens - 1 AS e FROM dec WHERE NOT keep),
+         |mk AS (SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+         |  FROM se),
+         |mg AS (SELECT doc_id, max(e) - min(s) + 1 AS m
+         |  FROM (SELECT doc_id, s, e,
+         |      sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |    FROM mk)
+         |  GROUP BY doc_id, grp),
+         |mass AS (SELECT doc_id, sum(m) AS n_tokens_stripped
+         |  FROM mg GROUP BY doc_id)
          |SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
-         |  CAST(coalesce(n_spans_stripped, 0) AS BIGINT)
+         |  CAST(coalesce(cnt.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(cnt.n_spans_stripped, 0) AS BIGINT)
          |    AS n_spans_stripped,
-         |  CAST(coalesce(n_tokens_stripped, 0) AS BIGINT)
+         |  CAST(coalesce(mass.n_tokens_stripped, 0) AS BIGINT)
          |    AS n_tokens_stripped,
-         |  CAST(len(toks) - coalesce(n_tokens_stripped, 0) AS BIGINT)
+         |  CAST(len(toks) - coalesce(mass.n_tokens_stripped, 0) AS BIGINT)
          |    AS n_tokens_kept
-         |FROM d LEFT JOIN acct ON d.doc_id = acct.doc_id""".stripMargin,
+         |FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         |LEFT JOIN mass ON d.doc_id = mass.doc_id""".stripMargin,
     // d31: d27's census against the static base partition only — the
     // base gram set is DISTINCT (occurrence count in base is
     // irrelevant, presence is), delta grams semi-join it, islands

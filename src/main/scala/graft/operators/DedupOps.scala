@@ -762,6 +762,16 @@ object DedupOps {
     * n_tokens_kept), all integers — n_tokens_kept = n_tokens −
     * n_tokens_stripped, docs without spans keep everything.
     *
+    * n_tokens_stripped is the size of the UNION of the stripped
+    * spans' token extents, NOT the sum of their lengths: two islands
+    * whose duplicated START runs are separated by a gap g < window
+    * have OVERLAPPING token extents (starts {0} and {2} at W=5 cover
+    * [0,4] and [2,6] — 7 distinct tokens, not 10), so summing
+    * span_tokens double-counts the overlap and can push
+    * n_tokens_kept negative (r14 advice). The union is a second
+    * gaps-and-islands pass over the per-doc stripped extents — a
+    * spans-sized table, negligible next to the gram exchanges.
+    *
     * 100 TB shape: d27's exact plan — ONE gram explode, ONE
     * gh-keyed window (whose single partition sort amortizes BOTH the
     * occurrence count and the first-occurrence struct-min), the
@@ -791,25 +801,52 @@ object DedupOps {
     // the span's leading gram decides the keeper: compare the span's
     // own coordinate to that gram's first corpus occurrence
     val decided = spans
-      .select(col("doc_id"), col("span_tokens"),
+      .select(col("doc_id"), col("span_start"), col("span_tokens"),
         // field names must match first_occ's (doc_id, pos) for the
         // struct comparison to typecheck
         (col("lead_first_occ") === struct(col("doc_id"),
           col("span_start").cast("int").as("pos"))).as("keep"))
-    val perDoc = decided.groupBy(col("doc_id"))
+    val counts = decided.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_spans_stripped"),
-        sum(when(col("keep"), 0L).otherwise(col("span_tokens")))
-          .as("n_tokens_stripped"))
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_spans_stripped"))
+    val mass = mergedExtentMass(decided.filter(!col("keep"))
+      .select(col("doc_id"), col("span_start").cast("long").as("s"),
+        (col("span_start") + col("span_tokens") - 1).cast("long").as("e")))
     docs.select(col(idCol).as("doc_id"),
         size(tokens).cast("long").as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .join(mass, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_spans_stripped"), lit(0L)).as("n_spans_stripped"),
         coalesce(col("n_tokens_stripped"), lit(0L)).as("n_tokens_stripped"),
         (col("n_tokens") - coalesce(col("n_tokens_stripped"), lit(0L)))
           .as("n_tokens_kept"))
+  }
+
+  /** Union token mass of possibly-overlapping per-doc extents
+    * (doc_id, s, e), inclusive bounds — the interval-merge
+    * gaps-and-islands pass behind [[exactSubstringStrip]]'s (and the
+    * vs-base strip's) n_tokens_stripped: extents whose start exceeds
+    * the running max end of all earlier extents open a new merged
+    * island; each island contributes max(e)−min(s)+1. Output:
+    * (doc_id, n_tokens_stripped). Operates on a SPANS-sized table
+    * (per-doc window, bounded by per-doc span count). */
+  private def mergedExtentMass(extents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    extents
+      .withColumn("brk",
+        when(col("s") > coalesce(
+            max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(-1L)),
+          1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("e")) - min(col("s")) + 1L).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens_stripped"))
   }
 
   /** [[exactSubstringSpans]] against a STATIC BASE corpus — the

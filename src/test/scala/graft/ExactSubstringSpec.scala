@@ -254,19 +254,46 @@ class ExactSubstringSpec extends AnyFunSuite with SparkSessionFixture {
       }
     }
     val gramsOf = starts.toMap
+    // stripped token mass is the UNION of stripped extents (islands
+    // with a start gap < W overlap in token extent; summing
+    // span_tokens double-counts — the r14-advice flaw this reference
+    // used to share with the engine)
+    var sawOverlap = false
     val wantStrip = docs.map { case (id, text) =>
       val n = text.split(" ").length.toLong
       val mySpans = want.filter(_._1 == id).toSeq
       val stripped = mySpans.filterNot { case (_, s, _, _) =>
         firstOcc(gramsOf(id)(s.toInt)) == ((id, s.toInt))
       }
+      val unionMass = stripped
+        .flatMap { case (_, s, e, _) => s to e }.toSet.size.toLong
+      if (unionMass != stripped.map(_._4).sum) sawOverlap = true
       id -> ((n, mySpans.size.toLong, stripped.size.toLong,
-        stripped.map(_._4).sum, n - stripped.map(_._4).sum))
+        unionMass, n - unionMass))
     }.toMap
     assert(wantStrip.values.exists(_._3 > 0), "no span ever stripped")
     assert(wantStrip.values.exists(v => v._2 > 0 && v._3 < v._2),
       "no span ever kept")
+    assert(sawOverlap,
+      "random corpus never produced overlapping stripped extents — " +
+        "the union-vs-sum distinction went unexercised")
     assert(strip(docs) === wantStrip)
+  }
+
+  test("overlapping stripped extents count once (union, not sum)") {
+    // the r14-advice counter-example: doc B's duplicated starts {0,2}
+    // (gap 2 < W=5) yield extents [0,4] and [2,6] — 7 distinct tokens,
+    // not 10. Doc A (lower id) holds both runs' first occurrences, so
+    // B strips both spans; sum-of-span_tokens would report 10 stripped
+    // and 0 kept where 3 tokens actually survive.
+    val a = "a b c d e X c d e f g" // 11 toks: runs at 0 ("a b c d e")
+                                    // and 6 ("c d e f g")
+    val b = "a b c d e f g h i j"   // 10 toks: same runs at 0 and 2
+    val got = strip(Seq(1L -> a, 2L -> b))
+    // doc A keeps both spans (first occurrences): nothing stripped
+    assert(got(1L) === ((11L, 2L, 0L, 0L, 11L)))
+    // doc B: 2 spans, both stripped, union mass 7, kept 3
+    assert(got(2L) === ((10L, 2L, 2L, 7L, 3L)))
   }
 
   test("per-doc spans never overlap and always span >= window") {
