@@ -647,17 +647,20 @@ object DedupOps {
 
   /** The (doc_id, pos, gh) gram table behind [[exactSubstringSpans]]
     * and [[exactSubstringSpansVsBase]] — one shared spelling so the
-    * batch, vs-base, and probe paths cannot silently diverge. */
+    * batch, vs-base, and probe paths cannot silently diverge.
+    * Emitted by [[graft.plans.GramHashGenerate]] (r15): the old
+    * `posexplode(transform(sequence(...)))` spelling materialized the
+    * whole per-document gram array — ~30 MB in ONE row buffer for a
+    * 10⁶-token document — before Generate could stream it; the
+    * generator streams (pos, gh) rows from one token-byte resolution
+    * with byte-identical MD5 values (GramGenerateSpec pins parity
+    * against the built-in spelling). */
   private def substringGramTable(docs: DataFrame, idCol: String,
                                  tokens: Column, window: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), tokens.as("toks"))
-      .filter(size(col("toks")) >= window)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("toks")) - window),
-          i => unhex(md5(
-            concat_ws(" ", slice(col("toks"), i + 1, lit(window)))))))
+        graft.plans.GramHashGenerate.of(col("toks"), window)
           .as(Seq("pos", "gh")))
 
   /** The duplicated-gram census stage of [[exactSubstringSpans]] in
@@ -916,23 +919,15 @@ object DedupOps {
     require(windows.distinct.size == windows.size,
       "duplicate window sizes would double-count the census")
     import org.apache.spark.sql.expressions.Window
-    val emptyG = array()
-      .cast("array<struct<w:int,pos:int,gh:binary>>")
-    val perWindow = windows.map { wsz =>
-      when(size(col("toks")) >= wsz,
-        transform(
-          sequence(lit(0), size(col("toks")) - wsz),
-          i => struct(lit(wsz).as("w"), i.as("pos"),
-            unhex(md5(concat_ws(" ",
-              slice(col("toks"), i + 1, lit(wsz))))).as("gh"))))
-        .otherwise(emptyG)
-    }
+    // one generator emits EVERY window's (w, pos, gh) rows from one
+    // token resolution — the old flatten(array(perWindow)) spelling
+    // built Σ_W (len−W+1) structs in one row buffer (~90 MB for a
+    // 10⁶-token doc at this sweep) before the explode could stream
     val grams = docs
       .select(col(idCol).as("doc_id"), tokens.as("toks"))
       .select(col("doc_id"),
-        explode(flatten(array(perWindow: _*))).as("g"))
-      .select(col("doc_id"), col("g.w").as("w"), col("g.pos").as("pos"),
-        col("g.gh").as("gh"))
+        graft.plans.GramHashSweepGenerate.of(col("toks"), windows)
+          .as(Seq("w", "pos", "gh")))
     val wg = Window.partitionBy(col("w"), col("gh"))
     val wd = Window.partitionBy(col("w"), col("doc_id")).orderBy(col("pos"))
     grams

@@ -103,12 +103,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     // must keep it to ONE Generate in the AQE final plan
     for (q <- Seq("d27_exact_substring", "d32_span_strip")) {
       val fin = executed(q).split("== Initial Plan ==")(0)
-      val gens = fin.linesIterator.count(_.contains("Generate posexplode"))
+      val gens = fin.linesIterator.count(_.contains("Generate gram_hash_generate"))
       assert(gens === 1, s"$q: $gens gram explodes in the final plan")
     }
     // the window SWEEP likewise pays ONE text pass for ALL windows
     val fin33 = executed("d33_span_window_sweep").split("== Initial Plan ==")(0)
-    assert(fin33.linesIterator.count(_.contains("Generate explode")) === 1)
+    assert(fin33.linesIterator.count(_.contains("Generate gram_hash_sweep")) === 1)
     assert(fin33.linesIterator.count(_.contains("Scan parquet")) === 1)
   }
 
