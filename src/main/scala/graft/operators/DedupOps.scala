@@ -664,20 +664,24 @@ object DedupOps {
           .as(Seq("pos", "gh")))
 
   /** The duplicated-gram census stage of [[exactSubstringSpans]] in
-    * isolation, in the operator's OWN spelling (gh-partitioned
-    * window, not a groupBy — so the probe times the stage as it
-    * actually executes): one row per duplicated-gram OCCURRENCE,
-    * (doc_id, pos, gh, occ), occ ≥ 2. Exposed for the ScaleProbe d27
-    * mode, which times the census and the full span operator
-    * separately. */
+    * isolation, in the operator's OWN spelling (persisted gram table
+    * → partial-aggregating groupBy census → join-back — so the probe
+    * times the stage as it actually executes, hot grams included):
+    * one row per duplicated-gram OCCURRENCE, (doc_id, pos, gh, occ),
+    * occ ≥ 2. Exposed for the ScaleProbe d27/skew modes, which time
+    * the census and the full span operator separately. Persists the
+    * gram table for the query's duration (released by the harness
+    * clearCache / session LRU — probe-side face, not a library loop
+    * surface). */
   def exactSubstringDupGramCensus(docs: DataFrame, idCol: String,
                                   tokens: Column, window: Int): DataFrame = {
     require(window >= 2, "window must be >= 2 tokens")
-    import org.apache.spark.sql.expressions.Window
-    substringGramTable(docs, idCol, tokens, window)
-      .withColumn("occ",
-        count(lit(1)).over(Window.partitionBy(col("gh"))))
+    val grams = substringGramTable(docs, idCol, tokens, window).persist()
+    val census = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
+    grams.join(census, Seq("gh"))
+      .select(col("doc_id"), col("pos"), col("gh"), col("occ"))
   }
 
   /** EXACT SUBSTRING duplicate spans at arbitrary boundaries — the
@@ -695,13 +699,10 @@ object DedupOps {
     *     100 TB user swaps in a longer hash, not a different plan);
     *  2. a gram is DUPLICATED iff it occurs ≥ 2 times corpus-wide
     *     (cross-document or self-repetition alike — ExactSubstr
-    *     semantics); the census is a `count() OVER (PARTITION BY gh)`
-    *     window — ONE gram exchange, no census+join-back pair (the
-    *     r14 plan audit showed the join spelling pays the gram
-    *     explode twice: column pruning narrows the census branch so
-    *     its exchange can never be reused; the window is the CC
-    *     star-step device — one exchange, one pass), posting-list
-    *     shape, never all-pairs;
+    *     semantics); the census is a partial-aggregating
+    *     `groupBy(gh).count()` over the PERSISTED gram table,
+    *     semi-joined back (r15 — the skew-safe spelling, see below);
+    *     posting-list shape, never all-pairs;
     *  3. runs of CONSECUTIVE duplicated start positions merge into
     *     maximal spans (gaps-and-islands: island = pos − row_number
     *     per doc — the Window is partitioned by document, bounded by
@@ -714,25 +715,58 @@ object DedupOps {
     * (doc_id, span_start, span_end, span_tokens), positions 0-based
     * token indices, span_tokens ≥ window by construction.
     *
+    * CENSUS SPELLING (r15, replacing the r14 gh-window): real web
+    * corpora carry boilerplate grams with 10⁸–10⁹ occurrences, and a
+    * `count() OVER (PARTITION BY gh)` window routes EVERY occurrence
+    * of such a gram to one task — a single-task multi-GB sort that
+    * AQE's skew mitigation cannot split (it applies to joins, not
+    * windows). The census is therefore a `groupBy(gh).count()`:
+    * partial aggregation bounds the hot key to ONE partial row per
+    * map partition before the exchange, so no reducer ever sees the
+    * hot gram's row mass. The duplicated-gram set then joins back to
+    * the gram table — broadcast when it is small (no gram exchange at
+    * all), sort-merge with AQE's OptimizeSkewedJoin splitting the hot
+    * gram's partition when it is not (skew-join mitigation DOES apply
+    * here — that is the point of spelling the census as a join). The
+    * gram table is PERSISTED so both branches read one explode
+    * (census+join without it pays the Generate twice — r14 audit;
+    * PlanShapeSpec pins both branches to InMemoryTableScan). Callers
+    * looping queries in one session should use
+    * [[exactSubstringSpansReleasable]].
+    *
     * 100 TB shape: the gram table is O(total tokens) narrow rows
-    * (id, pos, 16-byte hash); shuffles are ONE gram-keyed window
-    * (the occurrence census — a whole-partition count over each tiny
-    * gh group) and one doc-keyed window+agg (the agg rides the
-    * window's partitioning — no extra exchange). One gram explode
-    * total. Nothing quadratic, nothing driver-side. */
+    * (id, pos, 16-byte hash), persisted once (MEMORY_AND_DISK — the
+    * suffix-array reference materializes comparable state);
+    * exchanges are the census partials (gh, count — narrower than
+    * the gram rows, hot keys pre-combined map-side) and, only in the
+    * non-broadcast regime, one AQE-skew-split gram exchange for the
+    * join-back; the doc-keyed island window sees ONLY duplicated
+    * rows. One gram explode total. Nothing quadratic, nothing
+    * driver-side, no single-task hot-key funnel. */
   def exactSubstringSpans(docs: DataFrame, idCol: String, tokens: Column,
-                          window: Int): DataFrame = {
+                          window: Int): DataFrame =
+    exactSubstringSpansReleasable(docs, idCol, tokens, window)._1
+
+  /** [[exactSubstringSpans]] plus a release hook for its gram-table
+    * persist — the [[nearDuplicatePairsReleasable]] discipline for
+    * callers running many queries in one session (the Bench/Verify
+    * harnesses clearCache between queries; library loops should
+    * release explicitly after their action). */
+  def exactSubstringSpansReleasable(docs: DataFrame, idCol: String,
+                                    tokens: Column, window: Int)
+      : (DataFrame, () => Unit) = {
     require(window >= 2, "window must be >= 2 tokens")
     import org.apache.spark.sql.expressions.Window
-    // occurrence census as a gh-partitioned WINDOW, not census+join:
-    // the join spelling pays the gram explode twice (column pruning
-    // narrows the census branch, so its exchange is never reusable —
-    // r14 executed-plan audit); the window is one exchange, one pass
-    val wg = Window.partitionBy(col("gh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    substringGramTable(docs, idCol, tokens, window)
-      .withColumn("occ", count(lit(1)).over(wg))
+    val grams = substringGramTable(docs, idCol, tokens, window).persist()
+    // skew-safe census: partial-aggregating groupBy (hot gram → one
+    // partial row per map partition), never a gh window (all hot-gram
+    // occurrences on one task, no AQE mitigation for windows)
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
       .withColumn("isl", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))
@@ -743,6 +777,7 @@ object DedupOps {
           .as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"))
+    (out, () => { grams.unpersist(blocking = true); () })
   }
 
   /** The ACTION face of [[exactSubstringSpans]] — ExactSubstr span
@@ -775,25 +810,37 @@ object DedupOps {
     * gaps-and-islands pass over the per-doc stripped extents — a
     * spans-sized table, negligible next to the gram exchanges.
     *
-    * 100 TB shape: d27's exact plan — ONE gram explode, ONE
-    * gh-keyed window (whose single partition sort amortizes BOTH the
-    * occurrence count and the first-occurrence struct-min), the
-    * doc-keyed island merge carrying the leading gram's first_occ
-    * out via `min_by(first_occ, pos)`, and a per-doc agg. The
-    * keep-one decision adds ZERO shuffles on top of d27. */
+    * 100 TB shape: d27's exact plan — ONE gram explode (persisted),
+    * ONE skew-safe census `groupBy(gh)` whose partial aggregation
+    * computes BOTH the occurrence count and the first-occurrence
+    * struct-min map-side (hot grams pre-combined before the
+    * exchange — see [[exactSubstringSpans]]'s census note), a
+    * join-back (broadcast or AQE-skew-split), the doc-keyed island
+    * merge carrying the leading gram's first_occ out via
+    * `min_by(first_occ, pos)`, and a per-doc agg. The keep-one
+    * decision adds ZERO shuffles on top of d27. Callers looping
+    * queries should use [[exactSubstringStripReleasable]]. */
   def exactSubstringStrip(docs: DataFrame, idCol: String, tokens: Column,
-                          window: Int): DataFrame = {
+                          window: Int): DataFrame =
+    exactSubstringStripReleasable(docs, idCol, tokens, window)._1
+
+  /** [[exactSubstringStrip]] plus a release hook for its gram-table
+    * persist (the [[nearDuplicatePairsReleasable]] discipline). */
+  def exactSubstringStripReleasable(docs: DataFrame, idCol: String,
+                                    tokens: Column, window: Int)
+      : (DataFrame, () => Unit) = {
     require(window >= 2, "window must be >= 2 tokens")
     import org.apache.spark.sql.expressions.Window
-    // same single-window census device as [[exactSubstringSpans]],
-    // with the first corpus occurrence computed by the SAME window
-    val wg = Window.partitionBy(col("gh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = substringGramTable(docs, idCol, tokens, window)
-      .withColumn("occ", count(lit(1)).over(wg))
-      .withColumn("first_occ",
-        min(struct(col("doc_id"), col("pos"))).over(wg))
+    // same skew-safe census device as [[exactSubstringSpans]], with
+    // the first corpus occurrence computed by the SAME aggregation
+    val grams = substringGramTable(docs, idCol, tokens, window).persist()
+    val census = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
       .filter(col("occ") >= 2)
+      .select(col("gh"), col("first_occ"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(census, Seq("gh"))
       .select(col("doc_id"), col("pos"), col("first_occ"))
       .withColumn("isl", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))
@@ -815,7 +862,7 @@ object DedupOps {
     val mass = mergedExtentMass(decided.filter(!col("keep"))
       .select(col("doc_id"), col("span_start").cast("long").as("s"),
         (col("span_start") + col("span_tokens") - 1).cast("long").as("e")))
-    docs.select(col(idCol).as("doc_id"),
+    val out = docs.select(col(idCol).as("doc_id"),
         size(tokens).cast("long").as("n_tokens"))
       .join(counts, Seq("doc_id"), "left")
       .join(mass, Seq("doc_id"), "left")
@@ -825,6 +872,7 @@ object DedupOps {
         coalesce(col("n_tokens_stripped"), lit(0L)).as("n_tokens_stripped"),
         (col("n_tokens") - coalesce(col("n_tokens_stripped"), lit(0L)))
           .as("n_tokens_kept"))
+    (out, () => { grams.unpersist(blocking = true); () })
   }
 
   /** Union token mass of possibly-overlapping per-doc extents
@@ -909,11 +957,23 @@ object DedupOps {
     * 100 TB shape: d27's plan with the gram table Σ_W (len−W+1)
     * rows instead of one window's — the sweep costs the UNION of its
     * windows in one pass, never a pass per window; everything after
-    * the explode is the same window/island algebra keyed one level
-    * wider. Output is |windows| rows. */
+    * the explode is the same census/island algebra keyed one level
+    * wider ((w, gh) census groupBy — skew-safe like d27's, see
+    * [[exactSubstringSpans]]). Output is |windows| rows. Callers
+    * looping queries should use
+    * [[exactSubstringWindowSweepReleasable]]. */
   def exactSubstringWindowSweep(docs: DataFrame, idCol: String,
                                 tokens: Column,
-                                windows: Seq[Int]): DataFrame = {
+                                windows: Seq[Int]): DataFrame =
+    exactSubstringWindowSweepReleasable(docs, idCol, tokens, windows)._1
+
+  /** [[exactSubstringWindowSweep]] plus a release hook for its
+    * gram-table persist (the [[nearDuplicatePairsReleasable]]
+    * discipline). */
+  def exactSubstringWindowSweepReleasable(docs: DataFrame, idCol: String,
+                                          tokens: Column,
+                                          windows: Seq[Int])
+      : (DataFrame, () => Unit) = {
     require(windows.nonEmpty && windows.forall(_ >= 2),
       "windows must be >= 2 tokens")
     require(windows.distinct.size == windows.size,
@@ -928,11 +988,14 @@ object DedupOps {
       .select(col("doc_id"),
         graft.plans.GramHashSweepGenerate.of(col("toks"), windows)
           .as(Seq("w", "pos", "gh")))
-    val wg = Window.partitionBy(col("w"), col("gh"))
-    val wd = Window.partitionBy(col("w"), col("doc_id")).orderBy(col("pos"))
-    grams
-      .withColumn("occ", count(lit(1)).over(wg))
+      .persist()
+    // skew-safe (w, gh) census — see [[exactSubstringSpans]]
+    val dup = grams.groupBy(col("w"), col("gh"))
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
+      .select(col("w"), col("gh"))
+    val wd = Window.partitionBy(col("w"), col("doc_id")).orderBy(col("pos"))
+    val out = grams.join(dup, Seq("w", "gh"), "left_semi")
       .select(col("w"), col("doc_id"), col("pos"))
       .withColumn("isl", col("pos") - row_number().over(wd))
       .groupBy(col("w"), col("doc_id"), col("isl"))
@@ -949,5 +1012,6 @@ object DedupOps {
       .select(col("w").cast("int").as("gram_window"),
         col("n_dup_gram_starts"), col("n_spans"), col("n_docs"),
         col("span_tokens"))
+    (out, () => { grams.unpersist(blocking = true); () })
   }
 }

@@ -96,20 +96,49 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(executed("d5_embed_neardup").contains("ReusedExchange"))
   }
 
-  test("d27/d32 final plans explode the gram table exactly once") {
-    // the census+join-back spelling paid the gram explode TWICE
-    // (column pruning narrows the census branch, so its exchange is
-    // never reusable — r14 executed-plan audit); the window census
-    // must keep it to ONE Generate in the AQE final plan
-    for (q <- Seq("d27_exact_substring", "d32_span_strip")) {
-      val fin = executed(q).split("== Initial Plan ==")(0)
-      val gens = fin.linesIterator.count(_.contains("Generate gram_hash_generate"))
-      assert(gens === 1, s"$q: $gens gram explodes in the final plan")
+  test("d27/d32/d33: one persisted gram explode, no gh-keyed window census") {
+    // r14 pinned ONE Generate (the census+join-back spelling paid the
+    // explode twice); r15 additionally pins the census SPELLING: a
+    // `count() OVER (PARTITION BY gh)` window routes every occurrence
+    // of a hot boilerplate gram (10⁸⁺ at 100 TB) to ONE task, and AQE
+    // skew mitigation does not apply to windows. The skew-safe plan is
+    // gram table persisted once (both branches read the cache, the
+    // Generate runs exactly once inside it), census as a
+    // partial-aggregating groupBy, join-back broadcast/AQE-skew-split.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.finalPhysicalPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
     }
-    // the window SWEEP likewise pays ONE text pass for ALL windows
-    val fin33 = executed("d33_span_window_sweep").split("== Initial Plan ==")(0)
-    assert(fin33.linesIterator.count(_.contains("Generate gram_hash_sweep")) === 1)
-    assert(fin33.linesIterator.count(_.contains("Scan parquet")) === 1)
+    for (q <- Seq("d27_exact_substring", "d32_span_strip",
+                  "d33_span_window_sweep")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val ns = nodes(df.queryExecution.executedPlan)
+      assert(ns.count(_.isInstanceOf[GenerateExec]) === 0,
+        s"$q: a gram explode runs OUTSIDE the persisted gram table")
+      val scans = ns.collect { case s: InMemoryTableScanExec => s }
+      assert(scans.size >= 2,
+        s"$q: census and probe branches must both read the cached " +
+          s"gram table, saw ${scans.size} cache scans")
+      val cached = scans.map(_.relation.cachedPlan).distinct
+      assert(cached.size === 1, s"$q: branches cache DIFFERENT gram tables")
+      assert(nodes(cached.head).count(_.isInstanceOf[GenerateExec]) === 1,
+        s"$q: the cached gram table must hold exactly one explode")
+      val ghWindows = ns.collect {
+        case w: WindowExec if w.partitionSpec.exists(
+          _.references.exists(_.name == "gh")) => w
+      }
+      assert(ghWindows.isEmpty,
+        s"$q: gh-partitioned window census — the hot-gram single-task funnel")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
   }
 
   test("q22 salted join keeps the shuffled-hash strategy end to end") {
