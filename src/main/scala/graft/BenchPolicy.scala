@@ -32,7 +32,15 @@ object BenchPolicy {
   /** Cutoff for a query WITH a recorded idle-harness reference time:
     * 1.5x the reference, same 5s floor (sub-5s queries jitter across
     * the noise band without threatening any wall-time bar; re-running
-    * them buys nothing).
+    * them buys nothing) — TEMPERED by a secondary small-query cutoff
+    * (round 15, the r14 verdict's floor revisit): the plain 5s floor
+    * exempted two-thirds of the suite from ratio-based retry
+    * entirely, which is how eleven sub-3s queries rode the r14
+    * artifact at >2x their refs (q8_semi_join at 4.4x). An EGREGIOUS
+    * small-query ratio — over 3x the reference AND over 0.5s — now
+    * earns the same best-of-3 retry; sub-0.5s times and sub-3x
+    * ratios still never retry, so ordinary noise-band jitter stays
+    * exempt. Effective cutoff: min(max(5, 1.5·ref), max(0.5, 3·ref)).
     *
     * Curation rule (round 8): `bench_ref.json` references are idle
     * FIRST-PASS minimums, because the cutoff is compared against the
@@ -70,7 +78,8 @@ object BenchPolicy {
     * would have made those cutoffs permanently unreachable first-pass
     * targets (the exact failure mode that manufactured q38's retries
     * in r5-r10). */
-  def refCutoff(ref: Double): Double = math.max(5.0, 1.5 * ref)
+  def refCutoff(ref: Double): Double =
+    math.min(math.max(5.0, 1.5 * ref), math.max(0.5, 3.0 * ref))
 
   /** Per-query cutoff: reference-anchored when the query has a recorded
     * time, median-anchored otherwise (new queries, renamed queries). */

@@ -447,16 +447,32 @@ object MultimodalOps {
     * decode-derived caller pays the decode exactly once — the count
     * materializes the 16-bytes-per-row cache and pair generation
     * reads from it (pinned by HammingBlocksSpec's single-decode
-    * test). The cache is left to Spark's LRU (the downstream pair
-    * plan is lazy, so there is no safe eager release point; at
-    * ~16 B/signature even 10⁹ signatures cache in 16 GB cluster-wide).
+    * test). The plain face leaves the cache to Spark's LRU (the
+    * downstream pair plan is lazy, so there is no safe eager release
+    * point inside the operator; at ~16 B/signature even 10⁹
+    * signatures cache in 16 GB cluster-wide) — callers looping many
+    * queries in one session should use
+    * [[hammingNearDupPairsAutoReleasable]] and release after their
+    * action.
     * Completeness is invariant in the choice (HammingBlocksSpec);
     * only candidate volume moves, so results are hash-identical to
     * any manual geometry. Records the choice via [[graft.PhaseLog]]
     * (`hamming auto-blocks`, value = chosen B) for bench-artifact
     * attribution. */
   def hammingNearDupPairsAuto(hashes: DataFrame, idCol: String,
-                              hashCol: String, maxDist: Int): DataFrame = {
+                              hashCol: String, maxDist: Int): DataFrame =
+    hammingNearDupPairsAutoReleasable(hashes, idCol, hashCol, maxDist)._1
+
+  /** [[hammingNearDupPairsAuto]] plus a release hook for the persisted
+    * (id, hash) projection — the
+    * [[graft.operators.DedupOps.nearDuplicatePairsReleasable]]
+    * discipline (r14 advice): the Bench/Verify harnesses clearCache
+    * between queries, but a long-running caller looping auto-geometry
+    * calls would otherwise accumulate cached projections until LRU
+    * pressure. Release after the downstream action. */
+  def hammingNearDupPairsAutoReleasable(hashes: DataFrame, idCol: String,
+                                        hashCol: String, maxDist: Int)
+      : (DataFrame, () => Unit) = {
     val src =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
     val sig = src.select(col(idCol), col(hashCol))
@@ -464,7 +480,8 @@ object MultimodalOps {
     val n = sig.count()
     val b = autoHammingBlocks(n, maxDist)
     graft.PhaseLog.add("hamming auto-blocks", b.toDouble)
-    hammingNearDupPairs(sig, idCol, hashCol, maxDist, blocks = b)
+    (hammingNearDupPairs(sig, idCol, hashCol, maxDist, blocks = b),
+      () => { sig.unpersist(blocking = true); () })
   }
 
   /** [[hammingDedupLabels]] end-to-end with the [[autoHammingBlocks]]
@@ -474,7 +491,16 @@ object MultimodalOps {
     * it, so a decode-derived caller pays the decode a single time
     * across the whole pipeline. */
   def hammingDedupLabelsAuto(hashes: DataFrame, idCol: String,
-                             hashCol: String, maxDist: Int): DataFrame = {
+                             hashCol: String, maxDist: Int): DataFrame =
+    hammingDedupLabelsAutoReleasable(hashes, idCol, hashCol, maxDist)._1
+
+  /** [[hammingDedupLabelsAuto]] plus a release hook covering BOTH its
+    * persisted (id, hash) projection and the closure's fixpoint leaf
+    * (composed like
+    * [[graft.operators.DedupOps.dedupPipelineReleasable]]). */
+  def hammingDedupLabelsAutoReleasable(hashes: DataFrame, idCol: String,
+                                       hashCol: String, maxDist: Int)
+      : (DataFrame, () => Unit) = {
     val ok =
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
     val sig = ok.select(col(idCol), col(hashCol))
@@ -482,12 +508,17 @@ object MultimodalOps {
     val b = autoHammingBlocks(sig.count(), maxDist)
     graft.PhaseLog.add("hamming auto-blocks", b.toDouble)
     val pairs = hammingNearDupPairs(sig, idCol, hashCol, maxDist, blocks = b)
-    val lab = graft.operators.GraphOps
-      .connectedComponents(pairs, "id_a", "id_b")
-    graft.operators.DedupOps
+    val (lab, ccRelease) = graft.operators.GraphOps
+      .connectedComponentsReleasable(pairs, "id_a", "id_b")
+    val out = graft.operators.DedupOps
       .fullClusterLabels(sig.select(col(idCol)), idCol, lab)
       .select(col(idCol), col("cluster"), col("csize"),
         (col("cluster") === col(idCol)).as("keep"))
+    (out, () => {
+      ccRelease()
+      sig.unpersist(blocking = true)
+      ()
+    })
   }
 
   /** [[hammingNearDupPairs]] under its original image-family name. */

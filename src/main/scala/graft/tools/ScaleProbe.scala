@@ -51,7 +51,9 @@ import graft.operators.{DedupOps, GraphOps, SimilarityOps}
   *     probed two points up so a super-linear term between decades
   *     cannot hide.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor] */
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor]
+  * Modes (third arg): default sweep | cc | s8 | pr | d27 | hm |
+  * skew (planted hot keys — see the mode comment). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -280,6 +282,102 @@ object ScaleProbe {
       time(s"d27 spans ${factor}x")(spansN(docs10))
       time("d32 strip 1x")(stripN(docs1))
       time(s"d32 strip ${factor}x")(stripN(docs10))
+      spark.stop()
+      return
+    }
+
+    // planted-skew mode (third arg "skew"): every ×F linearity claim
+    // above runs on the affine-map corpus, which is HOT-KEY-FREE by
+    // construction — this mode plants the hot keys real web corpora
+    // have and times the three shuffle families that could funnel
+    // them to one task (r14 verdict item 2):
+    //  1. gh census with ONE boilerplate 20-gram at n occurrences
+    //     (n = 10⁵, 10⁶ by default; extra args override): the shipped
+    //     groupBy census (partial agg bounds the hot key map-side)
+    //     vs the retired gh-WINDOW spelling (all n occurrences sort
+    //     in one task — kept inline here as the cliff reference) vs a
+    //     hot-key-FREE corpus of identical gram volume (the linearity
+    //     baseline). Corpus: n docs of 24 tokens — 2 unique + the
+    //     20-token boilerplate + 2 unique — so exactly ONE of each
+    //     doc's 5 grams is the planted hot gh.
+    //  2. CC with a planted hot COMPONENT: a star of n edges on one
+    //     hub (the closure's large-star step must fan the hub's
+    //     neighborhood out, not serialize it) vs n disjoint pairs.
+    //  3. LSH band-key hot BUCKET: m identical docs among 50k unique
+    //     ones collide in every band; pair volume m(m−1)/2 is
+    //     INHERENT (they are true duplicates) — the probe shows wall
+    //     tracks that output mass (×4 for m ×2), not a hang.
+    if (args.length > 2 && args(2) == "skew") {
+      import graft.plans.GramHashGenerate
+      import org.apache.spark.sql.expressions.Window
+      val hotNs = if (args.length > 3) args.drop(3).map(_.toLong).toSeq
+        else Seq(1000000L, 4000000L, 10000000L)
+      def skewDocs(n: Long, hot: Boolean): DataFrame = {
+        val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+        val mid =
+          if (hot) lit(boiler)
+          else concat_ws(" ", (0 until 20).map(i =>
+            concat(lit("h"), col("id"), lit(s"x$i"))): _*)
+        spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ",
+            concat(lit("p"), col("id")), concat(lit("q"), col("id")),
+            mid,
+            concat(lit("r"), col("id")), concat(lit("s"), col("id")))
+            .as("text"))
+      }
+      val toks = split(col("text"), " ")
+      def censusN(d: DataFrame): Long =
+        DedupOps.exactSubstringDupGramCensus(d, "doc_id", toks, 20).count()
+      def spansN(d: DataFrame): Long =
+        DedupOps.exactSubstringSpans(d, "doc_id", toks, 20).count()
+      // the RETIRED r14 window spelling, inline as the cliff witness
+      def windowCensusN(d: DataFrame): Long =
+        d.select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"),
+            GramHashGenerate.of(col("t"), 20).as(Seq("pos", "gh")))
+          .withColumn("occ",
+            count(lit(1)).over(Window.partitionBy(col("gh"))))
+          .filter(col("occ") >= 2)
+          .count()
+      censusN(skewDocs(10000L, hot = true)); sweep() // warmup
+      for (n <- hotNs) {
+        time(s"census uniform n=$n")(censusN(skewDocs(n, hot = false)))
+        time(s"census hot-gram n=$n")(censusN(skewDocs(n, hot = true)))
+        time(s"census WINDOW(ref) hot n=$n")(
+          windowCensusN(skewDocs(n, hot = true)))
+        time(s"spans hot-gram n=$n")(spansN(skewDocs(n, hot = true)))
+      }
+      // 2. hot component: star on hub 0 vs disjoint pairs
+      def ccN(e: DataFrame): Long = {
+        val (lab, rel) = GraphOps.connectedComponentsReleasable(e, "src", "dst")
+        val out = lab.count(); rel(); out
+      }
+      def star(n: Long): DataFrame = spark.range(1, n + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      def pairs(n: Long): DataFrame = spark.range(n)
+        .select((col("id") * 2).as("src"), (col("id") * 2 + 1).as("dst"))
+      ccN(star(10000L)); sweep() // warmup
+      for (n <- hotNs) {
+        time(s"cc disjoint-pairs n=$n")(ccN(pairs(n)))
+        time(s"cc hot-star n=$n")(ccN(star(n)))
+      }
+      // 3. hot band bucket: m identical docs among 50k unique
+      def bandCorpus(m: Long): DataFrame = {
+        val dupText = (0 until 30).map(i => s"dup token$i word$i").mkString(" ")
+        // background texts must be distinct in CHARACTER-TRIGRAM space
+        // (the shingle alphabet): every token embeds the doc id, so
+        // cross-doc trigram overlap is only the "w"/"q" glue
+        spark.range(50000L).select(col("id").as("doc_id"),
+          when(col("id") < m, lit(dupText))
+            .otherwise(concat_ws(" ", (0 until 6).map(i =>
+              concat(lit("w"), col("id"), lit(s"q$i"), col("id"))): _*))
+            .as("text"))
+      }
+      def bandPairsN(m: Long): Long =
+        DedupOps.minhashCandidatePairs(bandCorpus(m), "doc_id", "text").count()
+      bandPairsN(100L); sweep() // warmup
+      for (m <- Seq(1000L, 2000L))
+        time(s"band hot-bucket m=$m")(bandPairsN(m))
       spark.stop()
       return
     }

@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   *    preserved, group-by-key cardinalities scale ×F while per-date /
   *    per-nation groups get ×F denser (exactly how a real corpus
   *    grows against fixed dimensions).
-  *  - events: event_id shifts by k·10⁹; user_id shifts by k·10⁴ only
-  *    — the user population grows ×F but STAYS inside
-  *    q21_bitmap_distinct's declared exact-bitmap domain [0, 2²⁰)
-  *    (the first sf1 run shifted user_id by 10⁹ and the operator
-  *    failed LOUDLY on its contract, as designed — beyond-domain id
-  *    spaces are what `hllDistinct` is for); timestamps kept (the
+  *  - events: event_id shifts by k·10⁹; user_id shifts by
+  *    k·(max base user_id + 1) — derived from the data so copies
+  *    never collide — and the build REQUIRES the top shifted id to
+  *    stay inside q21_bitmap_distinct's declared exact-bitmap domain
+  *    [0, 2²⁰) (the first sf1 run shifted user_id by 10⁹ and the
+  *    operator failed LOUDLY on its contract, as designed —
+  *    beyond-domain id spaces are what `hllDistinct` is for);
+  *    timestamps kept (the
   *    windowed aggs see ×F density per window — the scale shape that
   *    stresses them).
   *  - documents: the ScaleProbe affine letter map (copy k remaps
@@ -77,9 +79,24 @@ object SfScaleBuild {
     write(shifted(read("orders"), "o_orderkey", "o_custkey"), "orders")
     write(shifted(read("lineitem"),
       "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
-    write(copies(read("events")) { (d, k) =>
+    // events: the user_id shift must (a) clear the observed base user
+    // population per copy (or copies collide and the user population
+    // silently shrinks) and (b) keep every shifted id inside
+    // q21_bitmap_distinct's declared exact-bitmap domain [0, 2^20) —
+    // derive the shift from the data and fail LOUDLY at build time
+    // instead of mid-bench (r14 advice: the fixed 10^4 shift breaks
+    // both ways — factor >= 105 exceeds 2^20, a base with user_id >=
+    // 10^4 would collide copies)
+    val events1 = read("events")
+    val maxUserId = events1.agg(max(col("user_id"))).head().getLong(0)
+    val userShift = maxUserId + 1
+    require((factor - 1).toLong * userShift + maxUserId < (1L << 20),
+      s"factor $factor with observed max user_id $maxUserId would push " +
+        s"shifted user_ids past q21's exact-bitmap domain [0, 2^20): " +
+        s"cap factor at ${((1L << 20) - 1 - maxUserId) / userShift + 1}")
+    write(copies(events1) { (d, k) =>
       d.withColumn("event_id", col("event_id") + lit(k * Shift))
-        .withColumn("user_id", col("user_id") + lit(k * 10000L))
+        .withColumn("user_id", col("user_id") + lit(k * userShift))
     }, "events")
 
     // documents: the ScaleProbe affine-map device (see ScaleProbe's

@@ -25,10 +25,23 @@ class BenchPolicySpec extends AnyFunSuite {
 
   test("reference cutoff: 1.5x the recorded time, same 5s floor") {
     assert(BenchPolicy.refCutoff(6.0) == 9.0)
-    assert(BenchPolicy.refCutoff(0.5) == 5.0)
     // with a reference the median cutoff is ignored; without, used
     assert(BenchPolicy.cutoffFor(Some(6.0), 30.0) == 9.0)
     assert(BenchPolicy.cutoffFor(None, 30.0) == 30.0)
+  }
+
+  test("secondary small-query cutoff: >3x ref AND >0.5s retries, noise does not") {
+    // r14 artifact: q8_semi_join 0.87s vs ref 0.197 (4.4x) rode the
+    // 5s floor — 3x·ref with the 0.5s floor now catches it
+    assert(math.abs(BenchPolicy.refCutoff(0.197) - 0.591) < 1e-9)
+    assert(0.87 > BenchPolicy.refCutoff(0.197)) // q8 would now retry
+    // tiny refs: the 0.5s floor keeps micro-query jitter exempt
+    assert(BenchPolicy.refCutoff(0.05) == 0.5)
+    // mid-size: whichever bound is tighter applies, never below 0.5
+    assert(BenchPolicy.refCutoff(1.0) == 3.0)
+    assert(BenchPolicy.refCutoff(2.0) == 5.0)  // 1.5x floor regime
+    // large refs unchanged: 1.5x dominates past ref >= 3.33s
+    assert(BenchPolicy.refCutoff(4.0) == 6.0)
   }
 
   test("forced transient failure: one retry, retry time reported") {

@@ -144,4 +144,33 @@ class HammingBlocksSpec extends AnyFunSuite with SparkSessionFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === want)
   }
+
+  test("Releasable variants release their persisted projections") {
+    // the r14-advice seam: repeated auto calls in one long session
+    // accumulated cached (id, hash) projections until LRU pressure.
+    // The release hook must drop every block this call pinned.
+    import spark.implicits._
+    val rows = corpus
+    // hermetic cache baseline: earlier tests' plain-face persists
+    // share CacheManager entries with ours (same plan), so the only
+    // sound assertion starts from an empty cache
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds
+    val (pairs, rel) = MultimodalOps.hammingNearDupPairsAutoReleasable(
+      rows.toDF("media_id", "phash"), "media_id", "phash", 6)
+    assert(pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === truth(rows, 6))
+    rel()
+    assert(cachedRdds === before,
+      s"pairs release leaked ${cachedRdds - before} cached RDDs")
+    val (lab, rel2) = MultimodalOps.hammingDedupLabelsAutoReleasable(
+      rows.toDF("media_id", "phash"), "media_id", "phash", 6)
+    assert(lab.count() === rows.size.toLong)
+    rel2()
+    assert(cachedRdds === before,
+      s"labels release leaked ${cachedRdds - before} cached RDDs")
+  }
 }
