@@ -2079,6 +2079,50 @@ GROUP BY sym"""
          |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
          |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens
          |FROM p GROUP BY doc_id, isl""".stripMargin,
+    // d34: d31's vs-base spans + the d32 strip accounting with NO
+    // keep-one (base holds the canonical copy): n_spans per arriving
+    // doc, stripped mass as the UNION of span extents (the d32
+    // overlap rule), over ALL arriving docs.
+    "d34_span_strip_vs_base" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
+         |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 5 = 0
+         |      AS is_new
+         |  FROM documents),
+         |g AS (SELECT doc_id, is_new,
+         |    unnest(range(0, len(toks) - 19)) AS pos,
+         |    unnest(list_transform(range(0, len(toks) - 19),
+         |      i -> md5(array_to_string(toks[i+1:i+20], ' ')))) AS gh
+         |  FROM d WHERE len(toks) >= 20),
+         |bg AS (SELECT DISTINCT gh FROM g WHERE NOT is_new),
+         |p AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS isl
+         |  FROM g JOIN bg USING (gh) WHERE is_new),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+         |  FROM p GROUP BY doc_id, isl),
+         |cnt AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         |mk AS (SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+         |  FROM sp),
+         |mg AS (SELECT doc_id, max(e) - min(s) + 1 AS m
+         |  FROM (SELECT doc_id, s, e,
+         |      sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |    FROM mk)
+         |  GROUP BY doc_id, grp),
+         |mass AS (SELECT doc_id, sum(m) AS n_tokens_stripped
+         |  FROM mg GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(cnt.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(mass.n_tokens_stripped, 0) AS BIGINT)
+         |    AS n_tokens_stripped,
+         |  CAST(len(toks) - coalesce(mass.n_tokens_stripped, 0) AS BIGINT)
+         |    AS n_tokens_kept
+         |FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         |LEFT JOIN mass ON d.doc_id = mass.doc_id
+         |WHERE d.is_new""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks,
          |    ${OracleSql.hash32("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_test

@@ -439,6 +439,23 @@ private[graft] object DedupQueries {
         cleanTokens, cleanTokens, window = 20)
     }),
 
+    // INGESTION-TIME span STRIP (d31's action face, the d32 strip
+    // discipline under admission semantics, and the batch face of the
+    // exactSubstringStripStream streaming twin): every arriving doc
+    // strips ALL spans duplicated against the base (the base holds
+    // the canonical copy — keep-one never arises), per-doc integer
+    // accounting over ALL arriving docs, stripped mass as the UNION
+    // of span extents. Same hash-deterministic base/incoming split as
+    // d31.
+    "d34_span_strip_vs_base" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = pmod(DedupOps.md5Hash32(col("doc_id").cast("string")),
+        lit(5)) === 0
+      DedupOps.exactSubstringStripVsBase(
+        docs.filter(isNew), docs.filter(!isNew), "doc_id",
+        cleanTokens, cleanTokens, window = 20)
+    }),
+
     // LEAKAGE-FREE train/val/test SPLIT: the d7/d21 near-dup closure
     // decides the assignment unit — every member of a connected
     // near-dup cluster lands in the SAME split (assigning by per-doc

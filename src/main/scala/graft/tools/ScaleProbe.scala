@@ -347,6 +347,22 @@ object ScaleProbe {
           windowCensusN(skewDocs(n, hot = true)))
         time(s"spans hot-gram n=$n")(spansN(skewDocs(n, hot = true)))
       }
+      // DENSE single-gram mass: every doc is ONE token repeated, so
+      // every window is the SAME gh — nDocs·(tokPerDoc−19)
+      // occurrences of one gram (3·10⁷ below from 3000 docs; cheap to
+      // build, unlike one-occurrence-per-doc corpora). This is the
+      // regime where the retired WINDOW census demonstrably cliffs ON
+      // ONE BOX: its exchange routes all 3·10⁷ hot rows to a single
+      // task's sort, while the shipped groupBy census collapses them
+      // map-side to one partial per partition and broadcasts a 1-row
+      // dup set back.
+      def denseHot(nDocs: Long, tokPerDoc: Int): DataFrame =
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", array_repeat(lit("b"), tokPerDoc)).as("text"))
+      val dense = denseHot(3000L, 10000)
+      time("census dense-hot 3e7 occ")(censusN(dense))
+      time("census WINDOW(ref) dense-hot 3e7")(windowCensusN(dense))
+      time("spans dense-hot 3e7 occ")(spansN(dense))
       // 2. hot component: star on hub 0 vs disjoint pairs
       def ccN(e: DataFrame): Long = {
         val (lab, rel) = GraphOps.connectedComponentsReleasable(e, "src", "dst")
@@ -365,18 +381,20 @@ object ScaleProbe {
       def bandCorpus(m: Long): DataFrame = {
         val dupText = (0 until 30).map(i => s"dup token$i word$i").mkString(" ")
         // background texts must be distinct in CHARACTER-TRIGRAM space
-        // (the shingle alphabet): every token embeds the doc id, so
-        // cross-doc trigram overlap is only the "w"/"q" glue
+        // (the shingle alphabet) — md5-derived tokens: raw id digits
+        // make CONSECUTIVE ids near-identical trigram sets (J ~ 0.8,
+        // genuine near-dups), md5 decorrelates them to J ~ 2% where
+        // the 2-band × 6-row geometry collides with probability ~0
         spark.range(50000L).select(col("id").as("doc_id"),
           when(col("id") < m, lit(dupText))
             .otherwise(concat_ws(" ", (0 until 6).map(i =>
-              concat(lit("w"), col("id"), lit(s"q$i"), col("id"))): _*))
+              md5(concat(lit(s"bg$i:"), col("id")))): _*))
             .as("text"))
       }
       def bandPairsN(m: Long): Long =
         DedupOps.minhashCandidatePairs(bandCorpus(m), "doc_id", "text").count()
       bandPairsN(100L); sweep() // warmup
-      for (m <- Seq(1000L, 2000L))
+      for (m <- Seq(0L, 1000L, 2000L)) // m=0 = background baseline
         time(s"band hot-bucket m=$m")(bandPairsN(m))
       spark.stop()
       return

@@ -296,6 +296,26 @@ class ExactSubstringSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got(2L) === ((10L, 2L, 2L, 7L, 3L)))
   }
 
+  test("vs-base strip: all spans strip, overlapping extents count once") {
+    import spark.implicits._
+    // the d32 counter-example under admission semantics: base holds
+    // both runs, arriving doc B's extents [0,4]/[2,6] overlap — union
+    // mass 7 of 10 tokens, 3 kept, NO keep-one (base is canonical)
+    val base = Seq(100L -> "a b c d e X c d e f g")
+    val arriving = Seq(
+      2L -> "a b c d e f g h i j",  // both runs, overlapping extents
+      3L -> words("z", 12))         // nothing shared: keeps everything
+    val got = graft.operators.DedupOps.exactSubstringStripVsBase(
+        arriving.toDF("doc_id", "text"), base.toDF("doc_id", "text"),
+        "doc_id", split(col("text"), " "), split(col("text"), " "), W)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(2L) === ((10L, 2L, 7L, 3L)))
+    assert(got(3L) === ((12L, 0L, 0L, 12L)))
+  }
+
   test("per-doc spans never overlap and always span >= window") {
     // the committed-corpus style check on sf0.001 testdata
     val docs = spark.read

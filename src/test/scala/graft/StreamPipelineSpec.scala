@@ -278,6 +278,74 @@ class StreamPipelineSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.parquet(outDir).count() == n1, "replay duplicated rows")
   }
 
+  test("exact-substring STRIP stream matches the vs-base batch operator " +
+       "under splits, index-fed writer included") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps
+    import graft.functions.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val deltaDf = docs.filter(col("doc_id") % 5 === 0)
+    val delta = deltaDf.select("doc_id", "text").as[(Long, String)].collect()
+    val expected = DedupOps.exactSubstringStripVsBase(
+        deltaDf, base, "doc_id",
+        TextOps.cleanTokens(col("text")), TextOps.cleanTokens(col("text")),
+        window = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(expected.exists(_._3 > 0), "fixture stripped nothing")
+    val outDir = tmp("estrip_out")
+    val ckDir = tmp("estrip_ck")
+    val input = MemoryStream[(Long, String)]
+    val (half1, half2) = delta.splitAt(delta.length / 2)
+    input.addData(half1.toSeq)
+    val q = StreamPipeline.exactSubstringStripStream(
+      input.toDF().toDF("doc_id", "text"), base,
+      "doc_id", "text", 10, outDir, ckDir).start()
+    q.processAllAvailable()
+    input.addData(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.select("batch_id").distinct().count() == 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_spans", "n_tokens_stripped",
+        "n_tokens_kept")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+    // census side is the static base alone: micro-batch splits must
+    // not change any doc's strip accounting
+    assert(canon(out) == expected)
+    // at-least-once replay rewrites its own batch_id partition — via
+    // the INDEX-fed writer (exactly what a checkpoint-restarted
+    // at-scale pipeline replays through)
+    spark.sql("DROP TABLE IF EXISTS strip_stream_idx")
+    locally { // a previous JVM's orphaned table location blocks create
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:") + "/strip_stream_idx"))
+    }
+    DedupOps.buildGramIndex(base, "doc_id",
+      TextOps.cleanTokens(col("text")), 10, "strip_stream_idx",
+      numBuckets = 8)
+    val writer = StreamPipeline.exactSubstringStripBatchWriter(
+      spark.table("strip_stream_idx"), "doc_id", "text", 10, outDir)
+    val n1 = spark.read.parquet(outDir).count()
+    writer(half2.toSeq.toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(outDir).count() == n1, "replay duplicated rows")
+    assert(canon(spark.read.parquet(outDir)) == expected,
+      "index-fed replay changed the accounting")
+  }
+
   test("leak-free split stream: near-dups of base inherit the base split") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
