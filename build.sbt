@@ -33,4 +33,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g thrashes GC under local[32] at sf0.1 (measured: same query
   // 2.2s vs 101s run-to-run near heap capacity); 24g is stable.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // -Xms == -Xmx (round 15): G1 uncommits heap regions back to the
+  // OS after every full GC (the bench harness System.gc()s between
+  // queries), and THIS VM (firecracker, lazily-materialized guest
+  // pages) re-faults uncommitted pages slowly on the JVM's
+  // single-threaded allocation paths — measured on the q22 sf1 join:
+  // 10-14s steady-state vs 95-330s whenever the sort had to
+  // re-materialize execution memory. Pinning min heap = max heap
+  // stops the uncommit, so pages materialize ONCE (the untimed
+  // pre-touch in Bench) and every timed query runs warm. This is the
+  // root cause of the multi-round "same query 2.2s vs 101s" variance
+  // documented above.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -64,6 +64,47 @@ object Bench {
     // still surfaces through `warmup_sec`.
     PhaseLog.enabled = true
     val warmups = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // HEAP PRE-TOUCH (round 15): on this VM guest pages materialize
+    // lazily and slowly on the JVM's allocation paths, so the first
+    // query to grow into untouched execution memory used to eat a
+    // multi-minute page-fault storm (measured: the q22 sf1 sort at
+    // 95-330s vs 10-14s warm; the cross-round "2.2s vs 101s" variance
+    // class). With -Xms == -Xmx (build.sbt) the heap never uncommits,
+    // so materializing it ONCE here — 16 parallel threads touching
+    // ~2/3 of max heap, ~5.5 GiB/s measured against ~0.1 GiB/s
+    // single-threaded — moves the whole cost into the untimed warm-up
+    // (recorded in warmup_sec as heap_pretouch).
+    // SPARK_GRAFT_PRETOUCH=off disables.
+    if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "on") != "off") {
+      val t0 = System.nanoTime()
+      val targetBytes = Runtime.getRuntime.maxMemory / 3 * 2
+      val threads = 16
+      val perThreadLongs = targetBytes / threads / 8
+      val pool = (0 until threads).map { _ =>
+        new Thread(() => {
+          val chunk = 1 << 20 // 8 MiB arrays
+          // hold every array until the thread ends so pages are
+          // distinct regions, not GC-recycled ones
+          val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          var remaining = perThreadLongs
+          while (remaining > 0) {
+            val n = math.min(chunk.toLong, remaining).toInt
+            val a = new Array[Long](n)
+            var i = 0
+            while (i < n) { a(i) = 1L; i += 512 }
+            keep += a
+            remaining -= n
+          }
+          keep.clear()
+        })
+      }
+      pool.foreach(_.start())
+      pool.foreach(_.join())
+      System.gc() // drop the toucher arrays; pages stay materialized
+      warmups("heap_pretouch") = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench] heap pre-touch ${targetBytes / (1L << 30)} GiB in ${warmups("heap_pretouch")}%.1fs")
+    }
     // one entry per RUN that recorded phases ("<query>" per timed
     // attempt in execution order, "q38_pagerank.warmup" for the
     // untimed bench-SF warm-up) — an append list, not a map, so a

@@ -827,6 +827,21 @@ GROUP BY sym"""
          |  ${OracleSql.cos6("l.embedding", "r.embedding")} AS sim
          |FROM banded l JOIN banded r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
          |WHERE ${OracleSql.cos6("l.embedding", "r.embedding")} >= 0.45""".stripMargin,
+    // d35: d5 under the auto geometry — eb from the shared integer
+    // rule over count(*), band keys computed at max width and
+    // truncated to the 2-char band tag + eb bits (the Spark side
+    // takes the FIRST eb planes of each band's run — prefix-equal)
+    "d35_embed_neardup_auto" ->
+      s"""WITH geo AS (SELECT
+         |    ${OracleSql.autoBitsSql("SELECT count(*) FROM embeddings")} AS eb),
+         |bandedf AS (SELECT vec_id, embedding,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k FROM embeddings),
+         |banded AS (SELECT vec_id, embedding,
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM bandedf)
+         |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |  ${OracleSql.cos6("l.embedding", "r.embedding")} AS sim
+         |FROM banded l JOIN banded r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
+         |WHERE ${OracleSql.cos6("l.embedding", "r.embedding")} >= 0.45""".stripMargin,
     // s14: greedy MMR unrolled to 5 step-CTEs (the m7 GD-unroll
     // discipline — no recursive CTE, every double spelled exactly as
     // the MmrSelect helper computes it: 0.7/0.3 literals, 6-dp
@@ -927,6 +942,35 @@ GROUP BY sym"""
          |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
          |  FROM embeddings
          |  WHERE vec_id % 2 = 1 AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |cand AS (SELECT DISTINCT l_id, l_emb, r_id, r_emb
+         |  FROM lb JOIN rb USING (bkey)),
+         |scored AS (SELECT l_id, r_id,
+         |  ${OracleSql.cos6("l_emb", "r_emb")} AS sim FROM cand)
+         |SELECT l_id, rk, r_id, sim FROM (
+         |  SELECT l_id, r_id, sim,
+         |    row_number() OVER (PARTITION BY l_id
+         |      ORDER BY sim DESC, r_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3""".stripMargin,
+    // s19: s8 under the auto geometry — eb from the LARGER side's
+    // count (the rule the Spark side applies, counted BEFORE the
+    // zero-norm guard), max-width keys truncated to 2 + eb chars
+    "s19_ann_join_auto" ->
+      s"""WITH geo AS (SELECT ${OracleSql.autoBitsSql(
+             "SELECT greatest((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0), " +
+               "(SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1))")} AS eb),
+         |lbf AS (SELECT vec_id AS l_id, embedding AS l_emb,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
+         |  FROM embeddings
+         |  WHERE vec_id % 2 = 0 AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |rbf AS (SELECT vec_id AS r_id, embedding AS r_emb,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
+         |  FROM embeddings
+         |  WHERE vec_id % 2 = 1 AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |lb AS (SELECT l_id, l_emb,
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM lbf),
+         |rb AS (SELECT r_id, r_emb,
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM rbf),
          |cand AS (SELECT DISTINCT l_id, l_emb, r_id, r_emb
          |  FROM lb JOIN rb USING (bkey)),
          |scored AS (SELECT l_id, r_id,

@@ -97,6 +97,35 @@ object OracleSql {
     (0 until PlaneBandsCount).map(sketchBandKey(embCol, _))
       .mkString("[", ", ", "]")
 
+  /** AUTO-geometry sign-LSH (round 15): the data-adaptive bits rule,
+    * as a scalar SQL expression over a row-count expression — the
+    * EXACT integer rule [[graft.operators.DetParams.autoBitsPerBand]]
+    * applies (smallest b in [PlaneBitsPerBand, AutoMaxBitsPerBand]
+    * with 2^b·AutoBandOcc ≥ n; max when none suffices), so Spark and
+    * DuckDB derive bit-identical geometry from the same count with no
+    * float/log2 edge cases. */
+  def autoBitsSql(countExpr: String): String =
+    s"coalesce((SELECT min(range) FROM range($PlaneBitsPerBand, " +
+      s"${AutoMaxBitsPerBand + 1}) WHERE (1::BIGINT << range) * " +
+      s"$AutoBandOcc >= ($countExpr)), $AutoMaxBitsPerBand)"
+
+  /** MAX-WIDTH auto band key b: all [[AutoMaxBitsPerBand]] bits from
+    * band b's plane run in `hyperplanesAuto` — the effective key is a
+    * substr-prefix of this (band tag '$b:' = 2 chars, so
+    * `substr(k, 1, 2 + eb)`), mirroring the Spark side taking the
+    * FIRST eb planes of the run. */
+  def sketchBandKeyAutoFull(embCol: String, b: Int): String = {
+    val bits = (0 until AutoMaxBitsPerBand).map { j =>
+      val plane = planeLit(hyperplanesAuto(b * AutoMaxBitsPerBand + j))
+      s"CASE WHEN ${dot(embCol, plane)} > 0 THEN '1' ELSE '0' END"
+    }
+    s"('$b:' || ${bits.mkString(" || ")})"
+  }
+
+  def sketchBandKeyAutoList(embCol: String): String =
+    (0 until PlaneBandsCount).map(sketchBandKeyAutoFull(embCol, _))
+      .mkString("[", ", ", "]")
+
   /** Token-window chunking twins (t15/t16/d15), generated from the
     * same [[graft.functions.TextOps.ChunkSize]]/`ChunkStride`
     * constants the Spark spelling uses. `toksSql` is the tokenizer

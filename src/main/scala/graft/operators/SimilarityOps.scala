@@ -232,6 +232,48 @@ object SimilarityOps {
         col("r.id").as("r_id"), col("r.ord").as("sim"))
   }
 
+  /** [[lshJoinTopK]] with DATA-ADAPTIVE band width (round 15 — the
+    * 100 TB path): the fixed 4-bit geometry collides a random pair
+    * per band with p = 2⁻⁴, so the cross join generates
+    * ≈ |L|·|R|/2⁴ candidate rows per band — QUADRATIC in corpus
+    * size (measured at the 10× sf1 sweep: 135× the sf0.1 wall; at
+    * 20k vectors the band join already carries ~10⁸ rows each
+    * holding two 64-dim vectors). Here bits-per-band grows with the
+    * LARGER side ([[DetParams.autoBitsPerBand]]: smallest b with
+    * 2^b·64 ≥ n), holding expected bucket occupancy — and so
+    * candidate volume — LINEAR in n. The trade is the standard LSH
+    * one: longer bands admit fewer moderate-cosine pairs (exact
+    * duplicates still collide at every width — equal vectors share
+    * all signs); tune k-recall by raising
+    * [[DetParams.AutoBandOcc]]/band count, or move to [[ivfTopK]]
+    * whose capacity bound is structural. Geometry derives from ONE
+    * driver-side count per side (bounded scalars, the hammingAuto
+    * discipline) and is mirrored exactly by the DuckDB oracle's
+    * integer rule over `count(*)`. */
+  def lshJoinTopKAuto(left: DataFrame, right: DataFrame, idCol: String,
+                      embCol: String, k: Int): DataFrame = {
+    val n = math.max(left.count(), right.count())
+    val bits = DetParams.autoBitsPerBand(n)
+    def banded(df: DataFrame, id: String, emb: String, nrm: String) =
+      df.select(col(idCol).as(id), col(embCol).as(emb))
+        .withColumn(nrm, l2norm(col(emb)))
+        .filter(col(nrm) > 0.0)
+        .withColumn("bkey",
+          explode(graft.plans.SketchBandsAuto(col(emb), bits)))
+    val lb = banded(left, "l_id", "l_emb", "l_nrm")
+    val rb = banded(right, "r_id", "r_emb", "r_nrm").hint("shuffle_hash")
+    lb.join(rb, "bkey")
+      .select(col("l_id"), col("r_id"),
+        round(dotD(col("l_emb"), col("r_emb")) /
+          (col("l_nrm") * col("r_nrm")), 6).as("sim"))
+      .distinct()
+      .groupBy(col("l_id"))
+      .agg(graft.plans.TopKRows.of(col("sim"), col("r_id"), k).as("top"))
+      .select(col("l_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("l_id"), (col("pos") + 1).as("rk"),
+        col("r.id").as("r_id"), col("r.ord").as("sim"))
+  }
+
   /** IVF-style approximate nearest neighbors: a deterministic coarse
     * quantizer (the first `numCentroids` corpus vectors), one
     * assignment pass (n x C dots, C fixed — linear in corpus size),
@@ -590,6 +632,34 @@ object SimilarityOps {
     // ~500k collision rows to the handful of near-dups), then distinct
     // the small survivors — deduplicating collisions before scoring
     // would shuffle full embedding arrays for a ~1.1x compute saving
+    banded.as("l").join(banded.as("r"),
+        col("l.bkey") === col("r.bkey") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("vec_a"), col(s"r.$idCol").as("vec_b"),
+        round(dotD(col(s"l.$embCol"), col(s"r.$embCol")) /
+          (col("l.nrm") * col("r.nrm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
+  /** [[embeddingNearDupPairs]] with DATA-ADAPTIVE band width (round
+    * 15 — the 100 TB path; see [[lshJoinTopKAuto]] for the quadratic
+    * fixed-geometry analysis, measured 52× at the 10× sf1 sweep):
+    * bits-per-band from ONE driver-side count holds the banded
+    * self-join's candidate volume linear in corpus size. Recall
+    * trade as there — exact/near-exact duplicates (the operator's
+    * target at `threshold` ≥ 0.45) collide at every width; the
+    * precision side is unchanged because every candidate still
+    * passes the exact-cosine filter. */
+  def embeddingNearDupPairsAuto(corpus: DataFrame, idCol: String,
+                                embCol: String,
+                                threshold: Double): DataFrame = {
+    val bits = DetParams.autoBitsPerBand(corpus.count())
+    val banded = corpus.select(col(idCol), col(embCol))
+      .withColumn("nrm", l2norm(col(embCol)))
+      .withColumn("bkey",
+        explode(graft.plans.SketchBandsAuto(col(embCol), bits)))
+      .hint("shuffle_hash")
     banded.as("l").join(banded.as("r"),
         col("l.bkey") === col("r.bkey") &&
         col(s"l.$idCol") < col(s"r.$idCol"))

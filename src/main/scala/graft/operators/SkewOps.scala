@@ -35,15 +35,30 @@ object SkewOps {
         .cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    // Pin the shuffle-hash strategy: left to its own stats, AQE elects
-    // to BROADCAST the saltFactor-x replicated side (measured at sf0.1:
-    // the whole 8x-replicated table built into one driver-side hash
-    // relation) — which silently un-salts the join (a broadcast join
-    // has no reducer skew to spread) and at the operator's documented
-    // scale (small side too big to broadcast) would OOM the driver.
-    // The hint keeps the (key, salt)-keyed exchange on both sides with
-    // a per-partition hash build — no sort, no broadcast.
-    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+    // Pin the SORT-MERGE strategy (round 15, replacing the r6-era
+    // shuffle-hash pin). Two failure modes bracket the choice:
+    //  - left to its own stats, AQE elects to BROADCAST the
+    //    saltFactor-x replicated side (measured at sf0.1: the whole
+    //    8x-replicated table built into one driver-side hash
+    //    relation) — which silently un-salts the join (a broadcast
+    //    join has no reducer skew to spread) and at the operator's
+    //    documented scale (small side too big to broadcast) would
+    //    OOM the driver;
+    //  - the r6 `shuffle_hash` pin fixed that but planted the
+    //    opposite cliff: ShuffledHashJoin's per-partition build
+    //    CANNOT spill, so when the replicated side outgrows
+    //    executor memory the join dies with "not enough memory to
+    //    build hash map" (measured at the 10x sf1 sweep: 12M
+    //    replicated rows / 4 partitions OOM'd a default-heap
+    //    session outright, and ground a large-heap one to 2.5x the
+    //    sort-merge time under GC pressure).
+    // A merge-hinted SortMergeJoin keeps the (key, salt)-keyed
+    // exchange on both sides — the salt still spreads a hot key
+    // across saltFactor reducers — and SMJ spills gracefully at any
+    // scale; the hint survives AQE (no broadcast demotion,
+    // PlanShapeSpec pins it), and AQE's OptimizeSkewedJoin remains
+    // applicable on top for residual (key, salt) skew.
+    salted.join(replicated.hint("merge"), Seq(key, "__salt"))
       .drop("__salt")
   }
 }

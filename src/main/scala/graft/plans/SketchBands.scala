@@ -82,6 +82,65 @@ object SketchBands {
     ColumnBridge.column(SketchBands(ColumnBridge.expression(c)))
 }
 
+/** [[SketchBands]] with DATA-ADAPTIVE band width (round 15 — the
+  * 100 TB path for the banded embedding joins): `bits` is chosen
+  * driver-side from the corpus count
+  * ([[DetParams.autoBitsPerBand]]) and band b's key takes the FIRST
+  * `bits` planes of its [[DetParams.AutoMaxBitsPerBand]]-wide run in
+  * [[DetParams.hyperplanesAuto]] — so a narrower key is a string
+  * prefix of the wider one, which is exactly the truncation the
+  * DuckDB oracle applies to its max-width key (AutoLshSpec pins the
+  * prefix property). Null/shape handling identical to
+  * [[SketchBands]]: any invalid input maps to the all-zero-bits
+  * keys. Same one-primitive-pass codegen shape. */
+case class SketchBandsAuto(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= DetParams.AutoMaxBitsPerBand,
+    s"sketch_bands_auto bits must be in [1, ${DetParams.AutoMaxBitsPerBand}], got $bits")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sketch_bands_auto expects array<float|double>, got $t")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => SketchBandsHelper.zeroBandsAuto(bits)
+    case arr  =>
+      SketchBandsHelper.bandsAuto(arr.asInstanceOf[ArrayData], elemIsFloat, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      $javaType ${ev.value} = ${childGen.isNull} ?
+        graft.plans.SketchBandsHelper.zeroBandsAuto($bits) :
+        graft.plans.SketchBandsHelper.bandsAuto(${childGen.value}, $elemIsFloat, $bits);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SketchBandsAuto =
+    copy(child = newChild)
+
+  override def prettyName: String = "sketch_bands_auto"
+}
+
+object SketchBandsAuto {
+  def apply(c: Column, bits: Int): Column =
+    ColumnBridge.column(SketchBandsAuto(ColumnBridge.expression(c), bits))
+}
+
 /** Static helper (Janino-callable): one pass over the vector keeping
   * [[DetParams.NumPlanes]] running dots, then one string per band. */
 object SketchBandsHelper {
@@ -134,6 +193,71 @@ object SketchBandsHelper {
       var j = 0
       while (j < Bits) {
         sb.append(if (acc(b * Bits + j) > 0) '1' else '0')
+        j += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ---- auto-geometry variant ([[SketchBandsAuto]]) ----
+
+  private val PlanesAuto = DetParams.hyperplanesAuto
+  private val MaxBits = DetParams.AutoMaxBitsPerBand
+
+  /** All-zero-bits keys at `bits` width (invalid-input mapping —
+    * see [[SketchBands]] null contract). Per-width cache: widths are
+    * few (4..MaxBits) and chosen once per query. */
+  private val ZeroAuto = new java.util.concurrent.ConcurrentHashMap[Int, GenericArrayData]()
+
+  def zeroBandsAuto(bits: Int): GenericArrayData =
+    ZeroAuto.computeIfAbsent(bits, { w =>
+      val out = new Array[Any](Bands)
+      var b = 0
+      while (b < Bands) {
+        out(b) = UTF8String.fromString(b.toString + ":" + ("0" * w))
+        b += 1
+      }
+      new GenericArrayData(out)
+    })
+
+  def bandsAuto(arr: ArrayData, elemIsFloat: Boolean, bits: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n != Dim) return zeroBandsAuto(bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return zeroBandsAuto(bits)
+      i += 1
+    }
+    // one primitive pass accumulating only the FIRST `bits` planes of
+    // each band's MaxBits-wide run (prefix property vs wider widths)
+    val np = Bands * bits
+    val acc = new Array[Double](np)
+    i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      var b = 0
+      while (b < Bands) {
+        val base = b * MaxBits
+        var j = 0
+        while (j < bits) {
+          acc(b * bits + j) += x * PlanesAuto(base + j)(i)
+          j += 1
+        }
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](Bands)
+    val sb = new java.lang.StringBuilder(bits + 3)
+    var b = 0
+    while (b < Bands) {
+      sb.setLength(0)
+      sb.append(b).append(':')
+      var j = 0
+      while (j < bits) {
+        sb.append(if (acc(b * bits + j) > 0) '1' else '0')
         j += 1
       }
       out(b) = UTF8String.fromString(sb.toString)

@@ -330,6 +330,18 @@ private[graft] object DedupQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
 
 
+    // d5 with DATA-ADAPTIVE band width — the 100 TB face: fixed
+    // 4-bit bands collide a random pair per band at 2^-4, making the
+    // self-join's candidate volume QUADRATIC in corpus size (52x the
+    // sf0.1 wall at the 10x sf1 sweep); bits-per-band grows with one
+    // driver-side count so candidates stay linear. The DuckDB oracle
+    // derives the identical geometry from count(*) via the same
+    // integer rule and truncates its max-width band keys.
+    "d35_embed_neardup_auto" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDupPairsAuto(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+
+
     // near-dup cluster closure: the pair detectors (d2b..d6) emit
     // pairs; an actual dedup pass needs the transitive closure and one
     // representative per cluster. MinHash-LSH candidate pairs →

@@ -60,6 +60,20 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // s8 with DATA-ADAPTIVE band width — the 100 TB face of the
+    // cross-corpus join (see d35): fixed 4-bit bands made the band
+    // join's candidate mass |L|x|R|/16 per band — 135x the sf0.1
+    // wall at the 10x sf1 sweep; bits grow with the larger side so
+    // candidates stay linear at the standard LSH recall trade.
+    "s19_ann_join_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.lshJoinTopKAuto(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", 3)
+    }),
+
+
     // embedding-space governance: pairwise cosine between per-label
     // centroids (classes-separable / sources-drift-together readout,
     // d12's embedding twin). Engine-stable by construction: each

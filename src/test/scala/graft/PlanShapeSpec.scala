@@ -141,18 +141,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
-  test("q22 salted join keeps the shuffled-hash strategy end to end") {
-    // the regression this pins (round 6): left to stats, AQE elected to
-    // BROADCAST the saltFactor-x replicated small side — which un-salts
-    // the join (a broadcast join has no reducer skew to spread) and at
-    // the operator's documented scale would collect the whole
-    // replicated table onto the driver. The hint must survive into the
-    // executed plan as a ShuffledHashJoin with no broadcast anywhere.
+  test("q22 salted join keeps the sort-merge strategy end to end") {
+    // two regressions this pins: (round 6) left to stats, AQE elected
+    // to BROADCAST the saltFactor-x replicated small side — which
+    // un-salts the join (a broadcast join has no reducer skew to
+    // spread) and at the operator's documented scale would collect
+    // the whole replicated table onto the driver; (round 15) the r6
+    // shuffle_hash pin planted the opposite cliff — ShuffledHashJoin
+    // cannot spill its per-partition build, and the 10x sf1 sweep
+    // OOM'd it outright ("not enough memory to build hash map").
+    // The merge hint must survive into the executed plan as a
+    // SortMergeJoin with no broadcast and no shuffled-hash anywhere.
     val plan = executed("q22_salted_join")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"salted join lost its shuffled-hash pin:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"salted join lost its sort-merge pin:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"),
       "AQE broadcast the replicated side — the salt is moot")
+    assert(!plan.contains("ShuffledHashJoin"),
+      "shuffled-hash build cannot spill — the r15 sf1 OOM cliff")
   }
 
   test("t14 census plan touches the corpus exactly once (rates are driver-side)") {
