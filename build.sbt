@@ -33,16 +33,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g thrashes GC under local[32] at sf0.1 (measured: same query
   // 2.2s vs 101s run-to-run near heap capacity); 24g is stable.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // -Xms == -Xmx (round 15): G1 uncommits heap regions back to the
-  // OS after every full GC (the bench harness System.gc()s between
-  // queries), and THIS VM (firecracker, lazily-materialized guest
-  // pages) re-faults uncommitted pages slowly on the JVM's
-  // single-threaded allocation paths — measured on the q22 sf1 join:
-  // 10-14s steady-state vs 95-330s whenever the sort had to
-  // re-materialize execution memory. Pinning min heap = max heap
-  // stops the uncommit, so pages materialize ONCE (the untimed
-  // pre-touch in Bench) and every timed query runs warm. This is the
-  // root cause of the multi-round "same query 2.2s vs 101s" variance
-  // documented above.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Never SHRINK the heap (round 15): G1 uncommits regions back to
+  // the OS on every full GC once free space exceeds
+  // MaxHeapFreeRatio (default 70) — and the bench harness
+  // System.gc()s between queries — while THIS VM (firecracker,
+  // lazily-materialized guest pages) re-faults uncommitted pages
+  // slowly on the JVM's allocation paths. Measured on the q22 sf1
+  // sort: 10-14s with pages resident vs 95-330s re-materializing;
+  // this commit/uncommit churn is the root cause of the
+  // cross-round "same query 2.2s vs 101s" variance class. At 100
+  // the shrink never triggers: the heap grows organically to its
+  // high-water mark and every faulted page stays resident for the
+  // JVM's lifetime. (An -Xms == -Xmx pin was tried first and
+  // REGRESSED the suite ~1.8x uniformly: it hands G1 a 24 GB young
+  // gen whose still-cold regions fault mid-GC; organic growth keeps
+  // eden inside materialized pages.)
+  "-XX:MaxHeapFreeRatio=100",
 )

@@ -5,6 +5,50 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // OPTIONAL heap pre-touch (round 15, SPARK_GRAFT_PRETOUCH=<GiB>,
+    // default off): on this VM guest pages materialize lazily and the
+    // first query to grow into untouched heap pays the fault storm
+    // (measured: the q22 sf1 sort 10-14s warm vs 95-330s faulting).
+    // With -XX:MaxHeapFreeRatio=100 (build.sbt) the heap never
+    // SHRINKS, so each page faults at most once per JVM and the
+    // best-of-3 retry policy absorbs the once-per-run cost — the
+    // pre-touch merely moves that cost ahead of the first timed
+    // query. It MUST run before the SparkSession exists: a 16 GiB
+    // JVM-heap touch takes ~3 min at this VM's fault rate (G1
+    // humongous-allocation path), long enough to starve the executor
+    // heartbeat and kill a live context (observed). Off by default —
+    // the measured artifact basis — because three untimed minutes per
+    // run buys only the first heavy query's retry back.
+    val preTouchGib = sys.env.get("SPARK_GRAFT_PRETOUCH").map(_.toInt)
+    val preTouchSec = preTouchGib.filter(_ > 0).map { gib =>
+      val t0 = System.nanoTime()
+      val threads = 16
+      val perThreadLongs = gib.toLong * (1L << 30) / threads / 8
+      val pool = (0 until threads).map { _ =>
+        new Thread(() => {
+          val chunk = 1 << 20 // 8 MiB arrays
+          // hold every array until the thread ends so pages are
+          // distinct regions, not GC-recycled ones
+          val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          var remaining = perThreadLongs
+          while (remaining > 0) {
+            val n = math.min(chunk.toLong, remaining).toInt
+            val a = new Array[Long](n)
+            var i = 0
+            while (i < n) { a(i) = 1L; i += 512 }
+            keep += a
+            remaining -= n
+          }
+          keep.clear()
+        })
+      }
+      pool.foreach(_.start())
+      pool.foreach(_.join())
+      System.gc() // drop the toucher arrays; pages stay materialized
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] heap pre-touch $gib GiB in $sec%.1fs")
+      sec
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,47 +108,7 @@ object Bench {
     // still surfaces through `warmup_sec`.
     PhaseLog.enabled = true
     val warmups = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // HEAP PRE-TOUCH (round 15): on this VM guest pages materialize
-    // lazily and slowly on the JVM's allocation paths, so the first
-    // query to grow into untouched execution memory used to eat a
-    // multi-minute page-fault storm (measured: the q22 sf1 sort at
-    // 95-330s vs 10-14s warm; the cross-round "2.2s vs 101s" variance
-    // class). With -Xms == -Xmx (build.sbt) the heap never uncommits,
-    // so materializing it ONCE here — 16 parallel threads touching
-    // ~2/3 of max heap, ~5.5 GiB/s measured against ~0.1 GiB/s
-    // single-threaded — moves the whole cost into the untimed warm-up
-    // (recorded in warmup_sec as heap_pretouch).
-    // SPARK_GRAFT_PRETOUCH=off disables.
-    if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "on") != "off") {
-      val t0 = System.nanoTime()
-      val targetBytes = Runtime.getRuntime.maxMemory / 3 * 2
-      val threads = 16
-      val perThreadLongs = targetBytes / threads / 8
-      val pool = (0 until threads).map { _ =>
-        new Thread(() => {
-          val chunk = 1 << 20 // 8 MiB arrays
-          // hold every array until the thread ends so pages are
-          // distinct regions, not GC-recycled ones
-          val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-          var remaining = perThreadLongs
-          while (remaining > 0) {
-            val n = math.min(chunk.toLong, remaining).toInt
-            val a = new Array[Long](n)
-            var i = 0
-            while (i < n) { a(i) = 1L; i += 512 }
-            keep += a
-            remaining -= n
-          }
-          keep.clear()
-        })
-      }
-      pool.foreach(_.start())
-      pool.foreach(_.join())
-      System.gc() // drop the toucher arrays; pages stay materialized
-      warmups("heap_pretouch") = (System.nanoTime() - t0) / 1e9
-      System.err.println(
-        f"[bench] heap pre-touch ${targetBytes / (1L << 30)} GiB in ${warmups("heap_pretouch")}%.1fs")
-    }
+    preTouchSec.foreach(warmups("heap_pretouch") = _)
     // one entry per RUN that recorded phases ("<query>" per timed
     // attempt in execution order, "q38_pagerank.warmup" for the
     // untimed bench-SF warm-up) — an append list, not a map, so a
