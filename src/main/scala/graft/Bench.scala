@@ -19,8 +19,22 @@ object Bench {
     // heartbeat and kill a live context (observed). Off by default —
     // the measured artifact basis — because three untimed minutes per
     // run buys only the first heavy query's retry back.
-    val preTouchGib = sys.env.get("SPARK_GRAFT_PRETOUCH").map(_.toInt)
-    val preTouchSec = preTouchGib.filter(_ > 0).map { gib =>
+    // defensive parse (r15 advice): a malformed value must not abort
+    // the bench, and a request at/over the heap OOMs the toucher
+    // threads (uncaught) while silently under-touching — clamp to
+    // half of max heap and say so
+    val preTouchGib = sys.env.get("SPARK_GRAFT_PRETOUCH").flatMap { v =>
+      val parsed = v.toIntOption
+      if (parsed.isEmpty && v != "off")
+        System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_PRETOUCH='$v'")
+      parsed
+    }
+    val preTouchSec = preTouchGib.filter(_ > 0).map { askGib =>
+      val maxGib = (Runtime.getRuntime.maxMemory() / 2 / (1L << 30)).toInt
+      val gib = math.min(askGib, maxGib)
+      if (gib < askGib)
+        System.err.println(
+          s"[bench] clamping pre-touch $askGib GiB to $gib GiB (half of max heap)")
       val t0 = System.nanoTime()
       val threads = 16
       val perThreadLongs = gib.toLong * (1L << 30) / threads / 8

@@ -820,22 +820,38 @@ GROUP BY sym"""
          |JOIN documents b ON doc_b = b.doc_id
          |WHERE levenshtein(a.text, b.text) <= 100""".stripMargin
     },
+    // d5: auto geometry since round 16, at the RECALL-BIASED
+    // occupancy (RecallBandOcc = 256, 2 fewer bits than d35's tight
+    // face). eb from the shared integer rule over the RAW count(*)
+    // (before the zero-norm guard, matching the Spark side); guard
+    // on both join sides (0/0 is NULL in Spark but NaN in DuckDB,
+    // where NaN >= 0.45 is TRUE).
     "d5_embed_neardup" ->
-      s"""WITH banded AS (SELECT vec_id, embedding,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey FROM embeddings)
+      s"""WITH geo AS (SELECT
+         |    ${OracleSql.autoBitsSql("SELECT count(*) FROM embeddings",
+               graft.operators.DetParams.RecallBandOcc)} AS eb),
+         |bandedf AS (SELECT vec_id, embedding,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
+         |  FROM embeddings
+         |  WHERE ${OracleSql.dot("embedding", "embedding")} > 0),
+         |banded AS (SELECT vec_id, embedding,
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM bandedf)
          |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
          |  ${OracleSql.cos6("l.embedding", "r.embedding")} AS sim
          |FROM banded l JOIN banded r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
          |WHERE ${OracleSql.cos6("l.embedding", "r.embedding")} >= 0.45""".stripMargin,
-    // d35: d5 under the auto geometry — eb from the shared integer
+    // d35: d5's tight-occupancy face — eb from the shared integer
     // rule over count(*), band keys computed at max width and
     // truncated to the 2-char band tag + eb bits (the Spark side
-    // takes the FIRST eb planes of each band's run — prefix-equal)
+    // takes the FIRST eb planes of each band's run — prefix-equal).
+    // Zero-norm guard as d5 (count BEFORE the guard).
     "d35_embed_neardup_auto" ->
       s"""WITH geo AS (SELECT
          |    ${OracleSql.autoBitsSql("SELECT count(*) FROM embeddings")} AS eb),
          |bandedf AS (SELECT vec_id, embedding,
-         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k FROM embeddings),
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
+         |  FROM embeddings
+         |  WHERE ${OracleSql.dot("embedding", "embedding")} > 0),
          |banded AS (SELECT vec_id, embedding,
          |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM bandedf)
          |SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
@@ -899,12 +915,24 @@ GROUP BY sym"""
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+    // s2: auto geometry since round 16 — eb from the CORPUS count
+    // (raw, before the zero-norm guards), max-width keys truncated
+    // to the 2-char band tag + eb bits; guards on both sides
     "s2_ann_lsh" ->
-      s"""WITH qb AS (SELECT vec_id AS q_id, embedding AS q_emb,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
-         |  FROM embeddings WHERE vec_id < 10),
+      s"""WITH geo AS (SELECT
+         |    ${OracleSql.autoBitsSql("SELECT count(*) FROM embeddings")} AS eb),
+         |qbf AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
+         |  FROM embeddings
+         |  WHERE vec_id < 10 AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |cbf AS (SELECT vec_id, embedding,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
+         |  FROM embeddings
+         |  WHERE ${OracleSql.dot("embedding", "embedding")} > 0),
+         |qb AS (SELECT q_id, q_emb,
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM qbf),
          |cb AS (SELECT vec_id, embedding,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey FROM embeddings),
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM cbf),
          |cand AS (SELECT DISTINCT q_id, q_emb, cb.vec_id, cb.embedding
          |  FROM cb JOIN qb ON cb.bkey = qb.bkey AND cb.vec_id != qb.q_id),
          |scored AS (SELECT q_id, vec_id,
@@ -932,16 +960,27 @@ GROUP BY sym"""
          |      ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
-    // zero-norm guards mirror the Spark side (the s7 lesson)
+    // s8: auto geometry since round 16 at the RECALL-BIASED
+    // occupancy (256) — s19's shape with a different occ constant in
+    // the integer rule; zero-norm guards mirror the Spark side (the
+    // s7 lesson), eb counted BEFORE the guard
     "s8_ann_join" ->
-      s"""WITH lb AS (SELECT vec_id AS l_id, embedding AS l_emb,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
+      s"""WITH geo AS (SELECT ${OracleSql.autoBitsSql(
+             "SELECT greatest((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0), " +
+               "(SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1))",
+             graft.operators.DetParams.RecallBandOcc)} AS eb),
+         |lbf AS (SELECT vec_id AS l_id, embedding AS l_emb,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
          |  FROM embeddings
          |  WHERE vec_id % 2 = 0 AND ${OracleSql.dot("embedding", "embedding")} > 0),
-         |rb AS (SELECT vec_id AS r_id, embedding AS r_emb,
-         |  unnest(${OracleSql.sketchBandKeyList("embedding")}) AS bkey
+         |rbf AS (SELECT vec_id AS r_id, embedding AS r_emb,
+         |  unnest(${OracleSql.sketchBandKeyAutoList("embedding")}) AS k
          |  FROM embeddings
          |  WHERE vec_id % 2 = 1 AND ${OracleSql.dot("embedding", "embedding")} > 0),
+         |lb AS (SELECT l_id, l_emb,
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM lbf),
+         |rb AS (SELECT r_id, r_emb,
+         |  substr(k, 1, 2 + (SELECT eb FROM geo)) AS bkey FROM rbf),
          |cand AS (SELECT DISTINCT l_id, l_emb, r_id, r_emb
          |  FROM lb JOIN rb USING (bkey)),
          |scored AS (SELECT l_id, r_id,

@@ -105,15 +105,28 @@ object OracleSql {
     * DuckDB derive bit-identical geometry from the same count with no
     * float/log2 edge cases. */
   def autoBitsSql(countExpr: String): String =
+    autoBitsSql(countExpr, AutoBandOcc)
+
+  /** Occupancy-parameterized form — mirrors
+    * [[graft.operators.DetParams.autoBitsPerBand(n:Long,occ:Int)*]];
+    * the headline s8/d5 faces pass [[DetParams.RecallBandOcc]]. */
+  def autoBitsSql(countExpr: String, occ: Int): String =
     s"coalesce((SELECT min(range) FROM range($PlaneBitsPerBand, " +
       s"${AutoMaxBitsPerBand + 1}) WHERE (1::BIGINT << range) * " +
-      s"$AutoBandOcc >= ($countExpr)), $AutoMaxBitsPerBand)"
+      s"$occ >= ($countExpr)), $AutoMaxBitsPerBand)"
 
   /** MAX-WIDTH auto band key b: all [[AutoMaxBitsPerBand]] bits from
     * band b's plane run in `hyperplanesAuto` — the effective key is a
     * substr-prefix of this (band tag '$b:' = 2 chars, so
     * `substr(k, 1, 2 + eb)`), mirroring the Spark side taking the
     * FIRST eb planes of the run. */
+  // the substr(k, 1, 2 + eb) truncation below assumes a
+  // SINGLE-CHARACTER band tag ('4:' would become the 3-char '10:'
+  // and silently misalign Spark/oracle keys) — fail at build time,
+  // not as a hash mismatch (AutoLshSpec pins the same bound)
+  require(PlaneBandsCount <= 10,
+    s"auto band keys assume a 1-char band tag; got $PlaneBandsCount bands")
+
   def sketchBandKeyAutoFull(embCol: String, b: Int): String = {
     val bits = (0 until AutoMaxBitsPerBand).map { j =>
       val plane = planeLit(hyperplanesAuto(b * AutoMaxBitsPerBand + j))

@@ -80,10 +80,25 @@ object DetParams {
   val AutoMaxBitsPerBand: Int = 16
   val AutoBandOcc: Int = 64
 
+  /** RECALL-BIASED occupancy for the headline ANN faces (round 16):
+    * 4× [[AutoBandOcc]] trades 2 bits of band width for 4× expected
+    * bucket occupancy — more moderate-cosine candidates per probe at
+    * the same LINEAR-in-n candidate bound (occ is a constant; only
+    * the constant differs). s8/d5 ship this face; s19/d35 keep the
+    * tight default, so both ends of the occupancy knob stay
+    * oracle-pinned. */
+  val RecallBandOcc: Int = 256
+
   /** Bits per band for a corpus of `n` vectors — see above. */
-  def autoBitsPerBand(n: Long): Int =
+  def autoBitsPerBand(n: Long): Int = autoBitsPerBand(n, AutoBandOcc)
+
+  /** Occupancy-parameterized rule: smallest b in
+    * [[PlaneBitsPerBand]]..[[AutoMaxBitsPerBand]] with 2^b·occ ≥ n
+    * (max width when none suffices) — pure integer arithmetic,
+    * mirrored by [[graft.OracleSql.autoBitsSql]]. */
+  def autoBitsPerBand(n: Long, occ: Int): Int =
     (PlaneBitsPerBand to AutoMaxBitsPerBand)
-      .find(b => (1L << b) * AutoBandOcc >= n)
+      .find(b => (1L << b) * occ >= n)
       .getOrElse(AutoMaxBitsPerBand)
 
   /** Hyperplanes for the auto-geometry bands: plane j of band b is

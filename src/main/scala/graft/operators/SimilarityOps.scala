@@ -197,6 +197,44 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** [[lshTopK]] with DATA-ADAPTIVE band width (round 16 — the
+    * headline s2 face): with FIXED 4-bit bands each query's bucket
+    * collects ≈ n/2⁴ corpus vectors per band, so the per-query
+    * candidate pool — and the exact-cosine rescore behind it — grows
+    * LINEARLY with the corpus, which defeats the point of an ANN
+    * index. Bits-per-band from ONE driver-side corpus count
+    * ([[DetParams.autoBitsPerBand]], before the zero-norm guard so
+    * the DuckDB oracle's count(*) derives identical geometry) holds
+    * expected bucket occupancy — and so per-query probe cost — at
+    * ≤ `occ` regardless of corpus size. Recall trade as in
+    * [[lshJoinTopKAuto]]; zero-norm guards on both sides (the s7
+    * lesson: 0/0 is NULL in Spark but NaN in DuckDB, and NaN sorts
+    * FIRST under desc). */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  embCol: String, k: Int,
+                  occ: Int = DetParams.AutoBandOcc): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = DetParams.autoBitsPerBand(corpus.count(), occ)
+    def banded(df: DataFrame, id: String, emb: String, nrm: String, key: String) =
+      df.withColumn(nrm, l2norm(col(emb)))
+        .filter(col(nrm) > 0.0)
+        .withColumn(key, explode(graft.plans.SketchBandsAuto(col(emb), bits)))
+    val qb = broadcast(banded(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+      "q_id", "q_emb", "q_nrm", "q_bkey"))
+    val cb = banded(corpus.select(col(idCol), col(embCol)),
+      idCol, embCol, "c_nrm", "bkey")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    cb.join(qb,
+        col("bkey") === col("q_bkey") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(dotD(col("q_emb"), col(embCol)) /
+          (col("q_nrm") * col("c_nrm")), 6).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Embedding JOIN between two LARGE tables via sign-LSH banding —
     * the no-broadcast sibling of [[lshTopK]]. When the query side is
     * itself a corpus (cross-corpus near-dup between a new crawl and a
@@ -251,9 +289,10 @@ object SimilarityOps {
     * discipline) and is mirrored exactly by the DuckDB oracle's
     * integer rule over `count(*)`. */
   def lshJoinTopKAuto(left: DataFrame, right: DataFrame, idCol: String,
-                      embCol: String, k: Int): DataFrame = {
+                      embCol: String, k: Int,
+                      occ: Int = DetParams.AutoBandOcc): DataFrame = {
     val n = math.max(left.count(), right.count())
-    val bits = DetParams.autoBitsPerBand(n)
+    val bits = DetParams.autoBitsPerBand(n, occ)
     def banded(df: DataFrame, id: String, emb: String, nrm: String) =
       df.select(col(idCol).as(id), col(embCol).as(emb))
         .withColumn(nrm, l2norm(col(emb)))
@@ -261,7 +300,14 @@ object SimilarityOps {
         .withColumn("bkey",
           explode(graft.plans.SketchBandsAuto(col(emb), bits)))
     val lb = banded(left, "l_id", "l_emb", "l_nrm")
-    val rb = banded(right, "r_id", "r_emb", "r_nrm").hint("shuffle_hash")
+    // merge, not shuffle_hash (round 16, the q22 lesson): a
+    // shuffle-hash build side of n×bands rows each carrying a 64-dim
+    // vector grows linearly with the corpus and CANNOT spill — the
+    // exact "not enough memory to build hash map" cliff this
+    // operator's auto geometry exists to avoid. SortMergeJoin spills
+    // gracefully at any n; the auto geometry already bounds candidate
+    // volume, so the sort is over linear-in-n banded rows.
+    val rb = banded(right, "r_id", "r_emb", "r_nrm").hint("merge")
     lb.join(rb, "bkey")
       .select(col("l_id"), col("r_id"),
         round(dotD(col("l_emb"), col("r_emb")) /
@@ -652,14 +698,25 @@ object SimilarityOps {
     * precision side is unchanged because every candidate still
     * passes the exact-cosine filter. */
   def embeddingNearDupPairsAuto(corpus: DataFrame, idCol: String,
-                                embCol: String,
-                                threshold: Double): DataFrame = {
-    val bits = DetParams.autoBitsPerBand(corpus.count())
+                                embCol: String, threshold: Double,
+                                occ: Int = DetParams.AutoBandOcc): DataFrame = {
+    // geometry from the RAW count (before the zero-norm guard) so the
+    // oracle's count(*) derives the identical bits
+    val bits = DetParams.autoBitsPerBand(corpus.count(), occ)
     val banded = corpus.select(col(idCol), col(embCol))
       .withColumn("nrm", l2norm(col(embCol)))
+      // zero-norm guard (the s7/s19 lesson): 0/0 cosine is NULL in
+      // Spark (silently filtered by sim >= threshold) but NaN in
+      // DuckDB, where NaN >= threshold is TRUE — drop degenerate
+      // vectors on BOTH engines instead of diverging on them
+      .filter(col("nrm") > 0.0)
       .withColumn("bkey",
         explode(graft.plans.SketchBandsAuto(col(embCol), bits)))
-      .hint("shuffle_hash")
+      // merge, not shuffle_hash: the hash build side is n×bands rows
+      // of 64-dim vectors — linear in corpus and non-spillable (the
+      // q22 cliff). SMJ spills; ReusedExchange still computes the
+      // banding pass once for the self-join (PlanShapeSpec pins both).
+      .hint("merge")
     banded.as("l").join(banded.as("r"),
         col("l.bkey") === col("r.bkey") &&
         col(s"l.$idCol") < col(s"r.$idCol"))

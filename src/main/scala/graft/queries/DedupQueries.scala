@@ -324,10 +324,17 @@ private[graft] object DedupQueries {
         t(s, dir, "documents"), "doc_id", "text", maxDist = 100)),
 
 
-    // embedding-cosine near-dup pairs via sign-LSH banding
+    // embedding-cosine near-dup pairs via sign-LSH banding — AUTO
+    // band width since round 16 (the sf1 sweep measured the fixed
+    // 4-bit face at 52× its sf0.1 wall: n²/16 candidates per band),
+    // at the RECALL-BIASED occupancy (256): 2 fewer bits than d35's
+    // tight face, 4× the candidates per bucket, still linear in n.
+    // The fixed-geometry embeddingNearDupPairs stays in
+    // SimilarityOps as the documented reduced-scale variant.
     "d5_embed_neardup" -> ((s, dir) =>
-      SimilarityOps.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+      SimilarityOps.embeddingNearDupPairsAuto(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+        occ = DetParams.RecallBandOcc)),
 
 
     // d5 with DATA-ADAPTIVE band width — the 100 TB face: fixed

@@ -29,10 +29,17 @@ private[graft] object SimilarityQueries {
     }),
 
 
-    // sign-LSH bucketed ANN top-3 (the scale path)
+    // sign-LSH bucketed ANN top-3 — AUTO band width since round 16:
+    // fixed 4-bit bands put ~n/16 corpus vectors in each query's
+    // bucket per band, so per-query probe cost grew linearly with
+    // the corpus (an ANN index that rescans 6% of a 100 TB corpus
+    // per query is not an index). Bits from one driver-side corpus
+    // count hold bucket occupancy ≤ 64 at any scale; the fixed-
+    // geometry lshTopK stays in SimilarityOps as the documented
+    // reduced-scale/teaching variant.
     "s2_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      SimilarityOps.lshTopK(
+      SimilarityOps.lshTopKAuto(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
     }),
 
@@ -50,13 +57,21 @@ private[graft] object SimilarityQueries {
 
     // cross-corpus ANN JOIN: both sides large (even vs odd split of
     // the embedding table standing in for crawl-vs-training-set), no
-    // broadcast — band-keyed shuffle join + bounded-state top-k
+    // broadcast — band-keyed shuffle join + bounded-state top-k.
+    // AUTO band width since round 16 (the sf1 sweep measured the
+    // fixed 4-bit face at 135× its sf0.1 wall — n²/16 candidates per
+    // band), at the RECALL-BIASED occupancy (256): 2 fewer bits than
+    // s19's tight face, 4× the expected candidates per probe, still
+    // linear in n. s19 keeps the tight default so both ends of the
+    // occupancy knob stay oracle-pinned; the fixed-geometry
+    // lshJoinTopK stays in SimilarityOps as the documented
+    // reduced-scale variant.
     "s8_ann_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      SimilarityOps.lshJoinTopK(
+      SimilarityOps.lshJoinTopKAuto(
         e.filter(pmod(col("vec_id"), lit(2)) === 0),
         e.filter(pmod(col("vec_id"), lit(2)) === 1),
-        "vec_id", "embedding", 3)
+        "vec_id", "embedding", 3, occ = DetParams.RecallBandOcc)
     }),
 
 

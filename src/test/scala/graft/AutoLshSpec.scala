@@ -31,6 +31,26 @@ class AutoLshSpec extends AnyFunSuite with SparkSessionFixture {
     assert(autoBitsPerBand(Long.MaxValue) === AutoMaxBitsPerBand)
   }
 
+  test("recall-biased occupancy (s8/d5 headline face) trades 2 bits for 4x occ") {
+    import DetParams._
+    assert(RecallBandOcc === 4 * AutoBandOcc)
+    // 4x the occupancy divisor = exactly 2 fewer bits away from the
+    // floor/ceiling clamps
+    assert(autoBitsPerBand(20000L, RecallBandOcc)
+      === autoBitsPerBand(20000L) - 2)
+    assert(autoBitsPerBand(2000L, RecallBandOcc) === PlaneBitsPerBand)
+    assert(autoBitsPerBand(Long.MaxValue, RecallBandOcc)
+      === AutoMaxBitsPerBand)
+  }
+
+  test("band tag stays single-char: the oracle truncation contract") {
+    // OracleSql truncates auto keys with substr(k, 1, 2 + eb), which
+    // assumes band tags '0:'..'9:' — a PlaneBandsCount > 10 would
+    // make band '10:' a 3-char tag and silently misalign Spark and
+    // oracle keys (OracleSql fails fast with the same require)
+    assert(DetParams.PlaneBandsCount <= 10)
+  }
+
   test("narrow band keys are string prefixes of wide ones (truncation contract)") {
     import spark.implicits._
     val df = spark.read

@@ -92,8 +92,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(executed("d3b_simhash_pairs").contains("ReusedExchange"))
   }
 
-  test("d5 banded self-join reuses one sketch exchange") {
-    assert(executed("d5_embed_neardup").contains("ReusedExchange"))
+  test("d5 banded self-join reuses one sketch exchange and spills (SMJ)") {
+    // r16: merge-hinted, not shuffle_hash — a hash build side of
+    // n×bands rows each carrying a 64-dim vector grows linearly with
+    // the corpus and cannot spill (the q22 sf1 OOM cliff). The merge
+    // hint must keep exchange reuse for the self-join.
+    val plan = executed("d5_embed_neardup")
+    assert(plan.contains("ReusedExchange"),
+      "both self-join sides recomputed the sketch pass")
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"),
+      "non-spillable hash build on a linear-in-corpus side")
+  }
+
+  test("d35/s19 auto faces: SMJ banded joins, no non-spillable hash build") {
+    for (q <- Seq("d35_embed_neardup_auto", "s19_ann_join_auto",
+                  "s8_ann_join")) {
+      val plan = executed(q)
+      assert(plan.contains("SortMergeJoin"), s"$q lost its merge pin")
+      assert(!plan.contains("ShuffledHashJoin"), s"$q: hash build is back")
+    }
+    assert(executed("d35_embed_neardup_auto").contains("ReusedExchange"),
+      "d35 self-join sides recomputed the sketch pass")
   }
 
   test("d27/d32/d33: one persisted gram explode, no gh-keyed window census") {
