@@ -1215,9 +1215,41 @@ object CorpusOps {
     var prevRelease: () => Unit = null
     var sinceCheckpoint = 0
     var exhausted = false
-    for (k <- 1 to nMerges if !exhausted) {
-      // pairs of adjacent symbols, weighted by word frequency; the
-      // round's winner is a 1-row TakeOrderedAndProject collect
+    // BATCHED merge selection (round 16 — the 32k-merge driver
+    // ceiling): the sequential spelling ran ONE Spark job per merge
+    // (orderBy.limit(1).collect()), fine at m14's 8 merges but 32k
+    // driver round-trips at a real vocabulary. Each round now
+    // collects the top MergeBatchTopR+1 pairs and accepts a prefix
+    // of them driver-side under rules that make the batch EXACTLY
+    // the sequence the per-merge argmax would have picked:
+    //  1. accepted pairs are pairwise SYMBOL-DISJOINT (share no l,
+    //     r, or merged l+r) — disjoint merges neither create nor
+    //     destroy each other's adjacencies, so every accepted
+    //     pair's pre-round count IS its count at selection time;
+    //  2. TRUNCATE the round at the first conflicting entry (its
+    //     post-merge count is unknowable without recounting — the
+    //     next round recounts and picks it up);
+    //  3. TIE-GROUP guard: also stop if any non-accepted entry TIED
+    //     with the candidate's count conflicts with an accepted
+    //     pair — a merge's fallout (new pairs like (x, l+r)) is
+    //     bounded by the count of some entry conflicting with it,
+    //     so only a tied conflicting entry could spawn a pair that
+    //     outranks the candidate under the (cnt, l, r) order;
+    //  4. HORIZON guard: a candidate's tie group must be fully
+    //     inside the collected list (its count must exceed the last
+    //     collected entry's), else rule 3 can't be checked.
+    // The first entry of every round is the exact argmax and is
+    // always accepted, so progress is >= 1 merge/round and the
+    // worst case (all ties/conflicts) degenerates to the sequential
+    // behavior. BpeFitSpec pins batch-vs-sequential equality on
+    // adversarial tie/cascade corpora; m14's oracle is the unrolled
+    // sequential twin, so the hash pins it end to end.
+    var rounds = 0
+    // all merged-symbol names created so far (any round) — the
+    // name-collision guard's lookup set
+    val mergeNames = scala.collection.mutable.Set.empty[String]
+    while (merges.size < nMerges && !exhausted) {
+      rounds += 1
       val top = words
         .select(col("freq"),
           transform(split(col("ws"), Sep + Sep),
@@ -1229,18 +1261,85 @@ object CorpusOps {
         .groupBy(col("l"), col("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(MergeBatchTopR + 1)
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true // no adjacent pairs left anywhere
       else {
-        val (l, r, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((k.toLong, l, r, c))
-        words = words.withColumn("ws",
-          replace(col("ws"), lit(Sep + l + Sep + Sep + r + Sep),
-            lit(Sep + l + r + Sep)))
-        sinceCheckpoint += 1
-        if (sinceCheckpoint >= MergeCheckpointEvery && k < nMerges) {
+        val seesBottom = top.length <= MergeBatchTopR // list is exhaustive
+        val touched = scala.collection.mutable.Set.empty[String]
+        // merged-form lookups for the tie-hazard refinement: an
+        // accepted (l_j, r_j) turns "x l_j" adjacencies into
+        // (x, l_j+r_j) and "r_j y" ones into (l_j+r_j, y)
+        val mergedOfL = scala.collection.mutable.Map.empty[String, String]
+        val mergedOfR = scala.collection.mutable.Map.empty[String, String]
+        val acceptedKeys = scala.collection.mutable.Set.empty[(String, String)]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        // UTF8String byte order — the engine's string sort order the
+        // (cnt, l, r) argmax tie-break uses
+        def bLt(a: String, b: String): Boolean = {
+          val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+          var i = 0
+          while (i < x.length && i < y.length) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d < 0
+            i += 1
+          }
+          x.length < y.length
+        }
+        var open = true
+        for ((l, r, c) <- top if open && merges.size + accepted.size < nMerges) {
+          val conflict = touched(l) || touched(r)
+          // TIE-HAZARD (rule 3, refined): a tied conflicting entry f
+          // can spawn a pair whose count is bounded by cnt(f) == c —
+          // dangerous ONLY if the spawned pair's NAME would outrank
+          // (l, r) under the lex tie-break. Both of f's sides may
+          // appear in merged form after this batch applies, so every
+          // raw/merged combination is checked (checking the raw side
+          // alone is not conservative: "z" sorts after "az").
+          val tieHazard = accepted.nonEmpty && {
+            (!seesBottom && top.last._3 == c) || // group may extend past horizon
+              top.exists { case (tl, tr, tc) =>
+                tc == c && !acceptedKeys((tl, tr)) &&
+                  (touched(tl) || touched(tr)) && {
+                    val lefts = Seq(tl) ++ mergedOfR.get(tl)
+                    val rights = Seq(tr) ++ mergedOfL.get(tr)
+                    lefts.exists(cl => rights.exists(cr =>
+                      (cl != tl || cr != tr) && // raw f rides its own list slot
+                        (bLt(cl, l) || (cl == l && bLt(cr, r)))))
+                  }
+              }
+          }
+          if (conflict || tieHazard) open = false
+          else {
+            accepted += ((l, r, c))
+            acceptedKeys += ((l, r))
+            touched ++= Seq(l, r, l + r)
+            mergedOfL(l) = l + r
+            mergedOfR(r) = l + r
+            // NAME-COLLISION guard: if the merged name equals a symbol
+            // an EARLIER merge already created (two derivations of the
+            // same string, e.g. a+xy and ax+y both "axy"), pairs
+            // involving that name gain count from BOTH populations and
+            // the created-pair bounds above stop holding. Accepting
+            // the pair itself is still exact (it is the argmax at its
+            // turn), but further lookahead is not — close the round
+            // and let the next round recount. Single-code-point base
+            // symbols can never collide with a ≥2-code-point
+            // concatenation, so checking merge names suffices.
+            if (mergeNames(l + r)) open = false
+            mergeNames += l + r
+          }
+        }
+        for ((l, r, c) <- accepted) {
+          merges += ((merges.size + 1L, l, r, c))
+          words = words.withColumn("ws",
+            replace(col("ws"), lit(Sep + l + Sep + Sep + r + Sep),
+              lit(Sep + l + r + Sep)))
+        }
+        sinceCheckpoint += accepted.size
+        if (sinceCheckpoint >= MergeCheckpointEvery && merges.size < nMerges) {
           val (w, release) = org.apache.spark.sql.graftbridge.DatasetBridge
             .materialized(words, it => while (it.hasNext) it.next())
           if (prevRelease != null) prevRelease()
@@ -1252,12 +1351,26 @@ object CorpusOps {
     }
     if (prevRelease != null) prevRelease()
     base.unpersist(blocking = false)
+    lastFitRounds = rounds
     (merges.toSeq, words)
   }
+
+  /** Pair-count rounds (= Spark argmax jobs) the most recent
+    * [[bpeFitCore]] run took — diagnostics for the ScaleProbe bpe
+    * mode only (merges/round is the batching win over the one-job-
+    * per-merge sequential spelling). */
+  @volatile private[graft] var lastFitRounds: Int = 0
 
   /** Merges between vocabulary re-materializations in [[bpeFitCore]]'s
     * training loop (see the lineage-checkpoint comment there). */
   private val MergeCheckpointEvery = 16
+
+  /** Pair-count entries collected per batched merge round in
+    * [[bpeFitCore]] (one extra is fetched as the horizon sentinel).
+    * Each round costs one Spark job regardless of how many merges it
+    * accepts, so a 32k-merge fit needs ~32k/accepted jobs instead of
+    * 32k; the collect stays a bounded driver pull (≤ 257 small rows). */
+  private val MergeBatchTopR = 256
 
   /** TOKEN-BUDGET WATER-FILLING — the allocation a training mix runs
     * when the corpus exceeds the token budget: find the unique water

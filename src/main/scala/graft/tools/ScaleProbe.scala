@@ -210,6 +210,39 @@ object ScaleProbe {
       return
     }
 
+    // bpe-fit mode (third arg "bpe", optional fourth arg = merges,
+    // default 1000): the r15 verdict named the SEQUENTIAL merge loop
+    // (one Spark job per merge) a driver-latency ceiling at a real
+    // 32k-merge vocabulary. r16 batches top-R selection per job
+    // under exactness-preserving accept rules (bpeFitCore); this
+    // probe fits a deep vocabulary on the 1× corpus and reports
+    // merges won vs Spark jobs run — the jobs/merge ratio is the
+    // ceiling lifted. Uses the raw corpus (no ×F build needed).
+    if (args.length > 2 && args(2) == "bpe") {
+      val nMerges = args.drop(3).headOption.map(_.toInt).getOrElse(1000)
+      val toks = graft.functions.TextOps.cleanTokens(col("text"))
+      // prefer the ×F corpus when built: its affine letter maps give
+      // F disjoint sub-vocabularies with INDEPENDENT frequent pairs —
+      // the natural-text shape where batching wins; the 1× corpus's
+      // 31-word vocabulary forces chained (conflicting) merges, the
+      // documented worst case where batch degenerates to sequential
+      val (corpus, tag) =
+        if (new java.io.File(s"$base/documents").exists()) (docs10, s"${factor}x")
+        else (docs1, "1x")
+      graft.operators.CorpusOps.bpeFit(corpus, toks, 8).collect() // warmup
+      val t0 = System.nanoTime()
+      val merged = graft.operators.CorpusOps.bpeFit(corpus, toks, nMerges)
+        .collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rounds = graft.operators.CorpusOps.lastFitRounds
+      println(f"    bpe fit[$tag]: ${merged.length} merges in $rounds " +
+        f"argmax rounds, $wall%.1fs " +
+        f"(${merged.length.toDouble / math.max(rounds, 1)}%.1f merges/round; " +
+        "sequential spelling = 1.0)")
+      spark.stop()
+      return
+    }
+
     // s8 both-sides-large ANN-join mode (third arg "s8"): lshJoinTopK
     // with the embeddings corpus split even/odd vec_id — BOTH sides
     // scale with F (no broadcast side, no fixed probe set; this is

@@ -184,6 +184,38 @@ class BpeFitSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got == want)
   }
 
+  test("batched merge selection equals sequential greedy on tie-heavy corpora") {
+    // r16 batches top-R pair selection per Spark job (the 32k-merge
+    // driver ceiling). Equality with per-merge argmax rests on the
+    // disjoint-prefix/truncate/tie-group rules in bpeFitCore —
+    // adversarial inputs here are TINY alphabets, where nearly every
+    // count ties and most candidates conflict: the worst case for
+    // batch acceptance and the easiest place for a tie-hazard bug to
+    // change the merge sequence. The reference is the independent
+    // plain-Scala sequential implementation above.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 6) {
+      val alphabet = Seq("ab", "abc", "abcd")(trial % 3)
+      val texts = (0 until 40).map { _ =>
+        (0 until (2 + rnd.nextInt(5))).map { _ =>
+          (0 until (1 + rnd.nextInt(6)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val docs = texts.toDF("text")
+      val toks = TextOps.cleanTokens(col("text"))
+      val wf = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = referenceBpe(wf, 12)
+      val got = CorpusOps.bpeFit(docs, toks, 12)
+        .orderBy("merge_rank").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == want, s"trial $trial (alphabet $alphabet): $got != $want")
+    }
+  }
+
   test("checkpointing bounds the encode vocabulary's analyzed plan size") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = TextOps.cleanTokens(col("text"))
