@@ -574,6 +574,14 @@ GROUP BY sym"""
         |  MAX(o_totalprice) AS total, COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_orderkey""".stripMargin,
+    // q55: targeted salting is pure execution strategy — the oracle
+    // is the plain join+aggregate the salted plan must reproduce
+    "q55_salted_join_hot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(c_acctbal) AS acctbal, COUNT(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY user_id""".stripMargin,
     "q19_pivot" ->
       """SELECT user_id,
         |  coalesce(count(*) FILTER (event_type = 'click'), 0) AS click,

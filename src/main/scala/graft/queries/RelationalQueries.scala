@@ -242,6 +242,28 @@ private[graft] object RelationalQueries {
           count(lit(1)).as("n"))),
 
 
+    // TARGETED salting (q22's 100 TB face): q22 replicates the whole
+    // small side saltFactor times — fine for a compact dim, itself a
+    // scale problem for a large one (the saltjoin probe measured the
+    // full-salt cure at 10x the disease with a 10M-row dim). Here hot
+    // keys are detected exactly (bounded driver pull: <= 1/hotMinShare
+    // keys by construction) and only they salt/replicate; cold keys
+    // ride salt 0 like a plain SMJ. Result-identical to the plain
+    // join, so the oracle is the join itself.
+    "q55_salted_join_hot" -> ((s, dir) =>
+      graft.operators.SkewOps.saltedEquiJoinHot(
+          t(s, dir, "events").select(col("user_id"), col("value")),
+          t(s, dir, "customer").select(col("c_custkey").as("user_id"),
+            col("c_acctbal")),
+          "user_id", saltFactor = 8, hotMinShare = 1.0 / 256)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          max(col("c_acctbal")).as("acctbal"),
+          count(lit(1)).as("n"))),
+
+
     // pivot: one row per user, one count column per event type
     // (explicit value list keeps the schema static and plannable)
     "q19_pivot" -> ((s, dir) =>

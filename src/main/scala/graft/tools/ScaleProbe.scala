@@ -319,6 +319,60 @@ object ScaleProbe {
       return
     }
 
+    // salted-join skew mode (third arg "saltjoin", optional fourth
+    // arg = large-side rows, default 2e7): the q22 shape with a
+    // GENUINELY hot key — half the large side carries ONE key, the
+    // rest spreads over 999 — r15 verdict item 6. Reports three
+    // spellings over the identical data:
+    //  - SkewOps.saltedEquiJoin (merge-hinted SMJ on (key, salt)):
+    //    the hot key spreads across saltFactor reducers by
+    //    construction; AQE's OptimizeSkewedJoin stays applicable for
+    //    residual (key, salt) skew;
+    //  - the plain join under AQE (OptimizeSkewedJoin splits the hot
+    //    partition at runtime — the first line of defense the
+    //    SkewOps scaladoc names);
+    //  - the plain join with AQE skew handling OFF, as the
+    //    one-reducer-funnel witness.
+    // All three must return identical counts (salting is a pure
+    // execution-strategy change).
+    if (args.length > 2 && args(2) == "saltjoin") {
+      val n = args.drop(3).headOption.map(_.toLong).getOrElse(20000000L)
+      // small side sized PAST the broadcast threshold (n/2 distinct
+      // keys ≈ 160 MB at the default n) — the operator's documented
+      // regime; a broadcastable dim table needs no salt at all
+      val nKeys = n / 2
+      val large = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(nKeys - 1)) + 1L).as("key"),
+        col("id").as("payload"))
+      val small = spark.range(nKeys).select(
+        col("id").as("key"), (col("id") * 7).as("dim"))
+      def salted(): Long =
+        graft.operators.SkewOps.saltedEquiJoin(large, small, "key", 8).count()
+      def plain(): Long = large.join(small, "key").count()
+      def plainNoSkewAqe(): Long = {
+        val prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try plain() finally
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+      }
+      def saltedHot(): Long =
+        graft.operators.SkewOps
+          .saltedEquiJoinHot(large, small, "key", 8).count()
+      graft.operators.SkewOps
+        .saltedEquiJoin(large.limit(100000), small, "key", 8).count() // warmup
+      var a = 0L; var b = 0L; var c = 0L; var d = 0L
+      time(s"full-salt SMJ hot-key n=$n") { a = salted(); a }
+      time(s"TARGETED salt (hot only) n=$n") { d = saltedHot(); d }
+      time(s"plain join + AQE skew-split n=$n") { b = plain(); b }
+      time(s"plain join, skew AQE OFF n=$n") { c = plainNoSkewAqe(); c }
+      require(a == b && b == c && c == d,
+        s"counts diverged: salted=$a hot=$d aqe=$b off=$c")
+      println(s"    all spellings returned $a rows")
+      spark.stop()
+      return
+    }
+
     // planted-skew mode (third arg "skew"): every ×F linearity claim
     // above runs on the affine-map corpus, which is HOT-KEY-FREE by
     // construction — this mode plants the hot keys real web corpora

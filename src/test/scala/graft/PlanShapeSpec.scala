@@ -179,6 +179,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
       "AQE broadcast the replicated side — the salt is moot")
     assert(!plan.contains("ShuffledHashJoin"),
       "shuffled-hash build cannot spill — the r15 sf1 OOM cliff")
+    // the r15 verdict's spread assertion: the join's exchange must
+    // partition on (key, __salt) — a key-only hashpartitioning would
+    // re-funnel a hot key to one reducer and the salt would be dead
+    // weight
+    assert(plan.contains("__salt"),
+      "the salt column left the exchange keys — hot keys re-funnel")
+  }
+
+  test("q55 targeted salting: SMJ on (key, salt), no broadcast, no hash build") {
+    // same pins as q22 for the hot-key-targeted variant; the salt
+    // column must reach the exchange even when only detected-hot keys
+    // carry a nonzero salt
+    val plan = executed("q55_salted_join_hot")
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"),
+      "AQE broadcast the replicated side — the salt is moot")
+    assert(!plan.contains("ShuffledHashJoin"),
+      "shuffled-hash build cannot spill — the r15 sf1 OOM cliff")
+    assert(plan.contains("__salt"),
+      "the salt column left the exchange keys — hot keys re-funnel")
   }
 
   test("t14 census plan touches the corpus exactly once (rates are driver-side)") {
