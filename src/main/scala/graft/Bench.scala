@@ -19,50 +19,13 @@ object Bench {
     // heartbeat and kill a live context (observed). Off by default —
     // the measured artifact basis — because three untimed minutes per
     // run buys only the first heavy query's retry back.
-    // defensive parse (r15 advice): a malformed value must not abort
-    // the bench, and a request at/over the heap OOMs the toucher
-    // threads (uncaught) while silently under-touching — clamp to
-    // half of max heap and say so
-    val preTouchGib = sys.env.get("SPARK_GRAFT_PRETOUCH").flatMap { v =>
-      val parsed = v.toIntOption
-      if (parsed.isEmpty && v != "off")
-        System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_PRETOUCH='$v'")
-      parsed
-    }
-    val preTouchSec = preTouchGib.filter(_ > 0).map { askGib =>
-      val maxGib = (Runtime.getRuntime.maxMemory() / 2 / (1L << 30)).toInt
-      val gib = math.min(askGib, maxGib)
-      if (gib < askGib)
-        System.err.println(
-          s"[bench] clamping pre-touch $askGib GiB to $gib GiB (half of max heap)")
-      val t0 = System.nanoTime()
-      val threads = 16
-      val perThreadLongs = gib.toLong * (1L << 30) / threads / 8
-      val pool = (0 until threads).map { _ =>
-        new Thread(() => {
-          val chunk = 1 << 20 // 8 MiB arrays
-          // hold every array until the thread ends so pages are
-          // distinct regions, not GC-recycled ones
-          val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-          var remaining = perThreadLongs
-          while (remaining > 0) {
-            val n = math.min(chunk.toLong, remaining).toInt
-            val a = new Array[Long](n)
-            var i = 0
-            while (i < n) { a(i) = 1L; i += 512 }
-            keep += a
-            remaining -= n
-          }
-          keep.clear()
-        })
-      }
-      pool.foreach(_.start())
-      pool.foreach(_.join())
-      System.gc() // drop the toucher arrays; pages stay materialized
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] heap pre-touch $gib GiB in $sec%.1fs")
-      sec
-    }
+    // parse + guards live in BenchPreTouch (r15 advice + r16 verdict
+    // item 8: malformed values never abort, size clamps to half max
+    // heap, and the touch REFUSES to run if a session already exists
+    // — spec-covered in BenchPreTouchSpec)
+    val preTouchSec = BenchPreTouch
+      .parseGib(sys.env.get("SPARK_GRAFT_PRETOUCH"))
+      .flatMap(BenchPreTouch.run)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
