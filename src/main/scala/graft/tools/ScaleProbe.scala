@@ -210,6 +210,38 @@ object ScaleProbe {
       return
     }
 
+    // auto-LSH linearity mode (third arg "annauto"): the r16 headline
+    // queries ride lshJoinTopKAuto / embeddingNearDupPairsAuto; the
+    // sf1 suite pinned them at 2.0× / 1.2× for 10× data — this mode
+    // extends the evidence to ×F (use 40: the circular-shift
+    // embeddings build caps at F < 64). The fixed-geometry faces are
+    // timed at 1× only: at 40× their n²/16-per-band candidate mass
+    // (~4·10⁹ pairs) is exactly the cliff the auto rule removes, and
+    // timing it would prove nothing new.
+    if (args.length > 2 && args(2) == "annauto") {
+      def joinAuto(e: DataFrame): Long =
+        SimilarityOps.lshJoinTopKAuto(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", 3).count()
+      def pairsAuto(e: DataFrame): Long =
+        SimilarityOps.embeddingNearDupPairsAuto(
+          e, "vec_id", "embedding", 0.45).count()
+      def joinFixed(e: DataFrame): Long =
+        SimilarityOps.lshJoinTopK(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", 3).count()
+      joinAuto(emb1); sweep() // warmup
+      time("ann-join AUTO 1x")(joinAuto(emb1))
+      time(s"ann-join AUTO ${factor}x")(joinAuto(emb10))
+      time("neardup AUTO 1x")(pairsAuto(emb1))
+      time(s"neardup AUTO ${factor}x")(pairsAuto(emb10))
+      time("ann-join FIXED 1x (contrast)")(joinFixed(emb1))
+      spark.stop()
+      return
+    }
+
     // bpe-fit mode (third arg "bpe", optional fourth arg = merges,
     // default 1000): the r15 verdict named the SEQUENTIAL merge loop
     // (one Spark job per merge) a driver-latency ceiling at a real
