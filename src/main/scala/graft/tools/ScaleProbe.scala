@@ -53,7 +53,9 @@ import graft.operators.{DedupOps, GraphOps, SimilarityOps}
   *
   * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor]
   * Modes (third arg): default sweep | cc | s8 | pr | d27 | hm |
-  * skew (planted hot keys — see the mode comment). */
+  * skew (planted hot keys) | saltjoin (hot-key salted-join
+  * spellings) | bpe (batched-merge fit depth) | annauto (auto-LSH
+  * ×F linearity) — see each mode's comment. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
