@@ -855,30 +855,87 @@ object CorpusOps {
         col("n_gopher_rep"), col("n_kept"),
         expr("(1000000 * n_kept) div n_docs").as("kept_mu"))
 
+  /** In-row duplicate-line stats over the `ls` array — (count,
+    * chars) per DISTINCT line via a nested array fold, O(L²) in a
+    * doc's own line count. ONE spelling shared by the batch funnel
+    * below and the streaming twins
+    * ([[graft.streaming.StreamPipeline.gopherQualityStream]] /
+    * `filterFunnelStream`); value-equal to gopherQuality's keyed
+    * (id, line) agg by construction (per-distinct-line counts either
+    * way — FunnelStreamSpec pins it on an adversarial corpus).
+    * (`transform` qualified: callers may shadow the SQL function.) */
+  private[graft] def inRowLineStatCols: Seq[Column] = {
+    val lc = org.apache.spark.sql.functions.transform(
+      array_distinct(col("ls")), l => struct(
+      size(filter(col("ls"), x => x === l)).cast("long").as("c"),
+      length(l).cast("long").as("len")))
+    Seq(
+      size(col("ls")).cast("long").as("n_lines"),
+      aggregate(lc, lit(0L), (a, s) =>
+        a + when(s.getField("c") > 1, s.getField("c")).otherwise(0L))
+        .as("n_dup_lines"),
+      aggregate(lc, lit(0L), (a, s) =>
+        a + s.getField("len") * s.getField("c")).as("line_chars"),
+      aggregate(lc, lit(0L), (a, s) =>
+        a + when(s.getField("c") > 1, s.getField("len") * s.getField("c"))
+          .otherwise(0L)).as("dup_line_chars"))
+  }
+
   /** Per-document verdict table under the three public rule stacks —
     * (id, extras..., pass_gopher, pass_rep, pass_c4, keep), TOTAL
     * over the corpus: documents a family's own base filter excludes
     * (empty word/token/line sets) coalesce to failing that family.
     * `keep` is the sequential-funnel conjunction. [[filterFunnel]]
     * is this table aggregated; the ingest twin is
-    * [[graft.streaming.StreamPipeline.filterFunnelStream]]. */
+    * [[graft.streaming.StreamPipeline.filterFunnelStream]].
+    *
+    * 100 TB shape (round 16 — rewritten join-free): the old spelling
+    * left-joined three per-family verdict tables, i.e. FOUR corpus
+    * scans and THREE full-corpus shuffles on the doc id for what is
+    * per-row arithmetic. All three stacks now evaluate in ONE
+    * stateless narrow projection — the spelling the streaming twin
+    * always had — with zero joins and zero exchanges before the
+    * caller's aggregation. Totality without joins: no base filters;
+    * a doc with empty words/tokens/lines hits NULL micro-ratios
+    * (zero divisors nullif'd — ANSI `div` would throw) whose rule
+    * conjunctions coalesce to 0, exactly the old left-join
+    * coalesce-to-fail. Rule spellings are the shared threshold
+    * tails ([[gopherRuleTail]], [[repMuCols]]/[[repPassCol]],
+    * [[c4DocStatCols]]/[[c4PassCol]]), so t25/t27/t29's standalone
+    * family tables stay definitionally consistent with the funnel. */
   def filterVerdicts(docs: DataFrame, idCol: String, textCol: String,
                      tokens: Column,
                      extraCols: Seq[String] = Nil): DataFrame = {
-    val g = gopherQuality(docs, idCol, textCol)
-      .select(col(idCol), col("pass_gopher"))
-    val r = repetitionSignals(docs, idCol, tokens)
-      .select(col(idCol), col("pass_rep"))
-    val c = c4Filters(docs, idCol, textCol)
-      .select(col(idCol), col("pass_c4"))
-    docs.select((idCol +: extraCols).map(col): _*)
-      .join(g, Seq(idCol), "left")
-      .join(r, Seq(idCol), "left")
-      .join(c, Seq(idCol), "left")
-      .select((idCol +: extraCols).map(col) ++ Seq(
-        coalesce(col("pass_gopher"), lit(0L)).as("pass_gopher"),
-        coalesce(col("pass_rep"), lit(0L)).as("pass_rep"),
-        coalesce(col("pass_c4"), lit(0L)).as("pass_c4")): _*)
+    val keep = extraCols.map(col)
+    val base = docs.select(col(idCol) +: keep ++: Seq(
+      col(textCol),
+      gopherWords(col(textCol)).as("ws"),
+      gopherLines(col(textCol)).as("ls"),
+      tokens.as("toks")): _*)
+    val stats = base
+      .select(col(idCol) +: keep ++: col(textCol) +: col("toks") +:
+        gopherArrayStats ++: inRowLineStatCols: _*)
+      .withColumn("n_words", nullif(col("n_words"), lit(0L)))
+      .withColumn("n_lines", nullif(col("n_lines"), lit(0L)))
+      .withColumn("line_chars", nullif(col("line_chars"), lit(0L)))
+    val g = gopherRuleTail(stats, idCol,
+        carry = extraCols ++ Seq(textCol, "toks", "n_lines"))
+      .withColumn("pass_gopher", coalesce(col("pass_gopher"), lit(0L)))
+    val r = g
+      .select(col(idCol) +: keep ++: Seq(col(textCol), col("n_lines"),
+        col("pass_gopher"),
+        when(size(col("toks")) >= 1,
+          graft.plans.RepetitionStats.of(col("toks"))).as("st")): _*)
+      .select(col(idCol) +: keep ++: Seq(col(textCol), col("n_lines"),
+        col("pass_gopher")) ++: repMuCols: _*)
+      .withColumn("pass_rep", coalesce(repPassCol, lit(0L)))
+    r.select(col(idCol) +: keep ++: Seq(col("pass_gopher"),
+        col("pass_rep"), col("n_lines")) ++:
+        c4DocStatCols(col(textCol)): _*)
+      .withColumn("pass_c4",
+        when(col("n_lines") >= 1L, c4PassCol).otherwise(0L))
+      .select(col(idCol) +: keep ++: Seq(col("pass_gopher"),
+        col("pass_rep"), col("pass_c4")): _*)
       .withColumn("keep",
         col("pass_gopher") * col("pass_rep") * col("pass_c4"))
   }

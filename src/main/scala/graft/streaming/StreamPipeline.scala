@@ -805,28 +805,11 @@ object StreamPipeline {
         inRowLineStatCols: _*), idCol)
   }
 
-  /** The duplicate-line stat columns re-derived IN-ROW over the `ls`
-    * array — (count, chars) per DISTINCT line via a nested array
-    * fold, O(L²) in a doc's own line count, the price of
-    * statelessness. ONE spelling, shared by [[gopherQualityStream]]
-    * and [[filterFunnelStream]]. (`transform` qualified: this
-    * object's own pipeline stage shadows the SQL function.) */
-  private def inRowLineStatCols: Seq[Column] = {
-    val lc = org.apache.spark.sql.functions.transform(
-      array_distinct(col("ls")), l => struct(
-      size(filter(col("ls"), x => x === l)).cast("long").as("c"),
-      length(l).cast("long").as("len")))
-    Seq(
-      size(col("ls")).cast("long").as("n_lines"),
-      aggregate(lc, lit(0L), (a, s) =>
-        a + when(s.getField("c") > 1, s.getField("c")).otherwise(0L))
-        .as("n_dup_lines"),
-      aggregate(lc, lit(0L), (a, s) =>
-        a + s.getField("len") * s.getField("c")).as("line_chars"),
-      aggregate(lc, lit(0L), (a, s) =>
-        a + when(s.getField("c") > 1, s.getField("len") * s.getField("c"))
-          .otherwise(0L)).as("dup_line_chars"))
-  }
+  /** In-row duplicate-line stats — moved to
+    * [[graft.operators.CorpusOps.inRowLineStatCols]] (round 16) so
+    * the BATCH funnel shares the join-free spelling too. */
+  private def inRowLineStatCols: Seq[Column] =
+    graft.operators.CorpusOps.inRowLineStatCols
 
   /** Streaming ADMISSION GATE — the per-document funnel verdict at
     * ingest, the stream face of

@@ -201,6 +201,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
       "the salt column left the exchange keys — hot keys re-funnel")
   }
 
+  test("t30 funnel is join-free: one corpus scan, one exchange (the census agg)") {
+    // r16 rewrite: the old spelling left-joined three per-family
+    // verdict tables — four corpus scans and three full-corpus
+    // shuffles on the doc id for per-row arithmetic. The verdict
+    // projection must stay a single stateless pass; the only
+    // exchange is the per-source census aggregation.
+    val plan = executed("t30_filter_funnel")
+    for (join <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+      assert(!plan.contains(join), s"$join crept back into the funnel:\n$plan")
+  }
+
   test("t14 census plan touches the corpus exactly once (rates are driver-side)") {
     // the regression this pins: deriving the rate table as a dependent
     // DataFrame re-derived the counts subtree under each consumer and
