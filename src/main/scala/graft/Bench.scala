@@ -35,6 +35,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SELF-CALIBRATION canary (r16 verdict #6): fixed host
+    // measurements bracketing the timed region, recorded in the
+    // artifact so a degraded-host run carries its own multiplier
+    // (see BenchCanary). Taken pre (here, before any warm-up) and
+    // post (after the last timed query).
+    def trivialSumSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    trivialSumSec() // untimed codegen warm-up for the canary itself
+    val canaryPrePage = BenchCanary.pageTouchGibps()
+    val canaryPreTrivial = trivialSumSec()
     // One-time model artifact load + 262k-dim broadcast, warmed here so
     // it is not charged to whichever query first touches the scorer.
     SparkEntry.scorer(spark)
@@ -199,6 +212,12 @@ object Bench {
     // first pass can hit
     val fps = firstPassSeq.collect { case (k, v) if v >= 0 =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // post-region canary: a mid-run host degradation shows as a
+    // pre/post spread; a uniformly degraded host shows in both
+    val canaryPostPage = BenchCanary.pageTouchGibps()
+    val canaryPostTrivial = trivialSumSec()
+    val canaryJson = BenchCanary.json(canaryPrePage, canaryPreTrivial,
+      canaryPostPage, canaryPostTrivial)
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -210,7 +229,7 @@ object Bench {
       "{\"run\":\"" + run + "\",\"phases\":" + inner + "}"
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retries":$retried,"retried_outliers":$retriedNames,"failed":$failed,"first_pass":$fps,"warmup_sec":$warmupJson,"phase_runs":$phasesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retries":$retried,"retried_outliers":$retriedNames,"failed":$failed,"first_pass":$fps,"warmup_sec":$warmupJson,"canary":$canaryJson,"phase_runs":$phasesJson}"""
     // canonical machine-readable copy (stdout can interleave with
     // Spark/sbt log noise; BENCH_r01 came back parsed:null that way)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

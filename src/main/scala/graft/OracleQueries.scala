@@ -444,7 +444,7 @@ GROUP BY sym"""
         |    AS pass_c4
         |FROM m""".stripMargin
 
-  val all: Map[String, String] = Map(
+  private val literal: Map[String, String] = Map(
     "p1_cast_project" ->
       "SELECT doc_id, decode(encode(text)) AS message FROM documents",
     "p2_json_decode" ->
@@ -2378,7 +2378,10 @@ GROUP BY sym"""
          |WHERE rn = 1""".stripMargin
     },
     // delta (doc_id % 5 = 0) admitted against base (the rest):
-    // band-keyed cross-set candidates, Jaccard verify, min base id
+    // band-keyed cross-set candidates, Jaccard verify, min base id.
+    // d36 (the stored-signature-index path) maps to this SQL VERBATIM
+    // below: the index is an execution artifact, never a semantics
+    // change — both spellings must hash-match the same oracle.
     "d14_incremental_dedup" -> {
       val branches = OracleSql.bandedBranches
       s"""${OracleSql.minhashKeysCte},
@@ -2585,6 +2588,18 @@ GROUP BY sym"""
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    // the two-pass range-partitioned ranks vs the NAIVE global window
+    // (the oracle deliberately spells the single-partition plan the
+    // operator exists to avoid — values must be identical)
+    "q56_global_rank" ->
+      """SELECT c_custkey, c_acctbal,
+        |  row_number() OVER w AS grank,
+        |  ntile(10) OVER w AS tile,
+        |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT)
+        |    AS pct_rank_u,
+        |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cume_u
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "t12_pmi" ->
       s"""WITH d AS (SELECT $sqlToks AS toks FROM documents),
          |uni AS (SELECT unnest(toks) AS w FROM d),
@@ -3304,4 +3319,10 @@ FROM tok JOIN wsyms USING (w) GROUP BY doc_id, lang"""),
          |FROM doc2 JOIN cut USING (lang)""".stripMargin
     }
   )
+
+  /** The full oracle map. d36 (stored-signature-index admission) is
+    * result-identical to d14 by contract, so it maps to d14's SQL
+    * VERBATIM — one CTE builder, no drift possible. */
+  val all: Map[String, String] =
+    literal + ("d36_dedup_from_index" -> literal("d14_incremental_dedup"))
 }

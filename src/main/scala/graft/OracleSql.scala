@@ -122,10 +122,11 @@ object OracleSql {
     * FIRST eb planes of the run. */
   // the substr(k, 1, 2 + eb) truncation below assumes a
   // SINGLE-CHARACTER band tag ('4:' would become the 3-char '10:'
-  // and silently misalign Spark/oracle keys) — fail at build time,
-  // not as a hash mismatch (AutoLshSpec pins the same bound)
-  require(PlaneBandsCount <= 10,
-    s"auto band keys assume a 1-char band tag; got $PlaneBandsCount bands")
+  // and silently misalign Spark/oracle keys). The guard lives in
+  // DetParams next to PlaneBandsCount itself — so a config bump
+  // fails naming the knob being changed, not as an opaque lazy-init
+  // error in whatever first touches OracleSql — and AutoLshSpec
+  // pins the same bound (r16 advice).
 
   def sketchBandKeyAutoFull(embCol: String, b: Int): String = {
     val bits = (0 until AutoMaxBitsPerBand).map { j =>

@@ -855,30 +855,53 @@ object CorpusOps {
         col("n_gopher_rep"), col("n_kept"),
         expr("(1000000 * n_kept) div n_docs").as("kept_mu"))
 
-  /** In-row duplicate-line stats over the `ls` array — (count,
-    * chars) per DISTINCT line via a nested array fold, O(L²) in a
-    * doc's own line count. ONE spelling shared by the batch funnel
+  /** In-row duplicate-line stats over the `ls` array — per-DISTINCT-
+    * line (count, chars) via sort-then-scan: `array_sort` makes equal
+    * lines adjacent, so ONE linear fold closes each run as the value
+    * changes — O(L log L) in a doc's own line count. (The previous
+    * nested fold rescanned the whole array per distinct line: O(L²),
+    * an unbounded single-task straggler on a pathological ~1M-line
+    * web doc — r16 advice.) ONE spelling shared by the batch funnel
     * below and the streaming twins
     * ([[graft.streaming.StreamPipeline.gopherQualityStream]] /
     * `filterFunnelStream`); value-equal to gopherQuality's keyed
     * (id, line) agg by construction (per-distinct-line counts either
-    * way — FunnelStreamSpec pins it on an adversarial corpus).
-    * (`transform` qualified: callers may shadow the SQL function.) */
+    * way — FunnelStreamSpec pins it on an adversarial corpus; the
+    * sort is value-invisible, stats are order-free sums). */
   private[graft] def inRowLineStatCols: Seq[Column] = {
-    val lc = org.apache.spark.sql.functions.transform(
-      array_distinct(col("ls")), l => struct(
-      size(filter(col("ls"), x => x === l)).cast("long").as("c"),
-      length(l).cast("long").as("len")))
+    // accumulator: (prev line, its open run length, closed-run sums)
+    val acc0 = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("dl"), lit(0L).as("dc"))
+    // fold prev's FINISHED run into the sums (count > 1 ⇒ duplicate
+    // mass); a run finishes when the scanned value changes, and the
+    // finish lambda closes the last one
+    def closeRun(a: Column): Seq[Column] = {
+      val c = a.getField("run")
+      Seq(
+        (a.getField("dl") + when(c > 1L, c).otherwise(0L)).as("dl"),
+        (a.getField("dc") + when(c > 1L, c * length(a.getField("prev")))
+          .otherwise(0L)).as("dc"))
+    }
+    val folded = aggregate(
+      array_sort(col("ls")), acc0,
+      (a, l) => {
+        val same = coalesce(a.getField("prev") === l, lit(false))
+        val closed = closeRun(a)
+        struct(
+          l.as("prev"),
+          when(same, a.getField("run") + 1L).otherwise(1L).as("run"),
+          when(same, a.getField("dl")).otherwise(closed(0)).as("dl"),
+          when(same, a.getField("dc")).otherwise(closed(1)).as("dc"))
+      },
+      a => struct(closeRun(a): _*)) // close the final run
     Seq(
       size(col("ls")).cast("long").as("n_lines"),
-      aggregate(lc, lit(0L), (a, s) =>
-        a + when(s.getField("c") > 1, s.getField("c")).otherwise(0L))
-        .as("n_dup_lines"),
-      aggregate(lc, lit(0L), (a, s) =>
-        a + s.getField("len") * s.getField("c")).as("line_chars"),
-      aggregate(lc, lit(0L), (a, s) =>
-        a + when(s.getField("c") > 1, s.getField("len") * s.getField("c"))
-          .otherwise(0L)).as("dup_line_chars"))
+      folded.getField("dl").as("n_dup_lines"),
+      // total chars over ALL lines — a plain linear fold, no
+      // distinct-line view needed (Σ len·c over distinct = Σ len)
+      aggregate(col("ls"), lit(0L),
+        (a, l) => a + length(l)).as("line_chars"),
+      folded.getField("dc").as("dup_line_chars"))
   }
 
   /** Per-document verdict table under the three public rule stacks —

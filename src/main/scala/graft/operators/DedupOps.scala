@@ -392,10 +392,19 @@ object DedupOps {
       : (DataFrame, () => Unit) = {
     val baseTg = trigramTable(base, idCol, textCol).persist()
     val deltaTg = trigramTable(delta, idCol, textCol).persist()
-    // band-keyed delta-vs-base join: shuffle_hash (band buckets are
-    // many small groups — a sort would dominate), one row per
-    // colliding (delta, base) pair after the distinct
-    val cands = bandedKeys(deltaTg, idCol).as("l").hint("shuffle_hash")
+    // band-keyed delta-vs-base join, MERGE-hinted (r17, replacing the
+    // r6-era shuffle_hash): a hash build over the base band table is
+    // linear in the CORPUS and cannot spill — the exact cliff the r16
+    // s8/s19/d5/d35 work measured OOMing at sf1 ("not enough memory
+    // to build hash map"). SortMergeJoin spills at any scale; both
+    // sides here are unbounded in principle (the base IS the corpus,
+    // a delta batch has no contract), so no broadcast side exists and
+    // merge is the only spill-safe strategy (PlanShapeSpec pins no
+    // ShuffledHashJoin). Callers with a STORED base index should use
+    // [[incrementalDedupFromIndex]], which re-enables delta-side
+    // broadcast under AQE stats. One row per colliding (delta, base)
+    // pair after the distinct.
+    val cands = bandedKeys(deltaTg, idCol).as("l").hint("merge")
       .join(bandedKeys(baseTg, idCol).as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
       .select(col(s"l.$idCol").as("delta_id"), col(s"r.$idCol").as("base_id"))
@@ -418,6 +427,85 @@ object DedupOps {
       deltaTg.unpersist(blocking = true)
       ()
     })
+  }
+
+  /** Persist the base corpus's dedup SIGNATURE INDEX as a stored
+    * artifact — the piece [[incrementalDedupReleasable]]'s contract
+    * assumes but did not ship (r16 verdict #1): without it every
+    * delta batch re-derives trigrams + MinHash over the FULL base
+    * corpus, i.e. per-batch cost rides the 100 TB corpus instead of
+    * the batch. Built ONCE when the base is deduplicated; layout is
+    * read performance ([[graft.sinks.WriteOps]] discipline):
+    *
+    *  - `<path>/bands` — (id, bkey) directory-partitioned by `band`
+    *    ([[DetParams.MinhashBands]] dirs) and sorted by (bkey, id)
+    *    within, so parquet min/max row-group stats prune bkey point
+    *    lookups and the band join reads postings, not the corpus;
+    *  - `<path>/trigrams` — (id, tgh, ntg) range-clustered + sorted
+    *    on id, so the verify stage's fetch of COLLIDING base docs
+    *    prunes to the row groups holding them.
+    *
+    * The text column never appears in the index: admission needs
+    * signatures (band keys) and hashed trigram sets only. */
+  def writeSignatureIndex(base: DataFrame, idCol: String, textCol: String,
+                          path: String, numFiles: Int = 32): Unit = {
+    val tg = trigramTable(base, idCol, textCol).persist()
+    try {
+      graft.sinks.WriteOps.partitionedSorted(
+        bandedKeys(tg, idCol).select(col("band"), col("bkey"), col(idCol)),
+        s"$path/bands", partitionCols = Seq("band"),
+        sortCols = Seq("bkey", idCol), maxRecordsPerFile = 5000000L,
+        tasksPerPartition = math.max(1, numFiles / MinhashBands))
+      graft.sinks.WriteOps.sortedParquet(
+        tg, s"$path/trigrams", Seq(idCol), numFiles)
+    } finally tg.unpersist(blocking = true)
+  }
+
+  /** Incremental dedup admission against a STORED signature index
+    * (see [[writeSignatureIndex]]) — the 100 TB ingestion shape:
+    * per-batch work is the delta's own signature pass plus index
+    * reads, with ZERO base-corpus text scans and zero base-side
+    * hashing. Result-identical to [[incrementalDedupReleasable]] on
+    * the same (base, delta) — d36 pins that against d14's oracle.
+    *
+    * Join strategy: UNHINTED on purpose. The premise of incremental
+    * ingestion is delta ≪ base, so AQE broadcasts the delta band keys
+    * and the stored band index streams through the join with NO
+    * shuffle, no sort, and no corpus-sized hash build; when a batch
+    * is genuinely large, AQE falls back to sort-merge, which spills
+    * (PlanShapeSpec pins that ShuffledHashJoin never appears). The
+    * verify stage joins the candidate pairs (collision-bounded) back
+    * to the stored trigram table the same way — base trigram sets are
+    * fetched only for docs that actually collide. */
+  def incrementalDedupFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, delta: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double)
+      : (DataFrame, () => Unit) = {
+    val deltaTg = trigramTable(delta, idCol, textCol).persist()
+    val baseBands = spark.read.parquet(s"$indexPath/bands")
+      .select(col("band").cast("int").as("band"), col("bkey"),
+        col(idCol))
+    val baseTg = spark.read.parquet(s"$indexPath/trigrams")
+    val cands = bandedKeys(deltaTg, idCol).as("l")
+      .join(baseBands.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col(s"l.$idCol").as("delta_id"), col(s"r.$idCol").as("base_id"))
+      .distinct()
+    val dupOf = cands
+      .join(deltaTg.as("a"), col("delta_id") === col(s"a.$idCol"))
+      .join(baseTg.as("b"), col("base_id") === col(s"b.$idCol"))
+      .select(col("delta_id"), col("base_id"),
+        graft.plans.SortedIntersectCount.of(
+          col("a.tgh"), col("b.tgh")).as("i"),
+        (col("a.ntg") + col("b.ntg")).as("st"))
+      .filter(col("i").cast("double") / (col("st") - col("i")) >= threshold)
+      .groupBy(col("delta_id"))
+      .agg(min(col("base_id")).as("dup_of"))
+    val admitted = delta.select(col(idCol))
+      .join(dupOf, col(idCol) === col("delta_id"), "left")
+      .select(col(idCol), col("dup_of"))
+    (admitted, () => { deltaTg.unpersist(blocking = true); () })
   }
 
   /** EMPIRICAL LSH candidate recall/precision on a bounded gold

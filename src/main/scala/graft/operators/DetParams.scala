@@ -48,6 +48,17 @@ object DetParams {
     * literal "0.123" parses to the identical double in Java and C++). */
   val EmbedDim: Int = 64
   val PlaneBandsCount: Int = 4
+  // the DuckDB oracle's auto-band keys prefix each key with a
+  // SINGLE-character band tag and truncate with substr(k, 1, 2 + eb)
+  // (graft.OracleSql.sketchBandKeyAutoFull); an 11th band would make
+  // the tag 2 chars and silently misalign Spark/oracle keys. Checked
+  // HERE, at the knob, so raising PlaneBandsCount fails with this
+  // message instead of an opaque OracleSql init error (AutoLshSpec
+  // pins the same bound).
+  require(PlaneBandsCount <= 10,
+    s"PlaneBandsCount = $PlaneBandsCount: oracle auto band keys " +
+      "assume a 1-char band tag (<= 10 bands); widen the tag in " +
+      "OracleSql.sketchBandKeyAutoFull before raising this")
   val PlaneBitsPerBand: Int = 4
   val NumPlanes: Int = PlaneBandsCount * PlaneBitsPerBand
 

@@ -25,14 +25,20 @@ object SkewOps {
     * duplication (use for medium small-sides where broadcast doesn't
     * fit but one reducer per hot key is too slow).
     *
-    * The salt is a hash of the large row's full content: deterministic
-    * for reproducibility, and it spreads even identical-key rows. */
+    * The salt hashes the large row's full content PLUS a per-row
+    * disambiguator (`monotonically_increasing_id`): content alone
+    * leaves fully identical duplicate rows of a hot key on ONE salt —
+    * exactly the skew the operator targets (r16 advice). The result
+    * set is salt-invariant (salting is pure execution strategy), so
+    * the partition-layout-dependent id costs nothing in determinism
+    * of the OUTPUT; only the internal spread changes. */
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
                      saltFactor: Int): DataFrame = {
     require(saltFactor > 1, "saltFactor must exceed 1")
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
-        .cast("int"))
+      pmod(xxhash64((large.columns.map(col) :+
+          monotonically_increasing_id()).toIndexedSeq: _*),
+        lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     // Pin the SORT-MERGE strategy (round 15, replacing the r6-era
@@ -90,15 +96,23 @@ object SkewOps {
     val counts = large.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val total = counts.agg(sum(col("__cnt"))).collect()(0).getLong(0)
+      // coalesce: sum over ZERO rows is NULL and getLong would NPE —
+      // an empty large side must behave like the plain join (empty
+      // result, all-cold path; r16 advice)
+      val total = counts.agg(coalesce(sum(col("__cnt")), lit(0L)))
+        .collect()(0).getLong(0)
       val floor = math.max(1L, math.ceil(total * hotMinShare).toLong)
       val hot = counts.filter(col("__cnt") >= floor)
         .select(col(key)).collect().map(_.get(0)).toSeq
       val isHot: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         c => if (hot.isEmpty) lit(false) else c.isin(hot: _*)
+      // same per-row disambiguator as saltedEquiJoin: without it,
+      // duplicate rows of a genuinely hot key all land on one salt —
+      // the exact population this targeted variant exists for
       val salted = large.withColumn("__salt",
         when(isHot(col(key)),
-          pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*),
+          pmod(xxhash64((large.columns.map(col) :+
+              monotonically_increasing_id()).toIndexedSeq: _*),
             lit(saltFactor)).cast("int"))
           .otherwise(lit(0)))
       val replicated = small.withColumn("__salt",

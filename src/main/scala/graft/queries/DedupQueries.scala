@@ -574,6 +574,28 @@ private[graft] object DedupQueries {
     }),
 
 
+    // d14 THROUGH THE STORED SIGNATURE INDEX (r16 verdict #1): the
+    // base corpus's band keys + trigram table persisted ONCE as a
+    // parquet artifact (writeSignatureIndex — the t24 stage pattern),
+    // then the SAME delta admitted against the index with zero
+    // base-corpus text scans and zero base-side hashing. The oracle
+    // is d14's SQL verbatim: the stored-index path must be
+    // result-identical, not just spec-identical. (The index build is
+    // timed inside the query — an honest composite; the probe's
+    // `incr` mode isolates the amortized per-batch cost.)
+    "d36_dedup_from_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stage = sys.props("java.io.tmpdir") +
+        s"/graft_d36_${java.lang.Integer.toHexString(dir.hashCode)}"
+      DedupOps.writeSignatureIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", stage, numFiles = 8)
+      DedupOps.incrementalDedupFromIndex(
+        s, stage, docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", threshold = 0.6)._1
+    }),
+
+
     // cross-document duplicated-chunk detection over the t15 windows
     // (the exact-substring dedup readout at window granularity, Lee
     // et al. 2022): chunk fingerprints shared by 2+ DOCUMENTS, with

@@ -264,6 +264,21 @@ private[graft] object RelationalQueries {
           count(lit(1)).as("n"))),
 
 
+    // GLOBAL quantile ranks WITHOUT a single-partition window (r16
+    // verdict #4, the q29-class 100 TB upgrade path shipped): two-pass
+    // range-partitioned ranking — range exchange on the total order,
+    // per-bucket local row_numbers, bounded (≤ numParts) driver pull
+    // of per-bucket counts folded back as offsets. The oracle is the
+    // naive global-window SQL: the two-pass plan must be value-
+    // identical to ntile/percent_rank/cume_dist over the total order.
+    // PlanShapeSpec pins that no Exchange SinglePartition appears.
+    "q56_global_rank" -> ((s, dir) =>
+      graft.operators.RankOps.globalQuantileRanks(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc),
+        tiles = 10, numParts = 32)),
+
+
     // pivot: one row per user, one count column per event type
     // (explicit value list keeps the schema static and plannable)
     "q19_pivot" -> ((s, dir) =>

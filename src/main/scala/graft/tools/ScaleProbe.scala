@@ -55,7 +55,9 @@ import graft.operators.{DedupOps, GraphOps, SimilarityOps}
   * Modes (third arg): default sweep | cc | s8 | pr | d27 | hm |
   * skew (planted hot keys) | saltjoin (hot-key salted-join
   * spellings) | bpe (batched-merge fit depth) | annauto (auto-LSH
-  * ×F linearity) — see each mode's comment. */
+  * ×F linearity) | incr (stored-index incremental dedup: per-batch
+  * wall vs base-corpus size) | rank (two-pass global ranking vs the
+  * single-partition window) — see each mode's comment. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -349,6 +351,89 @@ object ScaleProbe {
       time(s"d27 spans ${factor}x")(spansN(docs10))
       time("d32 strip 1x")(stripN(docs1))
       time(s"d32 strip ${factor}x")(stripN(docs10))
+      spark.stop()
+      return
+    }
+
+    // incremental-dedup index mode (third arg "incr"): the r16
+    // verdict's one genuine 100 TB gap — d14 re-derived trigrams +
+    // MinHash over the FULL base corpus per delta batch. This probes
+    // the r17 stored-signature-index path: the index is built ONCE
+    // per base (walls reported — expected ≈ linear in base), then the
+    // SAME fixed delta batch admits against the 1× and ×F indexes —
+    // per-batch wall must be decoupled from base size (index reads
+    // are columnar postings scans, no base-side hashing), while the
+    // inline d14 spelling re-pays the base signature pass at ×F as
+    // the contrast.
+    if (args.length > 2 && args(2) == "incr") {
+      val delta = docs1.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val base1 = docs1.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val baseF = docs10.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val idx1 = s"$base/incr_idx_1x"
+      val idxF = s"$base/incr_idx_${factor}x"
+      def admit(idx: String): Long = {
+        val (out, rel) = DedupOps.incrementalDedupFromIndex(
+          spark, idx, delta, "doc_id", "text", threshold = 0.6)
+        val n = out.filter(col("dup_of").isNotNull).count(); rel(); n
+      }
+      def admitInline(b: DataFrame): Long = {
+        val (out, rel) = DedupOps.incrementalDedupReleasable(
+          b, delta, "doc_id", "text", threshold = 0.6)
+        val n = out.filter(col("dup_of").isNotNull).count(); rel(); n
+      }
+      admitInline(base1); sweep() // warmup
+      time("index build 1x")({
+        DedupOps.writeSignatureIndex(base1, "doc_id", "text", idx1); 0L })
+      time(s"index build ${factor}x")({
+        DedupOps.writeSignatureIndex(baseF, "doc_id", "text", idxF); 0L })
+      admit(idx1); sweep() // warm the from-index plan shape too
+      time("admit vs 1x index")(admit(idx1))
+      time(s"admit vs ${factor}x index")(admit(idxF))
+      time("admit INLINE vs 1x base")(admitInline(base1))
+      time(s"admit INLINE vs ${factor}x base")(admitInline(baseF))
+      spark.stop()
+      return
+    }
+
+    // two-pass global-rank mode (third arg "rank", optional fourth
+    // arg = rows, default 2e7): RankOps.globalQuantileRanks vs the
+    // naive single-partition global window on the same synthetic
+    // total-order corpus. The two-pass wall should scale ~linearly
+    // (every task sorts ~n/numParts rows — the max-rows-per-task
+    // census is printed as the direct no-single-task-sort evidence);
+    // the naive spelling sorts ALL n rows in ONE task at any scale.
+    if (args.length > 2 && args(2) == "rank") {
+      import org.apache.spark.sql.expressions.Window
+      val n = args.drop(3).headOption.map(_.toLong).getOrElse(20000000L)
+      def corpus(rows: Long): DataFrame = spark.range(rows)
+        .select(col("id"), xxhash64(col("id")).as("v"))
+      def twoPass(rows: Long): Long = {
+        val (ranked, rel) = graft.operators.RankOps
+          .globalQuantileRanksReleasable(corpus(rows),
+            Seq(col("v").desc, col("id").asc), tiles = 10, numParts = 32)
+        val out = ranked.agg(max(col("grank"))).collect()(0).getLong(0)
+        rel(); out
+      }
+      def naive(rows: Long): Long = {
+        val w = Window.orderBy(col("v").desc, col("id").asc)
+        corpus(rows)
+          .select(ntile(10).over(w).as("tile"))
+          .agg(max(col("tile"))).collect()(0).getInt(0).toLong
+      }
+      def maxTask(rows: Long): Long = corpus(rows)
+        .repartitionByRange(32, col("v").desc, col("id").asc)
+        .groupBy(spark_partition_id()).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      twoPass(100000L); naive(100000L); sweep() // warmup
+      time(s"two-pass rank n=$n")(twoPass(n))
+      time(s"two-pass rank n=${n * factor}")(twoPass(n * factor))
+      println(f"    max rows/task: ${maxTask(n)} at 1x, " +
+        f"${maxTask(n * factor)} at ${factor}x (n/32 = ${n / 32})")
+      time(s"NAIVE 1-task window n=$n")(naive(n))
+      if (n * factor <= 40000000L)
+        time(s"NAIVE 1-task window n=${n * factor}")(naive(n * factor))
+      else println(s"    naive at n=${n * factor}: skipped — one task " +
+        "sorting the whole input is the cliff, not a data point")
       spark.stop()
       return
     }

@@ -104,4 +104,25 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.parseRefTimes("""{"q1":1.5,"q2":2.5}""") ==
       Map("q1" -> 1.5, "q2" -> 2.5))
   }
+
+  test("canary JSON: fixed keys, 3-decimal values, parseable as a flat map") {
+    val j = BenchCanary.json(5.456789, 0.1234, 0.07111, 2.5)
+    assert(j ==
+      """{"page_touch_gibps_pre":5.457,"trivial_sum_sec_pre":0.123,""" +
+      """"page_touch_gibps_post":0.071,"trivial_sum_sec_post":2.500}""")
+    // and the canary must NEVER leak into parsed reference times when
+    // a full bench_out.json line is used as bench_ref.json — the
+    // queries-scope rule covers it
+    val line = s"""{"metric":"total","value":9.9,"queries":{"q1":1.5},""" +
+      s""""canary":$j}"""
+    assert(BenchPolicy.parseRefTimes(line) == Map("q1" -> 1.5))
+  }
+
+  test("canary page-touch measurement is finite and positive") {
+    val v = BenchCanary.pageTouchGibps(1)
+    assert(v > 0.0 && java.lang.Double.isFinite(v), s"got $v")
+    // the knob is bounded — an 0/oversized request is a coding error
+    intercept[IllegalArgumentException](BenchCanary.pageTouchGibps(0))
+    intercept[IllegalArgumentException](BenchCanary.pageTouchGibps(99))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** [[CorpusOps.inRowLineStatCols]] — the r17 sort-then-scan rewrite
+  * (O(L log L), replacing the O(L²) per-distinct-line rescan the r16
+  * advice flagged as an unbounded straggler on line-heavy docs) must
+  * stay VALUE-identical to the definition: per-DISTINCT-line counts,
+  * duplicate mass = lines whose count > 1. Pinned against a plain
+  * Scala groupBy reference on adversarial shapes: empty array, all
+  * lines identical, all distinct, duplicates adjacent and straddling
+  * sort order, and a wide mostly-unique array (the straggler shape
+  * itself, at a size the old spelling already crawled on). */
+class LineStatsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def reference(lines: Seq[String]): (Long, Long, Long, Long) = {
+    val byLine = lines.groupBy(identity).view.mapValues(_.size.toLong)
+    val dups = byLine.filter(_._2 > 1)
+    (lines.size.toLong,
+      dups.values.sum,
+      lines.map(_.length.toLong).sum,
+      dups.map { case (l, c) => l.length * c }.sum)
+  }
+
+  private def computed(lines: Seq[String]): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Seq(Tuple1(lines)).toDF("ls")
+      .select(CorpusOps.inRowLineStatCols: _*)
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("adversarial line arrays match the per-distinct-line definition") {
+    val cases = Seq(
+      Seq.empty[String],
+      Seq("only line"),
+      Seq("same", "same", "same", "same"),
+      Seq("a", "b", "c", "d"),
+      // duplicates that sort NON-adjacent in input order
+      Seq("z line", "a line", "z line", "m", "a line", "z line"),
+      // empty-string lines are countable lines too
+      Seq("", "", "x"),
+      Seq("ü unicode", "ü unicode", "ascii"))
+    for (c <- cases)
+      assert(computed(c) === reference(c), s"lines = $c")
+  }
+
+  test("wide mostly-unique array (the old quadratic worst case) is exact") {
+    val lines = (0 until 20000).map(i => s"line number $i") ++
+      Seq.fill(17)("the one repeated boilerplate line")
+    assert(computed(lines) === reference(lines))
+  }
+}

@@ -201,6 +201,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
       "the salt column left the exchange keys — hot keys re-funnel")
   }
 
+  test("d14/d36 incremental admission: no non-spillable hash build") {
+    // r16 verdict #2: d14's band join carried the r6-era shuffle_hash
+    // pin — a hash build LINEAR IN THE BASE CORPUS that cannot spill,
+    // the exact sf1 OOM cliff the s8/s19/d5/d35 merge migration
+    // measured. d14 is now merge-hinted; d36 (stored-index path) is
+    // unhinted so AQE may broadcast the DELTA side (bounded by the
+    // batch premise) — either way ShuffledHashJoin must never appear.
+    for (q <- Seq("d14_incremental_dedup", "d36_dedup_from_index")) {
+      val plan = executed(q)
+      assert(!plan.contains("ShuffledHashJoin"),
+        s"$q: non-spillable hash build on a corpus-sized side")
+    }
+  }
+
+  test("q56 global ranks never funnel through Exchange SinglePartition") {
+    // the operator's whole reason to exist (r16 verdict #4): the
+    // naive global window sorts the entire input in ONE task; the
+    // two-pass plan must show only balanced exchanges (range on the
+    // order key, hash on the bucket id)
+    val plan = executed("q56_global_rank")
+    assert(!plan.contains("SinglePartition"),
+      s"global rank funneled through one partition:\n$plan")
+  }
+
   test("t30 funnel is join-free: one corpus scan, one exchange (the census agg)") {
     // r16 rewrite: the old spelling left-joined three per-family
     // verdict tables — four corpus scans and three full-corpus

@@ -23,8 +23,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert((o -- q) === Set.empty, s"oracles without query: ${o -- q}")
   }
 
-  test("inventory size is the declared 185") {
-    assert(SparkEntry.queries.size === 185)
+  test("inventory size is the declared 187") {
+    assert(SparkEntry.queries.size === 187)
   }
 
   test("every family is non-empty and names its queries by prefix convention") {

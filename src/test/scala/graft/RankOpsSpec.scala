@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.RankOps
+
+/** [[RankOps.globalQuantileRanks]] — the two-pass range-partitioned
+  * ranking must be VALUE-identical to the built-in global window
+  * functions (row_number / ntile / percent_rank / cume_dist over a
+  * total order) on every bucket-boundary shape: n % tiles != 0, more
+  * tiles than rows, ties in the value column (broken by id — the
+  * total-order contract), single row, empty input, and numParts both
+  * above and below the row count. */
+class RankOpsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def referenceRanks(df: org.apache.spark.sql.DataFrame,
+                             tiles: Int): Array[(Long, Long, Long, Long, Long)] = {
+    val w = Window.orderBy(col("v").desc, col("id"))
+    df.select(col("id"),
+        row_number().over(w).cast("long").as("grank"),
+        ntile(tiles).over(w).cast("long").as("tile"),
+        floor(percent_rank().over(w) * lit(1.0e6)).cast("long").as("p"),
+        floor(cume_dist().over(w) * lit(1.0e6)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+  }
+
+  private def twoPass(df: org.apache.spark.sql.DataFrame, tiles: Int,
+                      numParts: Int): Array[(Long, Long, Long, Long, Long)] = {
+    val (ranked, release) = RankOps.globalQuantileRanksReleasable(df,
+      Seq(col("v").desc, col("id").asc), tiles, numParts)
+    try ranked
+      .select(col("id"), col("grank"), col("tile"),
+        col("pct_rank_u"), col("cume_u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    finally release()
+  }
+
+  private def corpus(n: Int, distinctVals: Int) = {
+    import spark.implicits._
+    // ties on v (n / distinctVals rows per value) broken by id
+    (1 to n).map(i => (i.toLong, (i % distinctVals).toDouble))
+      .toDF("id", "v")
+  }
+
+  test("two-pass ranks equal the global window on uneven tile splits") {
+    for ((n, tiles, parts) <- Seq((10, 4, 3), (97, 10, 8), (96, 10, 16))) {
+      val df = corpus(n, 7)
+      assert(twoPass(df, tiles, parts) === referenceRanks(df, tiles),
+        s"n=$n tiles=$tiles parts=$parts")
+    }
+  }
+
+  test("more tiles than rows: each row its own bucket") {
+    val df = corpus(3, 3)
+    assert(twoPass(df, 10, 4) === referenceRanks(df, 10))
+  }
+
+  test("single row and empty input") {
+    import spark.implicits._
+    val one = Seq((1L, 5.0)).toDF("id", "v")
+    assert(twoPass(one, 10, 4) === referenceRanks(one, 10))
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(twoPass(empty, 10, 4).isEmpty)
+  }
+
+  test("heavy ties across bucket boundaries stay exact") {
+    // 2 distinct values over 50 rows, 8 range buckets: equal keys
+    // straddle sampled bounds only if the partitioner splits a key —
+    // it must not, and the id tiebreaker makes the order total either
+    // way
+    val df = corpus(50, 2)
+    assert(twoPass(df, 10, 8) === referenceRanks(df, 10))
+  }
+
+  test("no Exchange SinglePartition in the two-pass plan") {
+    val plan = RankOps.globalQuantileRanks(corpus(100, 7),
+        Seq(col("v").desc, col("id").asc), 10, 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(!plan.contains("SinglePartition"),
+      s"two-pass ranking funneled through one partition:\n$plan")
+  }
+}

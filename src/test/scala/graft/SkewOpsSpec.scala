@@ -60,4 +60,33 @@ class SkewOpsSpec extends AnyFunSuite with SparkSessionFixture {
       .saltedEquiJoinHot(uniform, small, "k", saltFactor = 4).count()
     assert(hotU == plainU)
   }
+
+  test("saltedEquiJoinHot on an EMPTY large side returns empty, not NPE") {
+    // r16 advice: sum over zero rows is NULL — the detection pull must
+    // coalesce, matching the plain join's empty result
+    import spark.implicits._
+    val large = Seq.empty[(Long, String)].toDF("k", "payload")
+    val small = Seq((1L, "d")).toDF("k", "dim")
+    assert(SkewOps.saltedEquiJoinHot(large, small, "k", 8).count() == 0L)
+    assert(SkewOps.saltedEquiJoin(large, small, "k", 8).count() == 0L)
+  }
+
+  test("fully identical duplicate rows of a hot key still spread across salts") {
+    // r16 advice: a content-only salt lands every identical row of a
+    // hot key on ONE salt — the per-row disambiguator must spread them
+    import spark.implicits._
+    val large = (1 to 2000).map(_ => (1L, "same payload")).toDF("k", "payload")
+    val small = Seq((1L, "dim")).toDF("k", "dim")
+    for (join <- Seq(
+        SkewOps.saltedEquiJoin(large, small, "k", 8),
+        SkewOps.saltedEquiJoinHot(large, small, "k", 8))) {
+      assert(join.count() == 2000L) // result still the plain join
+    }
+    // inspect the spread directly with the operator's salt spelling
+    val spread = large.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("payload"),
+          monotonically_increasing_id()), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread == 8L, "identical rows collapsed onto one salt")
+  }
 }
