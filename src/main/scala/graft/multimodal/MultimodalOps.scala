@@ -419,7 +419,18 @@ object MultimodalOps {
     * ~2.8·10⁵, B=9 to ~9.1·10⁶, B=10 beyond — matches every
     * head-to-head probe point (B=8 wins at 10⁵/3·10⁵; B=9 vs B=10
     * at 3·10⁶ measured in r14; the cap C(d+4,d) is
-    * [[hammingNearDupPairs]]'s fan-out guard). */
+    * [[hammingNearDupPairs]]'s fan-out guard).
+    *
+    * Honest scale shape (r17 ×10 probe): unlike the sign-LSH auto
+    * rule — whose band COUNT is constant and only bits-per-band
+    * grow — this ladder's key fan-out itself grows along B
+    * (C(8,2)=28 → C(9,3)=84 → C(10,4)=210 per decade for d=6), so
+    * the banded row mass is n·C(B,d): wall grows ≈ (data ×) · (key
+    * fan-out ×) ≈ 27× per 10× at the 10⁵→10⁶ step even though the
+    * CANDIDATE mass stays controlled. That is the min-volume trade:
+    * the alternative (holding B) is the measured n²-candidate
+    * ENOSPC cliff. Past the C(d+4,d) cap the right move is a wider
+    * signature (128-bit pHash) or multi-probe, not more blocks. */
   def autoHammingBlocks(n: Long, maxDist: Int): Int = {
     require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 63]")
     def chooseK(b: Int, k: Int): Double = // C(b, k) for tiny k (≤ 4)

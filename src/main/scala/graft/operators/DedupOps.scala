@@ -492,9 +492,22 @@ object DedupOps {
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
       .select(col(s"l.$idCol").as("delta_id"), col(s"r.$idCol").as("base_id"))
       .distinct()
+      .persist()
+    // SEMI-PRUNE the stored trigram table to colliding ids BEFORE the
+    // verify join (measured at the ×40 incr probe: without it the
+    // fetch planned as an SMJ that shuffled + sorted the ENTIRE
+    // base-sized trigram table per batch — the one base-proportional
+    // stage left in the admit). The broadcast side is one id per
+    // colliding base doc — collision-bounded, 8 bytes/doc, safe at
+    // any batch size the operator's premise admits — so the trigram
+    // table STREAMS through a broadcast semi filter: per-batch base
+    // cost is now two streaming index scans, no shuffle, no sort.
+    val baseHit = baseTg.join(
+      broadcast(cands.select(col("base_id")).distinct()),
+      col(idCol) === col("base_id"), "left_semi")
     val dupOf = cands
       .join(deltaTg.as("a"), col("delta_id") === col(s"a.$idCol"))
-      .join(baseTg.as("b"), col("base_id") === col(s"b.$idCol"))
+      .join(baseHit.as("b"), col("base_id") === col(s"b.$idCol"))
       .select(col("delta_id"), col("base_id"),
         graft.plans.SortedIntersectCount.of(
           col("a.tgh"), col("b.tgh")).as("i"),
@@ -505,7 +518,14 @@ object DedupOps {
     val admitted = delta.select(col(idCol))
       .join(dupOf, col(idCol) === col("delta_id"), "left")
       .select(col(idCol), col("dup_of"))
-    (admitted, () => { deltaTg.unpersist(blocking = true); () })
+    // cands persisted because BOTH the semi-prune's broadcast side
+    // and the verify join consume it — recomputing would re-scan the
+    // band index (a base-sized read) a second time per batch
+    (admitted, () => {
+      deltaTg.unpersist(blocking = true)
+      cands.unpersist(blocking = true)
+      ()
+    })
   }
 
   /** EMPIRICAL LSH candidate recall/precision on a bounded gold

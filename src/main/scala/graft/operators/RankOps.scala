@@ -4,61 +4,120 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Two-pass RANGE-PARTITIONED global ranking — the 100 TB upgrade
-  * path for global (or low-cardinality-key) rank windows that the
-  * SURVEY documented and r16's verdict asked shipped (item 4).
+/** Two-pass RANGE-BUCKETED global ranking — the 100 TB upgrade path
+  * for global (or low-cardinality-key) rank windows that the SURVEY
+  * documented and r16's verdict asked shipped (item 4).
   *
   * The naive spelling — `row_number()/ntile()/percent_rank() OVER
   * (ORDER BY ...)` with no PARTITION BY — plans as Exchange
   * SinglePartition + one task sorting the ENTIRE input: the sort
   * budget of a single task grows with the corpus, the exact failure
-  * q29's 25-way nation key only postpones. Here instead:
+  * q29's 25-way nation key only postpones. Here instead the bucket
+  * id is a PURE FUNCTION of the row (searchsorted against sampled
+  * boundary tuples), so the whole device needs NO persist and the
+  * data mass crosses exactly ONE exchange:
   *
-  *  1. `repartitionByRange` on the order key (one balanced sampled-
-  *     bounds exchange; each of `numParts` tasks holds a disjoint,
-  *     ordered key range of ~n/numParts rows);
-  *  2. per-partition LOCAL row_numbers (each window group is one
-  *     range bucket — bounded, shrinks as numParts grows with the
-  *     cluster);
-  *  3. per-partition count offsets, a driver pull BOUNDED BY
+  *  1. count pass (columnar map-side count, no shuffle);
+  *  2. a hash-mod sample of the order key, bounded at ~1000 rows per
+  *     bucket, sorted IN SPARK (the sample is driver-bounded by
+  *     construction) → numParts−1 boundary tuples;
+  *  3. `bucket = Σ (key > boundary_i)` — a lexicographic, direction-
+  *     aware comparison expression, deterministic per row, so the
+  *     bucket-count pass and the rank pass are independent scans
+  *     that agree without materializing anything;
+  *  4. per-bucket count offsets, a driver pull BOUNDED BY
   *     CONSTRUCTION at `numParts` rows (the saltedEquiJoinHot
-  *     discipline), folded back in as a literal map lookup —
-  *     global_rank = offset(bucket) + local_rank.
+  *     discipline), folded back as a literal map lookup;
+  *  5. one hash exchange on the bucket id + per-bucket local
+  *     row_numbers: global_rank = offset(bucket) + local_rank.
   *
-  * ntile / percent_rank / cume_dist then derive from the global rank
-  * and the total count in EXACT integer/IEEE arithmetic, value-
-  * identical to the built-in window functions whenever `order` is a
-  * TOTAL order (rank == row_number; callers must pass a tiebreaker —
-  * the q29 discipline). No task ever sorts more than one range
-  * bucket, so the plan survives any corpus size by raising numParts.
-  */
+  * (The first spelling of this operator range-PARTITIONED and
+  * persisted the input to keep `spark_partition_id` consistent
+  * across the count and rank passes — measured at the ×10 rank
+  * probe, the full-input persist plus second exchange dominated the
+  * wall; the pure-function bucket removes both.)
+  *
+  * ntile / percent_rank / cume_dist derive from the global rank and
+  * the total count in EXACT integer/IEEE arithmetic, value-identical
+  * to the built-in window functions whenever `order` is a TOTAL
+  * order (rank == row_number; callers must pass a tiebreaker — the
+  * q29 discipline). Sampled bounds make buckets ~equal-sized with
+  * the same guarantee `repartitionByRange` gives; no task ever sorts
+  * more than one bucket, so the plan survives any corpus size by
+  * raising numParts. */
 object RankOps {
 
-  /** [[globalQuantileRanks]] plus the release hook for the range-
-    * partitioned persist (pid assignment must be CONSISTENT between
-    * the count pass and the rank pass; un-persisted lineage would
-    * re-sample range bounds per consumer). */
+  /** Rows per bucket in the boundary sample (the balance/driver-pull
+    * trade: sample size ≈ numParts · this). */
+  private val SamplePerBucket = 1000L
+
+  private case class Ord(key: Column, asc: Boolean)
+
+  /** Split `.asc`/`.desc`-decorated columns into (expression,
+    * direction); bare columns default ascending, like orderBy. */
+  private def orders(order: Seq[Column]): Seq[Ord] = order.map { c =>
+    org.apache.spark.sql.graftbridge.ColumnBridge.sortOrderChild(c) match {
+      case Some((key, desc)) => Ord(key, asc = !desc)
+      case None => Ord(c, asc = true)
+    }
+  }
+
+  /** `row sorts STRICTLY AFTER boundary` under the lexicographic,
+    * direction-aware total order. */
+  private def after(os: Seq[Ord], boundary: Seq[Any]): Column =
+    os.zip(boundary).foldRight(lit(false)) { case ((o, b), rest) =>
+      val gt = if (o.asc) o.key > lit(b) else o.key < lit(b)
+      gt || (o.key <=> lit(b) && rest)
+    }
+
   def globalQuantileRanksReleasable(df: DataFrame, order: Seq[Column],
                                     tiles: Int, numParts: Int)
-      : (DataFrame, () => Unit) = {
+      : (DataFrame, () => Unit) =
+    (globalQuantileRanks(df, order, tiles, numParts), () => ())
+
+  /** Global (grank, tile, pct_rank_u, cume_u) over a total order —
+    * see the object doc. Construction runs three bounded driver
+    * actions (count, boundary sample, bucket counts); nothing stays
+    * persisted, so there is no release obligation. */
+  def globalQuantileRanks(df: DataFrame, order: Seq[Column],
+                          tiles: Int, numParts: Int): DataFrame = {
     require(tiles >= 1, "tiles must be >= 1")
     require(numParts >= 1, "numParts must be >= 1")
-    val parted = df.repartitionByRange(numParts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val os = orders(order)
+    val keys = os.map(_.key)
+    val n = df.count()
+    // hash-mod boundary sample: rate sized so ~SamplePerBucket rows
+    // land per bucket — bounded collect at any corpus size; the
+    // in-Spark orderBy sorts only the sample (driver-bounded set)
+    val rate = math.max(1L, n / math.max(1L, numParts * SamplePerBucket))
+    val sample = df
+      .filter(pmod(xxhash64(keys: _*), lit(rate)) === 0)
+      .select(keys: _*).orderBy(order: _*).collect()
+    val step = math.max(1, sample.length / numParts)
+    val boundaries = (1 until numParts)
+      .map(_ * step).filter(_ < sample.length)
+      .map(i => sample(i).toSeq).distinct
+    val bucket =
+      if (boundaries.isEmpty) lit(0)
+      else boundaries.map(b => when(after(os, b), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = df.withColumn("__bkt", bucket)
     // bounded driver pull: at most numParts rows, by construction
-    val cnts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+    val cnts = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = cnts.map(_._2).sum
+    // balance evidence in the phase channel: the largest bucket IS
+    // the largest single-task sort this plan will ever run
+    if (cnts.nonEmpty)
+      graft.PhaseLog.add("rank.maxBucketRows", cnts.map(_._2).max.toDouble)
     val offs = cnts.map(_._1).zip(
       cnts.map(_._2).scanLeft(0L)(_ + _)) // offset = rows in lower buckets
     val offExpr =
       if (offs.isEmpty) lit(0L)
       else element_at(
         map(offs.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("__pid"))
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val ranked = parted
+        col("__bkt"))
+    val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
+    val ranked = bucketed
       .withColumn("grank", row_number().over(w).cast("long") + offExpr)
     // exact ntile: q+1-sized buckets first (r of them), then q-sized —
     // integer `div` arithmetic, value-identical to ntile() OVER a
@@ -90,18 +149,10 @@ object RankOps {
         floor((col("grank").cast("double") / lit(n.toDouble)) *
           lit(1.0e6)).cast("long")
       else lit(0L)
-    val out = ranked
+    ranked
       .withColumn("tile", tileCol)
       .withColumn("pct_rank_u", pctCol)
       .withColumn("cume_u", cumeCol)
-      .drop("__pid")
-    (out, () => { parted.unpersist(blocking = true); () })
+      .drop("__bkt")
   }
-
-  /** Global (grank, tile, pct_rank_u, cume_u) over a total order —
-    * see the object doc. Bench/Verify clearCache() between queries;
-    * library callers in long sessions use the releasable form. */
-  def globalQuantileRanks(df: DataFrame, order: Seq[Column],
-                          tiles: Int, numParts: Int): DataFrame =
-    globalQuantileRanksReleasable(df, order, tiles, numParts)._1
 }

@@ -420,15 +420,20 @@ object ScaleProbe {
           .select(ntile(10).over(w).as("tile"))
           .agg(max(col("tile"))).collect()(0).getInt(0).toLong
       }
-      def maxTask(rows: Long): Long = corpus(rows)
-        .repartitionByRange(32, col("v").desc, col("id").asc)
-        .groupBy(spark_partition_id()).count()
-        .agg(max(col("count"))).collect()(0).getLong(0)
+      // balance census straight from the operator's own buckets (the
+      // PhaseLog channel): the largest bucket is the largest
+      // single-task sort the plan ever runs
+      graft.PhaseLog.enabled = true
+      def maxBucket(): String = graft.PhaseLog.drain()
+        .filter(_._1 == "rank.maxBucketRows")
+        .map(_._2.toLong.toString).lastOption.getOrElse("?")
       twoPass(100000L); naive(100000L); sweep() // warmup
+      graft.PhaseLog.drain()
       time(s"two-pass rank n=$n")(twoPass(n))
+      val mb1 = maxBucket()
       time(s"two-pass rank n=${n * factor}")(twoPass(n * factor))
-      println(f"    max rows/task: ${maxTask(n)} at 1x, " +
-        f"${maxTask(n * factor)} at ${factor}x (n/32 = ${n / 32})")
+      println(s"    max bucket rows: $mb1 at 1x, ${maxBucket()} at " +
+        s"${factor}x (n/32 = ${n / 32})")
       time(s"NAIVE 1-task window n=$n")(naive(n))
       if (n * factor <= 40000000L)
         time(s"NAIVE 1-task window n=${n * factor}")(naive(n * factor))
