@@ -97,10 +97,18 @@ object RankOps {
     val boundaries = (1 until numParts)
       .map(_ * step).filter(_ < sample.length)
       .map(i => sample(i).toSeq).distinct
+    // pairwise-balanced sum: a plain reduce(_ + _) left-nests one Add
+    // per boundary and catalyst's recursive transforms overflow the
+    // stack near P ≈ 300 (measured); the balanced tree is log₂(P)
+    // deep. Per-row bucket cost stays O(P) comparisons — fine to a
+    // few thousand buckets, the regime this operator targets.
+    def balancedSum(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head
+      else balancedSum(cs.grouped(2).map(_.reduce(_ + _)).toSeq)
     val bucket =
       if (boundaries.isEmpty) lit(0)
-      else boundaries.map(b => when(after(os, b), 1).otherwise(0))
-        .reduce(_ + _)
+      else balancedSum(
+        boundaries.map(b => when(after(os, b), 1).otherwise(0)))
     val bucketed = df.withColumn("__bkt", bucket)
     // bounded driver pull: at most numParts rows, by construction
     val cnts = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("c"))

@@ -407,10 +407,16 @@ object ScaleProbe {
       val n = args.drop(3).headOption.map(_.toLong).getOrElse(20000000L)
       def corpus(rows: Long): DataFrame = spark.range(rows)
         .select(col("id"), xxhash64(col("id")).as("v"))
-      def twoPass(rows: Long): Long = {
+      // numParts scales with the data — the operator's documented
+      // knob (on a cluster partitions grow with the corpus so each
+      // task's sort stays in execution memory; measured here: a
+      // FIXED 32 parts at 2e8 rows pushed 100 MB-row sorts into
+      // spill and the wall went I/O-bound at 546 s)
+      def twoPass(rows: Long, parts: Int): Long = {
         val (ranked, rel) = graft.operators.RankOps
           .globalQuantileRanksReleasable(corpus(rows),
-            Seq(col("v").desc, col("id").asc), tiles = 10, numParts = 32)
+            Seq(col("v").desc, col("id").asc), tiles = 10,
+            numParts = parts)
         val out = ranked.agg(max(col("grank"))).collect()(0).getLong(0)
         rel(); out
       }
@@ -427,13 +433,14 @@ object ScaleProbe {
       def maxBucket(): String = graft.PhaseLog.drain()
         .filter(_._1 == "rank.maxBucketRows")
         .map(_._2.toLong.toString).lastOption.getOrElse("?")
-      twoPass(100000L); naive(100000L); sweep() // warmup
+      twoPass(100000L, 32); naive(100000L); sweep() // warmup
       graft.PhaseLog.drain()
-      time(s"two-pass rank n=$n")(twoPass(n))
+      time(s"two-pass rank n=$n P=32")(twoPass(n, 32))
       val mb1 = maxBucket()
-      time(s"two-pass rank n=${n * factor}")(twoPass(n * factor))
+      time(s"two-pass rank n=${n * factor} P=${32 * factor}")(
+        twoPass(n * factor, 32 * factor))
       println(s"    max bucket rows: $mb1 at 1x, ${maxBucket()} at " +
-        s"${factor}x (n/32 = ${n / 32})")
+        s"${factor}x (constant-per-task target = ${n / 32})")
       time(s"NAIVE 1-task window n=$n")(naive(n))
       if (n * factor <= 40000000L)
         time(s"NAIVE 1-task window n=${n * factor}")(naive(n * factor))
