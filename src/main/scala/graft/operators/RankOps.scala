@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   *  2. a hash-mod sample of the order key, bounded at ~1000 rows per
   *     bucket, sorted IN SPARK (the sample is driver-bounded by
   *     construction) → numParts−1 boundary tuples;
-  *  3. `bucket = Σ (key > boundary_i)` — a lexicographic, direction-
-  *     aware comparison expression, deterministic per row, so the
-  *     bucket-count pass and the rank pass are independent scans
-  *     that agree without materializing anything;
+  *  3. `bucket = searchsorted(boundaries, key)` — one codegen
+  *     expression ([[graft.plans.SearchSortedBucket]]) binary-
+  *     searching the sorted boundary tuples: O(log P) direction-aware
+  *     lexicographic comparisons per row, constant-size generated
+  *     code at any P, deterministic per row — so the bucket-count
+  *     pass and the rank pass are independent scans that agree
+  *     without materializing anything (the earlier `Σ when(key >
+  *     boundary_i, 1)` chain cost O(P) per row and 3.2× the ×10
+  *     probe wall at P = 320);
   *  4. per-bucket count offsets, a driver pull BOUNDED BY
   *     CONSTRUCTION at `numParts` rows (the saltedEquiJoinHot
   *     discipline), folded back as a literal map lookup;
@@ -62,14 +67,6 @@ object RankOps {
     }
   }
 
-  /** `row sorts STRICTLY AFTER boundary` under the lexicographic,
-    * direction-aware total order. */
-  private def after(os: Seq[Ord], boundary: Seq[Any]): Column =
-    os.zip(boundary).foldRight(lit(false)) { case ((o, b), rest) =>
-      val gt = if (o.asc) o.key > lit(b) else o.key < lit(b)
-      gt || (o.key <=> lit(b) && rest)
-    }
-
   def globalQuantileRanksReleasable(df: DataFrame, order: Seq[Column],
                                     tiles: Int, numParts: Int)
       : (DataFrame, () => Unit) =
@@ -94,21 +91,28 @@ object RankOps {
       .filter(pmod(xxhash64(keys: _*), lit(rate)) === 0)
       .select(keys: _*).orderBy(order: _*).collect()
     val step = math.max(1, sample.length / numParts)
+    // null-CONTAINING boundary tuples are dropped: the probe's
+    // null-verdict ("not after") is not monotone against a
+    // nulls-first sorted table, so binary search could disagree with
+    // the linear count (see SearchSortedBucket scaladoc). Null-keyed
+    // ROWS still bucket deterministically (all to bucket 0).
     val boundaries = (1 until numParts)
       .map(_ * step).filter(_ < sample.length)
       .map(i => sample(i).toSeq).distinct
-    // pairwise-balanced sum: a plain reduce(_ + _) left-nests one Add
-    // per boundary and catalyst's recursive transforms overflow the
-    // stack near P ≈ 300 (measured); the balanced tree is log₂(P)
-    // deep. Per-row bucket cost stays O(P) comparisons — fine to a
-    // few thousand buckets, the regime this operator targets.
-    def balancedSum(cs: Seq[Column]): Column =
-      if (cs.size == 1) cs.head
-      else balancedSum(cs.grouped(2).map(_.reduce(_ + _)).toSeq)
+      .filter(_.forall(_ != null))
+    // O(log P) searchsorted probe via one codegen expression — the
+    // P-term `Σ when(row > boundary_i, 1)` chain this replaces cost
+    // O(P) comparisons per row and its generated code grew with P:
+    // measured at the ×10 rank probe (n = 2e8, P = 320) it read
+    // 1736.8 s vs 546.3 s for P = 32 — the scaled-partitions plan
+    // LOST to the spilling one it exists to fix. The probe call is
+    // constant-size generated code at any P, so numParts can track
+    // the corpus the way the operator's 100 TB contract requires.
+    val keyTypes = df.select(keys: _*).schema.map(_.dataType)
     val bucket =
       if (boundaries.isEmpty) lit(0)
-      else balancedSum(
-        boundaries.map(b => when(after(os, b), 1).otherwise(0)))
+      else graft.plans.SearchSortedBucket.of(
+        keys, boundaries, os.map(_.asc), keyTypes)
     val bucketed = df.withColumn("__bkt", bucket)
     // bounded driver pull: at most numParts rows, by construction
     val cnts = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("c"))
@@ -122,7 +126,7 @@ object RankOps {
     val offExpr =
       if (offs.isEmpty) lit(0L)
       else element_at(
-        map(offs.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        map(offs.toIndexedSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         col("__bkt"))
     val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
     val ranked = bucketed

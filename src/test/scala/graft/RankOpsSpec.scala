@@ -80,6 +80,52 @@ class RankOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(twoPass(df, 10, 8) === referenceRanks(df, 10))
   }
 
+  test("hundreds of buckets: the searchsorted probe holds at P = 320") {
+    // the P-term when-chain spelling this regime replaced overflowed
+    // catalyst's transform stack near P ≈ 300 and fell out of
+    // efficient codegen; the searchsorted expression must stay exact
+    // with a boundary table far wider than the sample guarantees
+    val df = corpus(1000, 37)
+    assert(twoPass(df, 10, 320) === referenceRanks(df, 10))
+  }
+
+  test("string order keys rank exactly (non-primitive comparator path)") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, s"w${i % 9}")).toDF("id", "v")
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val ref = df.select(col("id"),
+        row_number().over(w).cast("long").as("grank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (ranked, release) = RankOps.globalQuantileRanksReleasable(df,
+      Seq(col("v").desc, col("id").asc), tiles = 4, numParts = 5)
+    try {
+      val got = ranked.select(col("id"), col("grank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got === ref)
+    } finally release()
+  }
+
+  test("null keys follow SortOrder defaults: asc nulls first, desc nulls last") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i =>
+      (i.toLong, if (i % 5 == 0) null else (i % 7).toString))
+    val df = rows.toDF("id", "v")
+    for (desc <- Seq(false, true)) {
+      val vOrd = if (desc) col("v").desc else col("v").asc
+      val w = Window.orderBy(vOrd, col("id"))
+      val ref = df.select(col("id"),
+          row_number().over(w).cast("long").as("grank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val (ranked, release) = RankOps.globalQuantileRanksReleasable(df,
+        Seq(vOrd, col("id").asc), tiles = 4, numParts = 6)
+      try {
+        val got = ranked.select(col("id"), col("grank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        assert(got === ref, s"desc=$desc")
+      } finally release()
+    }
+  }
+
   test("no Exchange SinglePartition in the two-pass plan") {
     val plan = RankOps.globalQuantileRanks(corpus(100, 7),
         Seq(col("v").desc, col("id").asc), 10, 8)
