@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CleanTokens, EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, QuantileSketchAgg, RepetitionStats, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
+import graft.plans.{CharEntropyTermSum, CleanTokens, EditDistanceBounded, HashedTrigrams32, Md5Hash32Array, MinHashSignature, NgramGenerate, QuantileSketchAgg, RepetitionStats, RollingHashMin, SimHash60, SketchBands, SortedIntersectCount, TopKRows, VectorDotProduct, ZValue}
 
 /** Session-extension registration for the engine's custom Catalyst
   * machinery, so SQL users get the functions too:
@@ -36,6 +36,9 @@ import graft.plans.{CleanTokens, EditDistanceBounded, HashedTrigrams32, Md5Hash3
   *                            (regex-delete + ws-split + empty-drop;
   *                            apply lower(trim(s)) first for the full
   *                            reference chain)
+  *   char_entropy_term_sum(s) DECIMAL(38,6) Σ c·round(ln(c/n),6) over
+  *                            a string's distinct characters (the
+  *                            t11 unigram-entropy numerator)
   *
   * (DictTokenIds is deliberately NOT SQL-registered: it carries a
   * broadcast dictionary handle, which SQL children cannot express —
@@ -164,7 +167,9 @@ object GraftExtensions {
     unary("sketch_bands", classOf[SketchBands], SketchBands(_: Expression)),
     unary("clean_tokens", classOf[CleanTokens], CleanTokens(_: Expression)),
     unary("repetition_stats", classOf[RepetitionStats],
-      RepetitionStats(_: Expression)))
+      RepetitionStats(_: Expression)),
+    unary("char_entropy_term_sum", classOf[CharEntropyTermSum],
+      CharEntropyTermSum(_: Expression)))
 
   /** Idempotent registration into an already-built session. */
   def register(spark: SparkSession): Unit =

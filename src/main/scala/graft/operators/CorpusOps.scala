@@ -904,6 +904,40 @@ object CorpusOps {
       folded.getField("dc").as("dup_line_chars"))
   }
 
+  /** Per-document unigram character entropy from exact counts —
+    * (id, n_scored_chars, char_entropy), computed IN-ROW (round 17).
+    *
+    * The previous spelling exploded one row PER CHARACTER through a
+    * (doc, ch) census aggregate, a doc-keyed window for the total,
+    * and a second doc-keyed aggregate: a Generate plus two full
+    * exchanges for what is per-row arithmetic — the total is just
+    * `length(text)` and the per-document state is a tiny
+    * character-count map. [[graft.plans.CharEntropyTermSum]] computes
+    * the entire quantized term sum in one compiled pass over the
+    * text's UTF-8 bytes (an `array_sort` + HOF-fold spelling was
+    * tried first and measured SLOWER than the explode — ArrayAggregate
+    * is CodegenFallback, per-character interpreted eval). Plan:
+    * Scan → Project, ZERO exchanges at any scale.
+    *
+    * Value-identical to the census spelling: identical character
+    * identity (UTF-8 lead-byte stepping — never a first-byte `ascii`
+    * proxy that would collide multi-byte code points), the identical
+    * `c · round(ln(c/n), 6)::DECIMAL(18,6)` term per distinct char,
+    * exact decimal addition either way (CharEntropySpec pins it,
+    * incl. multi-byte and randomized corpora). Documents with
+    * `length(text) < 1` are excluded, as before. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    docs
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol),
+        n.as("n_scored_chars"),
+        (lit(0.0) -
+          (graft.plans.CharEntropyTermSum.of(col(textCol)).cast("double") / n))
+          .as("char_entropy"))
+  }
+
   /** Per-document verdict table under the three public rule stacks —
     * (id, extras..., pass_gopher, pass_rep, pass_c4, keep), TOTAL
     * over the corpus: documents a family's own base filter excludes

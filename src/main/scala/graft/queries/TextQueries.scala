@@ -159,27 +159,13 @@ private[graft] object TextQueries {
 
 
     // character-entropy quality signal (low-entropy docs are boiler-
-    // plate/garbage): unigram char entropy from exact counts. Explode
-    // is positional (substring probe), both aggregations key on
-    // doc_id so the second reuses the window's exchange; entropy
-    // terms quantized to DECIMAL so the per-doc sum is order-free.
-    "t11_char_entropy" -> ((s, dir) => {
-      val w = Window.partitionBy(col("doc_id"))
-      t(s, dir, "documents")
-        .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")))).as("i"))
-        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
-        .withColumn("n", sum(col("c")).over(w))
-        .select(col("doc_id"), col("n"),
-          (col("c") * round(log(col("c").cast("double") / col("n")), 6)
-            .cast("decimal(18,6)")).as("term"))
-        .groupBy(col("doc_id"), col("n"))
-        .agg(sum(col("term")).as("st"))
-        .select(col("doc_id"), col("n").as("n_scored_chars"),
-          (lit(0.0) - (col("st").cast("double") / col("n"))).as("char_entropy"))
-    }),
+    // plate/garbage): unigram char entropy from exact counts,
+    // computed IN-ROW (r17 — CorpusOps.charEntropy): the old
+    // explode → (doc, ch) census → doc window → doc agg spelling
+    // paid a Generate and TWO exchanges for per-row arithmetic.
+    // Zero exchanges now; value-identical terms (CharEntropySpec).
+    "t11_char_entropy" -> ((s, dir) =>
+      CorpusOps.charEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
 
     // per-source corpus governance profile: the data-mix report every
