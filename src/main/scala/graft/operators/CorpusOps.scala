@@ -321,6 +321,62 @@ object CorpusOps {
     } finally { feats.unpersist(blocking = false); () }
   }
 
+  /** [[logisticFitWeights]] for NESTED training subsets in one scan
+    * per iteration (round 17 — the m16 scaling-curve shape): each
+    * `thresholds` entry T defines a fold as `subsetCol < T`, and
+    * every iteration computes ALL folds' gradient cells in ONE
+    * aggregation pass over the pool instead of one fit loop per
+    * fold — |thresholds|× fewer driver round-trips and no per-fold
+    * re-persist, which is what dominated m16's wall (the folds are
+    * row-subsets of one persisted table; each tiny gradient job is
+    * scheduler latency, not data).
+    *
+    * BIT-IDENTICAL weights to fitting each fold separately: a fold
+    * row's DECIMAL(28,12) gradient contribution is unchanged,
+    * non-fold rows contribute NULL (ignored by sum), and decimal
+    * sums are exact and order-free — so the conditional sum over
+    * the pool equals the sequential fit's sum over the filtered
+    * subset, cell for cell (NestedFitSpec pins it). The weight
+    * update is the same double arithmetic on identical inputs.
+    *
+    * Returns per threshold, in input order:
+    * (threshold, fold row count, fitted weights). Fails loudly on
+    * an empty fold, like the sequential spelling. */
+  def logisticFitWeightsNested(pool: DataFrame, labelCol: String,
+                               featureCols: Seq[String],
+                               subsetCol: String, thresholds: Seq[Int],
+                               iters: Int, lr: Double)
+      : Seq[(Int, Long, Array[Double])] = {
+    val k = featureCols.size
+    val ws = Array.fill(thresholds.size)(Array.fill(k)(0.0))
+    var ns: Array[Long] = null
+    for (_ <- 0 until iters) {
+      val cells = thresholds.zipWithIndex.flatMap { case (t, ti) =>
+        val z = featureCols.zip(ws(ti).toSeq)
+          .map { case (c, wi) => lit(wi) * col(c) }
+          .reduceLeft(_ + _)
+        val p6 = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+        val err = p6 - col(labelCol)
+        val inT = col(subsetCol) < t
+        featureCols.zipWithIndex.map { case (c, i) =>
+          sum(when(inT, (err * col(c)).cast("decimal(28,12)")))
+            .cast("double").as(s"g${ti}_$i")
+        } :+ sum(when(inT, 1L).otherwise(0L)).as(s"n$ti")
+      }
+      val row = pool.agg(cells.head, cells.tail: _*).head()
+      if (ns == null)
+        ns = thresholds.indices.map(ti => row.getLong(ti * (k + 1) + k)).toArray
+      thresholds.indices.foreach { ti =>
+        require(ns(ti) > 0,
+          s"logisticFitWeightsNested: empty fold ${subsetCol} < ${thresholds(ti)}")
+        ws(ti) = ws(ti).zipWithIndex.map { case (wi, i) =>
+          wi - lr * (row.getDouble(ti * (k + 1) + i) / ns(ti))
+        }
+      }
+    }
+    thresholds.indices.map(ti => (thresholds(ti), ns(ti), ws(ti))).toSeq
+  }
+
   /** All document pairs with TF-IDF cosine similarity ≥ `minCos`,
     * computed through an INVERTED-INDEX join — the sparse-vector
     * similarity search every duplicate-question / related-document

@@ -54,28 +54,33 @@ private[graft] object TrainEvalQueries {
       val feats = lrFitFeaturesSplit(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // r17: ONE gradient pass per iteration for ALL fractions and
+        // ONE scoring pass for all three fits — the sequential
+        // per-fraction spelling was 18 tiny driver round-trips
+        // (3 × (empty-check + 3 gradient aggs + count + score)) on a
+        // persisted table, i.e. pure scheduler latency. The nested
+        // fit's conditional sums are value-identical (DECIMAL/
+        // integer-quantized per-row contributions, exact order-free
+        // sums — NestedFitSpec pins weights bit-identical); the
+        // empty-fold fail-loudly check moves into the first gradient
+        // pass (logisticFitWeightsNested) and the eval check below.
+        val fits = CorpusOps.logisticFitWeightsNested(
+          feats.filter(col("r") =!= 0), "y", LrFitCols, "sub",
+          Seq(25, 50, 100), iters = 3, lr = 0.5)
         val evalSet = feats.filter(col("r") === 0)
-        val rows = Seq(25, 50, 100).map { frac =>
-          val train = feats.filter(col("r") =!= 0 && col("sub") < frac)
-          // fail LOUDLY on a degenerate split (the NaN-fail-loudly
-          // policy): an empty fold would NPE here and diverge from
-          // the oracle's NULL-row behavior in engine-specific ways
-          require(train.limit(1).count() > 0,
-            s"m16: empty $frac% train fraction")
-          val w = CorpusOps.logisticFitWeights(
-            train, "y", LrFitCols, iters = 3, lr = 0.5)
-          val z = LrFitCols.zip(w).map { case (c, wi) => lit(wi) * col(c) }
+        val cells = fits.zipWithIndex.map { case ((_, _, w), fi) =>
+          val z = LrFitCols.zip(w.toSeq).map { case (c, wi) => lit(wi) * col(c) }
             .reduceLeft(_ + _)
-          val agg = evalSet
-            .select(col("y"),
-              when(round(lit(1.0) / (lit(1.0) + exp(-z)), 6) >= 0.5, 1.0)
-                .otherwise(0.0).as("pred"))
-            .agg(count(lit(1)).as("n_eval"),
-              sum(when(col("pred") === col("y"), 1L).otherwise(0L))
-                .as("n_correct"))
-            .head()
-          require(agg.getLong(0) > 0, "m16: empty eval fold")
-          (frac.toLong, train.count(), agg.getLong(0), agg.getLong(1),
+          val pred = when(
+            round(lit(1.0) / (lit(1.0) + exp(-z)), 6) >= 0.5, 1.0)
+            .otherwise(0.0)
+          sum(when(pred === col("y"), 1L).otherwise(0L)).as(s"c$fi")
+        } :+ count(lit(1)).as("n_eval")
+        val scored = evalSet.agg(cells.head, cells.tail: _*).head()
+        val nEval = scored.getLong(fits.size)
+        require(nEval > 0, "m16: empty eval fold")
+        val rows = fits.zipWithIndex.map { case ((frac, nTrain, w), fi) =>
+          (frac.toLong, nTrain, nEval, scored.getLong(fi),
             w(0), w(1), w(2), w(3))
         }
         import s.implicits._
