@@ -131,25 +131,21 @@ private[graft] object TextQueries {
 
 
     // repetition-based quality (Gopher-style): repeated-word fraction
-    // and the most-frequent-bigram share of all word bigrams. The
-    // bigram mode is explode → (doc, bigram) count → per-doc max/sum —
-    // two key-partitioned aggregations, no per-doc state beyond the
-    // group row, so the shape is flat at any corpus size.
-    "t9_repetition" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+    // and the most-frequent-bigram share of all word bigrams,
+    // computed IN-ROW (r17 — plans.TopNgramCount): the old explode →
+    // (doc, bigram) count → per-doc max/sum → join-back spelling paid
+    // two exchanges and a join for a per-row statistic — the bigram
+    // total is just size(toks) − 1 and the max is one small count
+    // map. NULL top_bigram_frac for docs with < 2 tokens, exactly the
+    // old left join's no-gram-rows NULL (TopBigramSpec pins equality).
+    "t9_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
         .select(col("doc_id"), cleanTokens.as("toks"))
-      val bi = d.select(col("doc_id"),
-          graft.plans.NgramGenerate.of(col("toks"), 2).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("cnt")).as("maxc"), sum(col("cnt")).as("sumc"))
-      d.select(col("doc_id"),
+        .select(col("doc_id"),
           (lit(1) - size(array_distinct(col("toks"))).cast("double") /
-            nullif(size(col("toks")), lit(0))).as("dup_word_frac"))
-        .join(bi, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("dup_word_frac"),
-          (col("maxc").cast("double") / col("sumc")).as("top_bigram_frac"))
-    }),
+            nullif(size(col("toks")), lit(0))).as("dup_word_frac"),
+          (graft.plans.TopNgramCount.of(col("toks"), 2).cast("double") /
+            (size(col("toks")) - lit(1))).as("top_bigram_frac"))),
 
 
     // bigram-LM fluency score (CCNet/KenLM-style quality filter):
