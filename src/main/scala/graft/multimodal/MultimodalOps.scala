@@ -520,7 +520,10 @@ object MultimodalOps {
     graft.PhaseLog.add("hamming auto-blocks", b.toDouble)
     val pairs = hammingNearDupPairs(sig, idCol, hashCol, maxDist, blocks = b)
     val (lab, ccRelease) = graft.operators.GraphOps
-      .connectedComponentsReleasable(pairs, "id_a", "id_b")
+      .connectedComponentsReleasable(pairs, "id_a", "id_b",
+        // banded pairs are distinct with id_a < id_b — skip the
+        // closure's canonicalizing exchange (r18)
+        assumeCanonical = true)
     val out = graft.operators.DedupOps
       .fullClusterLabels(sig.select(col(idCol)), idCol, lab)
       .select(col(idCol), col("cluster"), col("csize"),
@@ -556,7 +559,7 @@ object MultimodalOps {
       if (hashes.columns.contains("ok")) hashes.filter(col("ok")) else hashes
     val pairs = hammingNearDupPairs(ok, idCol, hashCol, maxDist, blocks)
     val lab = graft.operators.GraphOps
-      .connectedComponents(pairs, "id_a", "id_b")
+      .connectedComponents(pairs, "id_a", "id_b", assumeCanonical = true)
     graft.operators.DedupOps
       .fullClusterLabels(ok.select(col(idCol)), idCol, lab)
       .select(col(idCol), col("cluster"), col("csize"),

@@ -924,7 +924,7 @@ object CorpusOps {
     * (id, line) agg by construction (per-distinct-line counts either
     * way — FunnelStreamSpec pins it on an adversarial corpus; the
     * sort is value-invisible, stats are order-free sums). */
-  private[graft] def inRowLineStatCols: Seq[Column] = {
+  private[graft] def inRowLineStatFold: Column = {
     // accumulator: (prev line, its open run length, closed-run sums)
     val acc0 = struct(lit(null).cast("string").as("prev"),
       lit(0L).as("run"), lit(0L).as("dl"), lit(0L).as("dc"))
@@ -938,7 +938,7 @@ object CorpusOps {
         (a.getField("dc") + when(c > 1L, c * length(a.getField("prev")))
           .otherwise(0L)).as("dc"))
     }
-    val folded = aggregate(
+    aggregate(
       array_sort(col("ls")), acc0,
       (a, l) => {
         val same = coalesce(a.getField("prev") === l, lit(false))
@@ -950,15 +950,25 @@ object CorpusOps {
           when(same, a.getField("dc")).otherwise(closed(1)).as("dc"))
       },
       a => struct(closeRun(a): _*)) // close the final run
-    Seq(
-      size(col("ls")).cast("long").as("n_lines"),
-      folded.getField("dl").as("n_dup_lines"),
-      // total chars over ALL lines — a plain linear fold, no
-      // distinct-line view needed (Σ len·c over distinct = Σ len)
-      aggregate(col("ls"), lit(0L),
-        (a, l) => a + length(l)).as("line_chars"),
-      folded.getField("dc").as("dup_line_chars"))
   }
+
+  /** Extraction face of [[inRowLineStatFold]]: callers MUST project
+    * the fold into a named column in its OWN projection and extract
+    * from that column here — passing the raw fold expression twice
+    * would re-materialize the whole `array_sort` + linear fold once
+    * per extracted field (Catalyst does not CSE across struct-field
+    * extraction of a higher-order function; the r17 t30 after-plan
+    * showed the lambda twice — r17 verdict item 5). A multi-referenced
+    * non-trivial alias survives CollapseProject, so the staged
+    * spelling sorts and folds each document's lines exactly once. */
+  private[graft] def inRowLineStatColsFrom(fold: Column): Seq[Column] = Seq(
+    size(col("ls")).cast("long").as("n_lines"),
+    fold.getField("dl").as("n_dup_lines"),
+    // total chars over ALL lines — a plain linear fold, no
+    // distinct-line view needed (Σ len·c over distinct = Σ len)
+    aggregate(col("ls"), lit(0L),
+      (a, l) => a + length(l)).as("line_chars"),
+    fold.getField("dc").as("dup_line_chars"))
 
   /** Per-document unigram character entropy from exact counts —
     * (id, n_scored_chars, char_entropy), computed IN-ROW (round 17).
@@ -1026,8 +1036,14 @@ object CorpusOps {
       gopherLines(col(textCol)).as("ls"),
       tokens.as("toks")): _*)
     val stats = base
+      // the line-stat fold is STAGED into its own aliased column so it
+      // materializes once; extracting .dl/.dc straight off the fold
+      // expression would run the whole array_sort + fold twice per row
+      // (see [[inRowLineStatColsFrom]])
       .select(col(idCol) +: keep ++: col(textCol) +: col("toks") +:
-        gopherArrayStats ++: inRowLineStatCols: _*)
+        col("ws") +: col("ls") +: Seq(inRowLineStatFold.as("__lsf")): _*)
+      .select(col(idCol) +: keep ++: col(textCol) +: col("toks") +:
+        gopherArrayStats ++: inRowLineStatColsFrom(col("__lsf")): _*)
       .withColumn("n_words", nullif(col("n_words"), lit(0L)))
       .withColumn("n_lines", nullif(col("n_lines"), lit(0L)))
       .withColumn("line_chars", nullif(col("line_chars"), lit(0L)))

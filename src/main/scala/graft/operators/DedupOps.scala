@@ -324,7 +324,11 @@ object DedupOps {
     val (pairs, pairsRelease) =
       nearDuplicatePairsReleasable(docs, idCol, textCol, threshold)
     val (labels, ccRelease) = GraphOps.connectedComponentsReleasable(
-      pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b",
+      // verified pairs are distinct with doc_a < doc_b (the LSH
+      // self-join's condition) — the closure skips its canonicalizing
+      // exchange (r18)
+      assumeCanonical = true)
     // the closure materialized its edge set eagerly, so the verify
     // stage's trigram persist can be released before any action
     pairsRelease()

@@ -33,7 +33,11 @@ object GraphOps {
     * one key-partitioned aggregation plus one join on the same key —
     * no adjacency list, component, or label table is ever
     * materialized on a single machine, and the driver sees only a
-    * (count, xor-checksum) pair per round for the convergence test.
+    * (count, xor-checksum, change-flag) triple per round for the
+    * convergence test — plus, when a round's edge count drops under
+    * the documented [[driverFinishMaxEdges]] memory bound, one final
+    * bounded collect that closes the identical fixpoint locally
+    * instead of scheduling further near-empty distributed rounds.
     * Round count is O(log^2 n) in the worst case and a handful in
     * practice, which is why this shape survives web-scale graphs where
     * min-label propagation (graph-diameter rounds) and driver-side
@@ -52,21 +56,61 @@ object GraphOps {
     * action (the Bench/Verify harness instead clearCache()s between
     * queries).
     */
+  /** Driver-finish threshold (edges) for the CC tail — a DRIVER-
+    * MEMORY bound, not a data-size tune: 2²⁰ edges ≈ 16 MB of packed
+    * (u, v) longs (~64 MB transient with Row overhead during the one
+    * bounded collect), comfortably inside any production driver. The
+    * saltedEquiJoinHot / RankOps bounded-pull discipline: when the
+    * materialized edge set is ALREADY this small, each further
+    * distributed round is almost pure stage-scheduling latency (3
+    * shuffle stages to rewrite a few thousand edges), while a driver
+    * union-find finishes the identical min-label fixpoint in
+    * microseconds per edge. At corpus scale the pair graph exceeds
+    * the bound and the distributed rounds run unchanged — no cliff,
+    * the bound only moves work to the driver when it provably fits.
+    * Override (e.g. 0 to force the distributed path in probes) with
+    * -Dgraft.cc.finishEdges=N. */
+  private[graft] def driverFinishMaxEdges: Long =
+    sys.props.get("graft.cc.finishEdges").flatMap(_.toLongOption)
+      .getOrElse(1L << 20)
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 50): DataFrame =
-    connectedComponentsReleasable(edges, srcCol, dstCol, maxRounds)._1
+                          maxRounds: Int = 50,
+                          assumeCanonical: Boolean = false): DataFrame =
+    connectedComponentsReleasable(edges, srcCol, dstCol, maxRounds,
+      assumeCanonical)._1
 
   /** [[connectedComponents]] plus an explicit release hook for the
-    * persisted fixpoint edge set. */
+    * persisted fixpoint edge set.
+    *
+    * `assumeCanonical = true` declares the input ALREADY canonical —
+    * distinct (src, dst) rows with non-null src < dst — and skips the
+    * initial least/greatest projection + distinct, i.e. one full
+    * exchange of the edge set before round 1 (guide §2.4). Every
+    * LSH/banded pair generator in this repo emits exactly that shape
+    * (the self-join condition is `l.id < r.id` and pairs are
+    * deduplicated), so the closure can start straight from the pair
+    * table's own partitioning. A null/self-loop filter is kept (it is
+    * narrow and free); duplicate or mis-ordered rows under the flag
+    * are a CALLER BUG — the first star round's in-window dedup would
+    * silently absorb duplicates, but reversed rows would corrupt the
+    * canonical orientation, so the contract is asserted, not checked. */
   def connectedComponentsReleasable(edges: DataFrame, srcCol: String,
-                                    dstCol: String, maxRounds: Int = 50)
+                                    dstCol: String, maxRounds: Int = 50,
+                                    assumeCanonical: Boolean = false)
       : (DataFrame, () => Unit) = {
     // canonical undirected form: (u, v) with u < v, self-loops dropped
-    val init = edges
+    val cast = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
+    val init = (if (assumeCanonical) cast
+      else cast
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct())
+      // chg: did this round rewrite anything? init is by definition a
+      // fresh state, so it enters flagged (the flag is only READ off
+      // round outputs; see the convergence note below)
+      .withColumn("chg", lit(1))
 
     // Iterative plans on Spark MUST truncate lineage every round:
     // persist() caches *data* but each round's logical plan still
@@ -79,7 +123,18 @@ object GraphOps {
     var (cur, curSig, curRelease) = materializeAndSign(init)
     var converged = false
     var rounds = 0
+    val finishBound = driverFinishMaxEdges
     while (!converged) {
+      // DRIVER FINISH (r18): the materializing action already counted
+      // the edge set for free; when it fits the documented driver
+      // bound, stop scheduling distributed rounds (each is ~3 shuffle
+      // stages of latency on a tiny remainder) and close the identical
+      // min-label fixpoint with one bounded collect + union-find —
+      // the same reference algorithm GraphOpsSpec cross-checks the
+      // distributed rounds against. At corpus scale the count exceeds
+      // the bound and the rounds below run exactly as before.
+      if (curSig._1 <= finishBound)
+        return driverFinish(cur, curSig._1, curRelease)
       require(rounds < maxRounds,
         s"connectedComponents did not converge within $maxRounds rounds")
       rounds += 1
@@ -91,17 +146,33 @@ object GraphOps {
         System.err.println(next.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       val (nxt, nextSig, nextRelease) = materializeAndSign(next)
-      converged = nextSig == curSig
+      // PRIMARY stop: the round's own change flags (r18). chg == 0
+      // means large-star emitted no m ≠ a row and small-star saw no
+      // multi-distinct-u partition — i.e. BOTH stars were identities
+      // on the (deduped) edge set, which is exactly the star-forest
+      // fixpoint (Kiveris et al. 2014: the alternation's only fixed
+      // points are star forests). This detects convergence at the
+      // first identity round, one full (u,v)-keyed dedup exchange per
+      // round cheaper than the r17 shape (the windows dedup their own
+      // inputs in-sort instead — see the star scaladocs). BACKSTOP:
+      // the multiset signature comparison kept from r17 — if the flag
+      // algebra ever missed a fixpoint, a stable signature still
+      // terminates the loop instead of running to maxRounds.
+      converged = nextSig._3 == 0L || (nextSig._1, nextSig._2) == (curSig._1, curSig._2)
       curRelease()
       curRelease = nextRelease
       curSig = nextSig
       cur = nxt
       val roundSec = (System.nanoTime() - t0) / 1e9
       graft.PhaseLog.add(s"cc.round$rounds", roundSec)
-      debugTiming(f"[cc] round $rounds edges=${nextSig._1} $roundSec%.2fs")
+      debugTiming(f"[cc] round $rounds edges=${nextSig._1} chg=${nextSig._3} $roundSec%.2fs")
     }
     // fixpoint: every edge is (componentMin, member); roots map to
-    // themselves (they appear only on the u side)
+    // themselves (they appear only on the u side). The fixpoint edge
+    // set is duplicate-free even without a per-round distinct: at the
+    // star forest, each (m, x) is emitted only by small-star's
+    // partition v = x, exactly once (in-window dedup collapses any
+    // duplicated input rows there).
     val release = curRelease
     val labels = cur.select(col("v").as("node"), col("u").as("component"))
       .union(cur.select(col("u").as("node"), col("u").as("component")).distinct())
@@ -272,18 +343,29 @@ object GraphOps {
     * exchanges of the edge stream per star. The window shape is one
     * exchange + one in-partition sort, and the per-row min needs no
     * join back. (A broadcast join is not an option at scale: the min
-    * table has one row per NODE.) */
+    * table has one row per NODE.)
+    *
+    * r18: the star DEDUPES ITS OWN INPUT inside the window — dup
+    * (a, b) rows are adjacent after the partition sort, so a `lag`
+    * comparison drops them with zero extra exchange. That replaces
+    * the retired per-round terminal `distinct()` (a full (u, v)-keyed
+    * exchange of the edge multiset, guide §2.4): duplicates a round
+    * emits (the same (m, b) from two source partitions) now survive
+    * exactly one hop and die in the next window's sort instead of in
+    * a dedicated shuffle. Emits `chg = 1` when the row was rewritten
+    * (m ≠ a) — the convergence flag (see the loop). */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val wo = Window.partitionBy(col("a")).orderBy(col("b"))
     sym.select(col("a"), col("b"),
-        least(col("a"), first(col("b")).over(wo)).as("m"))
-      .filter(col("b") > col("a"))
-      // emitted edge {b, m} with m <= a < b is already canonical.
-      // No distinct here: small-star's terminal distinct canonicalizes
-      // the round, and skipping it saves an exchange per round.
-      .select(col("m").as("u"), col("b").as("v"))
+        least(col("a"), first(col("b")).over(wo)).as("m"),
+        lag(col("b"), 1).over(wo).as("pb"))
+      .filter(col("b") > col("a") &&
+        (col("pb").isNull || col("pb") =!= col("b")))
+      // emitted edge {b, m} with m <= a < b is already canonical
+      .select(col("m").as("u"), col("b").as("v"),
+        when(col("m") =!= col("a"), 1).otherwise(0).as("chg"))
   }
 
   /** Small-star: every node connects its *smaller* neighbors (and
@@ -292,53 +374,131 @@ object GraphOps {
     * both edge kinds — (min, neighbor) for every smaller neighbor and
     * (min, key) once per key — emit from ONE windowed pass via
     * explode, so the unpersisted large-star output is consumed
-    * exactly once. */
+    * exactly once.
+    *
+    * r18: input dedup rides the window like large-star's (dup (u, v)
+    * rows share the partition key v and are u-adjacent after the
+    * sort), and the round's terminal `distinct()` is GONE — one full
+    * edge exchange per round removed. Change flags: a partition with
+    * more than one distinct u (some u ≠ m) is a rewrite by
+    * construction (the (u, v) edge it consumes is provably absent
+    * from the output — only partition v can emit a *, v edge and it
+    * emits (m, v) alone), and large-star's own flags are carried
+    * through `max(chg) OVER (PARTITION BY v)` so a flagged input row
+    * surfaces on every edge this partition emits even when the row
+    * itself is deduped away. */
   private def smallStar(e: DataFrame): DataFrame = {
     val wo = Window.partitionBy(col("v")).orderBy(col("u"))
+    val wp = Window.partitionBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     e.select(col("u"), col("v"),
         first(col("u")).over(wo).as("m"),
-        row_number().over(wo).as("rn"))
+        row_number().over(wo).as("rn"),
+        lag(col("u"), 1).over(wo).as("pu"),
+        max(col("chg")).over(wp).as("wchg"))
+      .filter(col("pu").isNull || col("pu") =!= col("u"))
       .select(explode(array(
           when(col("u") =!= col("m"),
-            struct(col("m").as("u"), col("u").as("v"))),
+            struct(col("m").as("u"), col("u").as("v"), lit(1).as("chg"))),
           when(col("rn") === 1,
-            struct(col("m").as("u"), col("v").as("v")))))
+            struct(col("m").as("u"), col("v").as("v"), col("wchg").as("chg")))))
         .as("edge"))
       .filter(col("edge").isNotNull)
-      .select(col("edge.u").as("u"), col("edge.v").as("v"))
+      .select(col("edge.u").as("u"), col("edge.v").as("v"),
+        col("edge.chg").as("chg"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+  }
+
+  /** Close the CC fixpoint on the driver from a ≤-bound edge set: one
+    * bounded collect off the already-persisted round leaf, min-merge
+    * union-find (attach the larger root under the smaller, so every
+    * final root is its component's minimum id — the identical
+    * labeling the star rounds converge to), labels re-parallelized as
+    * an RDD-backed frame (never a plan-embedded LocalRelation, which
+    * would ride every downstream task closure). Released leaf, no
+    * persisted state — the returned release hook is a no-op. */
+  private def driverFinish(cur: DataFrame, nEdges: Long,
+                           release: () => Unit): (DataFrame, () => Unit) = {
+    val t0 = System.nanoTime()
+    val spark = cur.sparkSession
+    val edges = cur.select(col("u"), col("v")).collect()
+    release()
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.get(x)
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    edges.foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val nodes = new java.util.HashSet[Long](edges.length * 2)
+    edges.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+    val labels = new Array[org.apache.spark.sql.Row](nodes.size)
+    var i = 0
+    val it = nodes.iterator()
+    while (it.hasNext) {
+      val n = it.next()
+      labels(i) = org.apache.spark.sql.Row(n, find(n))
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val slices = math.max(1, math.min(labels.length / 65536,
+      spark.sparkContext.defaultParallelism))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(labels.toIndexedSeq, slices), schema)
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.PhaseLog.add("cc.driver_finish", sec)
+    debugTiming(f"[cc] driver finish edges=$nEdges nodes=${labels.length} $sec%.2fs")
+    (out, () => ())
   }
 
   /** Materialize a round into a persisted leaf and fingerprint it in
     * the SAME single action: the partition scan populates the cache
     * while accumulators fold (row count, xor of per-edge mixed
-    * hashes) — an order-insensitive convergence signature with no
-    * second job and no aggregation shuffle. Accumulator updates
-    * inside an action are applied exactly once per task, so the
-    * signature is stable under task retries. The returned DataFrame
-    * is a single LogicalRDD leaf over Tungsten-format rows (no
-    * Row decode/encode per round, and round N+1's analysis does not
-    * re-walk rounds 1..N); the hook releases the persisted blocks. */
+    * hashes, change-flag total) — an order-insensitive convergence
+    * readout with no second job and no aggregation shuffle.
+    * Accumulator updates inside an action are applied exactly once
+    * per task, so the readout is stable under task retries. The
+    * returned DataFrame is a single LogicalRDD leaf over
+    * Tungsten-format rows (no Row decode/encode per round, and round
+    * N+1's analysis does not re-walk rounds 1..N); the hook releases
+    * the persisted blocks. Rows are (u: long, v: long, chg: int);
+    * the signature hashes (u, v) only — chg is per-round transport,
+    * not edge identity. */
   private def materializeAndSign(df: DataFrame)
-      : (DataFrame, (Long, Long), () => Unit) = {
+      : (DataFrame, (Long, Long, Long), () => Unit) = {
     val sc = df.sparkSession.sparkContext
     val cnt = sc.longAccumulator("cc.edges")
+    val chg = sc.longAccumulator("cc.chg")
     val xor = new XorAccumulator
     sc.register(xor, "cc.xor")
     val (out, release) =
       org.apache.spark.sql.graftbridge.DatasetBridge.materialized(df, { it =>
         var n = 0L
+        var c = 0L
         var x = 0L
         while (it.hasNext) {
           val r = it.next()
           n += 1
+          c += r.getInt(2)
           x ^= mix64(r.getLong(0) * 0x9e3779b97f4a7c15L + r.getLong(1))
         }
         cnt.add(n)
+        chg.add(c)
         xor.add(x)
       })
-    (out, (cnt.value, xor.value), release)
+    (out, (cnt.value, xor.value, chg.value), release)
   }
 
   /** splitmix64 finalizer — avalanches the (u, v) fold so xor over

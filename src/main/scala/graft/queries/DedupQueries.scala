@@ -53,7 +53,7 @@ private[graft] object DedupQueries {
       val docs = t(s, dir, "documents")
       val lab = GraphOps.connectedComponents(
         DedupOps.minhashCandidatePairs(docs, "doc_id", "text"),
-        "doc_a", "doc_b")
+        "doc_a", "doc_b", assumeCanonical = true)
       DedupOps.clusterSizeCensusFromLabels(docs, lab)
     }),
 
@@ -70,7 +70,7 @@ private[graft] object DedupQueries {
       val docs = t(s, dir, "documents")
       val (lab, _) = GraphOps.connectedComponentsReleasable(
         DedupOps.minhashCandidatePairs(docs, "doc_id", "text"),
-        "doc_a", "doc_b")
+        "doc_a", "doc_b", assumeCanonical = true)
       val full = DedupOps.fullClusterLabels(docs, "doc_id", lab)
       val census = DedupOps.clusterSizeCensusFromLabels(docs, lab)
       full.join(broadcast(census), Seq("csize"))
@@ -358,7 +358,8 @@ private[graft] object DedupQueries {
     "d7_dedup_clusters" -> ((s, dir) => {
       val pairs = DedupOps.minhashCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text")
-      GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      GraphOps.connectedComponents(pairs, "doc_a", "doc_b",
+          assumeCanonical = true)
         .select(col("node").as("doc_id"), col("component").as("cluster"))
         .withColumn("csize",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
@@ -489,7 +490,7 @@ private[graft] object DedupQueries {
       val docs = t(s, dir, "documents")
       val lab = GraphOps.connectedComponents(
           DedupOps.minhashCandidatePairs(docs, "doc_id", "text"),
-          "doc_a", "doc_b")
+          "doc_a", "doc_b", assumeCanonical = true)
         .select(col("node").as("doc_id"), col("component").as("cluster"))
       val h = pmod(DedupOps.md5Hash32(
         concat(lit("split:"), col("cluster").cast("string"))), lit(10))

@@ -783,10 +783,11 @@ object StreamPipeline {
     * no state store, trivially split-invariant).
     *
     * The batch operator derives the duplicate-line stats with a
-    * (doc, line) keyed agg; per-row that becomes an in-row fold over
-    * the distinct-line array — O(L²) column work in the doc's line
-    * count, the price of statelessness (a doc's lines all live in its
-    * own row, so L is bounded by document size, not stream length).
+    * (doc, line) keyed agg; per-row that becomes an in-row
+    * sort-then-fold over the line array — O(L log L) column work in
+    * the doc's line count (r17), the price of statelessness (a doc's
+    * lines all live in its own row, so L is bounded by document size,
+    * not stream length).
     * Every other stat column and the entire threshold tail are the
     * SAME column expressions the batch operator uses
     * (`gopherArrayStats` / `gopherRuleTail`), so the twin cannot
@@ -801,15 +802,11 @@ object StreamPipeline {
         CorpusOps.gopherLines(col(textCol)).as("ls"))
       .filter(size(col("ws")) >= 1)
     CorpusOps.gopherRuleTail(
-      base.select(col(idCol) +: CorpusOps.gopherArrayStats ++:
-        inRowLineStatCols: _*), idCol)
+      base.select(col(idCol), col("ws"), col("ls"),
+          CorpusOps.inRowLineStatFold.as("__lsf"))
+        .select(col(idCol) +: CorpusOps.gopherArrayStats ++:
+          CorpusOps.inRowLineStatColsFrom(col("__lsf")): _*), idCol)
   }
-
-  /** In-row duplicate-line stats — moved to
-    * [[graft.operators.CorpusOps.inRowLineStatCols]] (round 16) so
-    * the BATCH funnel shares the join-free spelling too. */
-  private def inRowLineStatCols: Seq[Column] =
-    graft.operators.CorpusOps.inRowLineStatCols
 
   /** Streaming ADMISSION GATE — the per-document funnel verdict at
     * ingest, the stream face of
@@ -828,7 +825,7 @@ object StreamPipeline {
     * [[graft.operators.CorpusOps.repMuCols]]/`repPassCol`,
     * [[graft.operators.CorpusOps.c4DocStatCols]]/`c4PassCol`) except
     * the duplicate-line stats, re-derived in-row
-    * ([[inRowLineStatCols]], the gopherQualityStream device) — a
+    * ([[graft.operators.CorpusOps.inRowLineStatFold]], the gopherQualityStream device) — a
     * threshold tweak lands in both spellings or FunnelStreamSpec's
     * equality pin fails. */
   def filterFunnelStream(docs: DataFrame, idCol: String,
@@ -844,8 +841,13 @@ object StreamPipeline {
     // ratio goes NULL, and the rule conjunction coalesces to 0 (the
     // batch table's left-join coalesce, spelled in-row)
     val stats = base
+      // staged fold — one array_sort + fold per row (see
+      // CorpusOps.inRowLineStatColsFrom)
+      .select(col(idCol), col(textCol), col("toks"), col("ws"), col("ls"),
+        CorpusOps.inRowLineStatFold.as("__lsf"))
       .select(col(idCol) +: col(textCol) +: col("toks") +:
-        CorpusOps.gopherArrayStats ++: inRowLineStatCols: _*)
+        CorpusOps.gopherArrayStats ++:
+        CorpusOps.inRowLineStatColsFrom(col("__lsf")): _*)
       .withColumn("n_words", nullif(col("n_words"), lit(0L)))
       .withColumn("n_lines", nullif(col("n_lines"), lit(0L)))
       .withColumn("line_chars", nullif(col("line_chars"), lit(0L)))

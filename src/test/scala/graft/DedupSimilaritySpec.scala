@@ -248,13 +248,16 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSessionFixture {
     assert(pMin == sMin)
     assert(pBest == sBest)
     assert(pMin.size == pBest.size, "both policies keep one doc per cluster")
-    // release() frees exactly the pipeline's materialized closure (the
-    // standalone calls hold their own, swept by the harness discipline)
+    // release() frees the pipeline's materialized closure leaf when
+    // the distributed star rounds ran; under the r18 driver finish
+    // (edge set below the memory bound — always true at sf0.001) the
+    // leaf was already released inside the operator and release() is
+    // a no-op, so the diff is 0 or 1 blocks, never more
     val before = spark.sparkContext.getPersistentRDDs.keySet
     release()
     val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((before -- after).size == 1,
-      s"release() should free the pipeline closure: before=$before after=$after")
+    assert((before -- after).size <= 1,
+      s"release() freed more than the pipeline closure: before=$before after=$after")
     // leave no blocks behind for later tests (the harness sweep)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

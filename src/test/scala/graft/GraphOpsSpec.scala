@@ -72,6 +72,56 @@ class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(components(Seq((7L, 7L))) == Map.empty)
   }
 
+  /** Same as [[components]] but with the driver finish disabled, so
+    * the distributed star rounds run to the fixpoint (r18: small edge
+    * sets normally close on the driver under the documented memory
+    * bound). */
+  private def componentsDistributed(edges: Seq[(Long, Long)],
+                                    canonical: Boolean = false)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    sys.props("graft.cc.finishEdges") = "0"
+    try {
+      val (labels, release) = GraphOps.connectedComponentsReleasable(
+        edges.toDF("src", "dst"), "src", "dst",
+        assumeCanonical = canonical)
+      try labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally release()
+    } finally sys.props.remove("graft.cc.finishEdges")
+  }
+
+  test("distributed star rounds == driver finish == union-find " +
+      "(r18: flag-based convergence, no per-round distinct)") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 3) {
+      val nNodes = 50 + trial * 40
+      val edges = Seq.fill(nNodes * 2) {
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      val ref = unionFind(edges)
+      assert(componentsDistributed(edges) == ref, s"distributed, trial $trial")
+      assert(components(edges) == ref, s"driver finish, trial $trial")
+    }
+    // a long chain maximizes star-round count — the worst case for the
+    // r18 flag-based stop (every round rewrites something until the
+    // very end)
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    assert(componentsDistributed(chain) == unionFind(chain))
+  }
+
+  test("assumeCanonical skips canonicalization but not correctness " +
+      "(canonical distinct input, u < v)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 9L), (9L, 11L))
+    val ref = unionFind(edges)
+    assert(componentsDistributed(edges, canonical = true) == ref)
+    import spark.implicits._
+    val (labels, release) = GraphOps.connectedComponentsReleasable(
+      edges.toDF("src", "dst"), "src", "dst", assumeCanonical = true)
+    try assert(
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == ref)
+    finally release()
+  }
+
   // ---- pageRank ------------------------------------------------------
 
   /** Driver-side scalar reference with the IDENTICAL fixed-point

@@ -28,7 +28,10 @@ class LineStatsSpec extends AnyFunSuite with SparkSessionFixture {
   private def computed(lines: Seq[String]): (Long, Long, Long, Long) = {
     import spark.implicits._
     val r = Seq(Tuple1(lines)).toDF("ls")
-      .select(CorpusOps.inRowLineStatCols: _*)
+      // the staged spelling every production caller uses (r18): fold
+      // aliased in its own projection, fields extracted from the alias
+      .select(col("ls"), CorpusOps.inRowLineStatFold.as("__lsf"))
+      .select(CorpusOps.inRowLineStatColsFrom(col("__lsf")): _*)
       .collect()(0)
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
