@@ -263,6 +263,27 @@ object GraphOps {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tBuild0 = System.nanoTime()
+    // DRIVER FINISH (r18, the CC discipline): materialize + count the
+    // degree-annotated edge table FIRST (the same cache fill the
+    // nodes count paid transitively before). When it fits the
+    // documented driver bound, the five fixed-point iterations run as
+    // local long arithmetic — the exact scalar loop GraphOpsSpec's
+    // reference implements, and the distributed rounds are proven
+    // bit-identical to — instead of five materialize jobs with a rank
+    // exchange + rank-sum exchange each, and the distributed node
+    // table (a 2|E|-row union + distinct) never executes at all: the
+    // node universe falls out of the collected edge endpoints. Every
+    // value is non-negative integer math (`div` floors = Java `/` on
+    // non-negatives) and the per-destination sum is order-free, so
+    // the result is bit-equal by construction; above the bound the
+    // build and rounds below run unchanged.
+    val edCnt = ed.count()
+    if (edCnt > 0 && edCnt <= driverPrFinishMaxEdges) {
+      val buildSec = (System.nanoTime() - tBuild0) / 1e9
+      graft.PhaseLog.add("pr.build", buildSec)
+      debugTiming(f"[pr] edge build $buildSec%.2fs edges=$edCnt")
+      return driverPageRank(ed, nodes, iters, dampNum, dampDen)
+    }
     val n = nodes.count()  // bounded driver scalar, like the CMS probe
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
     graft.PhaseLog.add("pr.build", buildSec)
@@ -407,6 +428,92 @@ object GraphOps {
       .select(col("edge.u").as("u"), col("edge.v").as("v"),
         col("edge.chg").as("chg"))
       .filter(col("u") =!= col("v"))
+  }
+
+  /** Driver-finish threshold (edges) for the PageRank iterations —
+    * like [[driverFinishMaxEdges]], a DRIVER-MEMORY bound: 2²¹ edges
+    * of (src, dst, outdeg) longs ≈ 48 MB packed (~150 MB transient
+    * Row overhead during the one bounded collect), inside any
+    * production driver. Override with -Dgraft.pr.finishEdges=N
+    * (0 forces the distributed rounds, e.g. for probes). */
+  private[graft] def driverPrFinishMaxEdges: Long =
+    sys.props.get("graft.pr.finishEdges").flatMap(_.toLongOption)
+      .getOrElse(1L << 21)
+
+  /** The five-iteration fixed-point loop as local long arithmetic
+    * over a ≤-bound collected edge set — bit-identical to the
+    * distributed rounds (same init Scale/n, same per-edge
+    * `pr div outdeg`, same order-free per-destination sum, same
+    * `base + (dampNum · s) div dampDen`; all values non-negative so
+    * integral `div` == Java `/`). Both persisted inputs release
+    * before the loop runs; the returned frame is RDD-parallelized
+    * (never a plan-embedded LocalRelation) and owns no cached state. */
+  private def driverPageRank(ed: DataFrame, nodes: DataFrame,
+                             iters: Int, dampNum: Int, dampDen: Int)
+      : (DataFrame, () => Unit) = {
+    val t0 = System.nanoTime()
+    val spark = ed.sparkSession
+    val edgeRows = ed.select(col("src"), col("dst"), col("outdeg")).collect()
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false) // lazy, never materialized
+    // node universe = distinct edge endpoints, identical to the
+    // distributed union + distinct (order irrelevant — ranks key by id)
+    val idx = new java.util.HashMap[Long, Integer](edgeRows.length * 2)
+    edgeRows.foreach { r =>
+      idx.putIfAbsent(r.getLong(0), idx.size)
+      idx.putIfAbsent(r.getLong(1), idx.size)
+    }
+    val nodeIds = new Array[Long](idx.size)
+    idx.forEach((node, i) => nodeIds(i) = node)
+    val n = nodeIds.length.toLong
+    val m = edgeRows.length
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    val invDeg = new Array[Long](m)
+    var e = 0
+    while (e < m) {
+      val r = edgeRows(e)
+      srcI(e) = idx.get(r.getLong(0))
+      dstI(e) = idx.get(r.getLong(1))
+      invDeg(e) = r.getLong(2)
+      e += 1
+    }
+    val base = (PageRankScale * (dampDen - dampNum)) / (dampDen * n)
+    var pr = Array.fill(nodeIds.length)(PageRankScale / n)
+    val sums = new Array[Long](nodeIds.length)
+    for (i <- 1 to iters) {
+      val tIter0 = System.nanoTime()
+      java.util.Arrays.fill(sums, 0L)
+      var j = 0
+      while (j < m) {
+        sums(dstI(j)) += pr(srcI(j)) / invDeg(j)
+        j += 1
+      }
+      val next = new Array[Long](nodeIds.length)
+      j = 0
+      while (j < next.length) {
+        next(j) = base + dampNum * sums(j) / dampDen
+        j += 1
+      }
+      pr = next
+      if (i < iters)
+        graft.PhaseLog.add(s"pr.iter$i", (System.nanoTime() - tIter0) / 1e9)
+    }
+    val out = nodeIds.indices.map(j =>
+      org.apache.spark.sql.Row(nodeIds(j), pr(j))).toArray
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pr_fp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val slices = math.max(1, math.min(out.length / 65536,
+      spark.sparkContext.defaultParallelism))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, slices), schema)
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.PhaseLog.add("pr.driver_finish", sec)
+    debugTiming(f"[pr] driver finish edges=${edgeRows.length} n=$n $sec%.2fs")
+    (df, () => ())
   }
 
   /** Close the CC fixpoint on the driver from a ≤-bound edge set: one

@@ -150,6 +150,23 @@ class GraphOpsSpec extends AnyFunSuite with SparkSessionFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("pageRank distributed rounds == driver finish, bit-for-bit " +
+      "(r18: small edge sets close on the driver)") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 2) {
+      val nNodes = 30 + trial * 25
+      val edges = Seq.fill(nNodes * 4) {
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }
+      val viaDriver = ranks(edges) // tiny graph → driver finish
+      sys.props("graft.pr.finishEdges") = "0"
+      val viaRounds = try ranks(edges)
+      finally sys.props.remove("graft.pr.finishEdges")
+      assert(viaDriver == viaRounds, s"trial $trial")
+      assert(viaDriver == refPageRank(edges, 5), s"trial $trial vs scalar ref")
+    }
+  }
+
   test("pageRank on a symmetric triangle is uniform") {
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
       (2L, 1L), (3L, 2L), (1L, 3L))

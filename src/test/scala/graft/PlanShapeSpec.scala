@@ -427,8 +427,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     // or the materialized rank vector lost its clustering claim.
     val edges = spark.range(0, 2000)
       .select((col("id") % 97).as("src"), (col("id") % 89 + 100).as("dst"))
-    val (pr, release) = graft.operators.GraphOps
+    // force the distributed rounds: a graph this small normally closes
+    // on the driver under the r18 finish bound, and this test pins the
+    // DISTRIBUTED round's shuffle count
+    sys.props("graft.pr.finishEdges") = "0"
+    val (pr, release) = try graft.operators.GraphOps
       .pageRankReleasable(edges, "src", "dst", iters = 3)
+    finally sys.props.remove("graft.pr.finishEdges")
     try {
       assert(pr.count() > 0) // materialize so AQE's final plan exists
       // count the runtime shuffle stages of the final round: AQE
