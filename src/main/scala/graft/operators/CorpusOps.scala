@@ -370,6 +370,12 @@ object CorpusOps {
         require(ns(ti) > 0,
           s"logisticFitWeightsNested: empty fold ${subsetCol} < ${thresholds(ti)}")
         ws(ti) = ws(ti).zipWithIndex.map { case (wi, i) =>
+          // a fold whose rows are all-NULL in a feature column sums to
+          // NULL — fail with the same loud diagnostic as an empty fold
+          // instead of an opaque NPE off getDouble (r17 advice)
+          require(!row.isNullAt(ti * (k + 1) + i),
+            s"logisticFitWeightsNested: fold ${subsetCol} < " +
+              s"${thresholds(ti)} has no non-NULL ${featureCols(i)} rows")
           wi - lr * (row.getDouble(ti * (k + 1) + i) / ns(ti))
         }
       }

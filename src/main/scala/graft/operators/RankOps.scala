@@ -56,6 +56,22 @@ object RankOps {
     * trade: sample size ≈ numParts · this). */
   private val SamplePerBucket = 1000L
 
+  /** Target rows per bucket when `numParts` is DERIVED (numParts ≤ 0):
+    * the ×10 rank probe (n = 2·10⁸, P = 320) measured max per-task
+    * sorts of ~685k rows against this ~625k/bucket target as the
+    * sweet spot — large enough that per-bucket sort setup amortizes,
+    * small enough that no task's sort grows with the corpus. */
+  private[graft] val TargetBucketRows = 625000L
+
+  /** Cap on derived bucket counts: the boundary sample collects
+    * ≈ numParts · [[SamplePerBucket]] rows and the offset pull is
+    * numParts rows, so the cap bounds BOTH driver pulls (≤ ~4M sample
+    * rows) by construction. Past cap · target (≈ 2.6·10⁹ rows)
+    * per-bucket size grows linearly again — still no single-partition
+    * cliff, and callers with a genuinely larger total order pass an
+    * explicit numParts sized to their driver. */
+  private[graft] val MaxDerivedParts = 4096
+
   private case class Ord(key: Column, asc: Boolean)
 
   /** Split `.asc`/`.desc`-decorated columns into (expression,
@@ -75,28 +91,46 @@ object RankOps {
   /** Global (grank, tile, pct_rank_u, cume_u) over a total order —
     * see the object doc. Construction runs three bounded driver
     * actions (count, boundary sample, bucket counts); nothing stays
-    * persisted, so there is no release obligation. */
+    * persisted, so there is no release obligation.
+    *
+    * `numParts ≤ 0` DERIVES the bucket count from the data the
+    * operator already counts — ⌈n / [[TargetBucketRows]]⌉ clamped to
+    * [[MaxDerivedParts]] (r17 verdict item 6: the one declared call
+    * site hard-coded 32, coincidentally the local core count; the
+    * operator's 100 TB contract is that partitioning tracks the
+    * corpus, so the default spelling must too). Derived counts floor
+    * at 2 buckets — see the inline note. */
   def globalQuantileRanks(df: DataFrame, order: Seq[Column],
-                          tiles: Int, numParts: Int): DataFrame = {
+                          tiles: Int, numParts: Int = 0): DataFrame = {
     require(tiles >= 1, "tiles must be >= 1")
-    require(numParts >= 1, "numParts must be >= 1")
     val os = orders(order)
     val keys = os.map(_.key)
     val n = df.count()
+    // derived counts floor at 2, never 1: a single constant bucket id
+    // constant-folds out of the window's partition spec and the plan
+    // regresses to the forbidden Exchange SinglePartition (the data
+    // movement would be identical, but the operator's contract — and
+    // PlanShapeSpec's pin — is that the single-partition SHAPE never
+    // appears)
+    val parts =
+      if (numParts >= 1) numParts
+      else math.min(MaxDerivedParts.toLong,
+        math.max(2L, (n + TargetBucketRows - 1) / TargetBucketRows)).toInt
     // hash-mod boundary sample: rate sized so ~SamplePerBucket rows
     // land per bucket — bounded collect at any corpus size; the
     // in-Spark orderBy sorts only the sample (driver-bounded set)
-    val rate = math.max(1L, n / math.max(1L, numParts * SamplePerBucket))
-    val sample = df
-      .filter(pmod(xxhash64(keys: _*), lit(rate)) === 0)
-      .select(keys: _*).orderBy(order: _*).collect()
-    val step = math.max(1, sample.length / numParts)
+    val sample = {
+      val rate = math.max(1L, n / math.max(1L, parts * SamplePerBucket))
+      df.filter(pmod(xxhash64(keys: _*), lit(rate)) === 0)
+        .select(keys: _*).orderBy(order: _*).collect()
+    }
+    val step = math.max(1, sample.length / parts)
     // null-CONTAINING boundary tuples are dropped: the probe's
     // null-verdict ("not after") is not monotone against a
     // nulls-first sorted table, so binary search could disagree with
     // the linear count (see SearchSortedBucket scaladoc). Null-keyed
     // ROWS still bucket deterministically (all to bucket 0).
-    val boundaries = (1 until numParts)
+    val boundaries = (1 until parts)
       .map(_ * step).filter(_ < sample.length)
       .map(i => sample(i).toSeq).distinct
       .filter(_.forall(_ != null))

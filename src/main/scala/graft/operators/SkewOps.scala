@@ -31,7 +31,19 @@ object SkewOps {
     * exactly the skew the operator targets (r16 advice). The result
     * set is salt-invariant (salting is pure execution strategy), so
     * the partition-layout-dependent id costs nothing in determinism
-    * of the OUTPUT; only the internal spread changes. */
+    * of the OUTPUT; only the internal spread changes.
+    *
+    * RETRY CAVEAT (r17 advice): `monotonically_increasing_id` is a
+    * nondeterministic-marked expression — its value depends on the
+    * task's partition id and row position. That is safe HERE because
+    * the large side is expected to be a deterministically-ordered
+    * source (a file scan or cached table whose partition contents are
+    * stable under task retry), so a retried task re-derives the same
+    * salts and the join neither drops nor duplicates rows. A caller
+    * feeding the salted side from a NONDETERMINISTICALLY-ordered
+    * shuffle (e.g. round-robin repartition of unstable input) could
+    * see retry-divergent salts — the SPARK-38388 class of failure;
+    * materialize or checkpoint such an input first. */
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
                      saltFactor: Int): DataFrame = {
     require(saltFactor > 1, "saltFactor must exceed 1")

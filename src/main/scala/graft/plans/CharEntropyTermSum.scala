@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * entropy term `c · round(ln(c / n), 6)::DECIMAL(18,6)` — the whole
   * per-document body of t11_char_entropy in ONE compiled pass over
   * the text's UTF-8 bytes (n = `length(text)`, c = the character's
-  * occurrence count). Returns DECIMAL(38,6), the exact type the
-  * retired census aggregation produced.
+  * occurrence count). Returns DECIMAL(38,6) — a widened superset of
+  * the retired census aggregation's sum type (Spark's sum over
+  * DECIMAL(18,6) yields DECIMAL(28,6)); values are identical after
+  * the downstream double cast, and 38,6 is headroom, not parity.
   *
   * Why an expression: the census spelling exploded one row PER
   * CHARACTER through two aggregates and a window (a Generate and two

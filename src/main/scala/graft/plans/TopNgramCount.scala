@@ -72,16 +72,31 @@ object TopNgramCountHelper {
     val L = toks.numElements()
     val strs = new Array[String](L)
     var i = 0
-    while (i < L) { strs(i) = toks.getUTF8String(i).toString; i += 1 }
+    while (i < L) {
+      // NULL array elements are skipped concat_ws-style, exactly as
+      // [[NgramGenerate]] renders them (r17 advice: the previous
+      // StringBuilder.append(null) spelled them as the literal
+      // "null", silently diverging for any caller whose token arrays
+      // can carry nulls — unreachable from t9's cleanTokens, but the
+      // two gram identities must agree by definition, not by luck)
+      val u = toks.getUTF8String(i)
+      strs(i) = if (u == null) null else u.toString
+      i += 1
+    }
     val m = new java.util.HashMap[String, Array[Long]]()
     var max = 0L
     var start = 0
     while (start + n <= L) {
       val sb = new java.lang.StringBuilder()
       var k = 0
+      var appended = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(strs(start + k))
+        val s = strs(start + k)
+        if (s != null) {
+          if (appended > 0) sb.append(' ')
+          sb.append(s)
+          appended += 1
+        }
         k += 1
       }
       val key = sb.toString

@@ -273,10 +273,15 @@ private[graft] object RelationalQueries {
     // identical to ntile/percent_rank/cume_dist over the total order.
     // PlanShapeSpec pins that no Exchange SinglePartition appears.
     "q56_global_rank" -> ((s, dir) =>
+      // numParts DERIVED from the counted input (r18, r17 verdict
+      // item 6): the operator sizes buckets to its probe-justified
+      // rows-per-task target instead of a constant that happened to
+      // equal the local core count; results are bucketing-invariant
+      // (the oracle is the naive global window either way)
       graft.operators.RankOps.globalQuantileRanks(
         t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
         Seq(col("c_acctbal").desc, col("c_custkey").asc),
-        tiles = 10, numParts = 32)),
+        tiles = 10)),
 
 
     // pivot: one row per user, one count column per event type

@@ -91,4 +91,70 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkSessionFixture {
       assert(actual === expected, s"delta slice rem=$rem diverged")
     }
   }
+
+  test("broadcast guard (r18): over-bound collision sets fall back to " +
+      "an unhinted spillable semi join, result-identical") {
+    val docs = corpus(200)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val stage = sys.props("java.io.tmpdir") + "/graft_incr_index_spec3"
+    DedupOps.writeSignatureIndex(base, "doc_id", "text", stage, numFiles = 4)
+    val (viaBroadcast, r1) = DedupOps.incrementalDedupFromIndex(
+      spark, stage, delta, "doc_id", "text", threshold = 0.6)
+    val expected = viaBroadcast.collect().map(_.toString).sorted.toSeq
+    r1()
+    // force EVERY collision set over the bound — the high-duplication
+    // regime the guard exists for — and disable the engine's OWN
+    // broadcast election (AQE will otherwise rightly broadcast the
+    // test-sized id set from runtime stats; a forced broadcast() hint
+    // would ignore these thresholds, which is exactly what the pin
+    // distinguishes: above the bound the join must be left to the
+    // planner, never hint-forced)
+    sys.props("graft.d36.broadcastIds") = "0"
+    val prevAuto = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (guarded, r2) = DedupOps.incrementalDedupFromIndex(
+        spark, stage, delta, "doc_id", "text", threshold = 0.6)
+      val actual = guarded.collect().map(_.toString).sorted.toSeq
+      // the fallback semi-prune must not broadcast-build the id set:
+      // no BroadcastHashJoin LeftSemi anywhere in the executed plan
+      // (AQE may still broadcast OTHER joins, e.g. the delta side of
+      // the candidate join — the pin is on the semi joins)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      def broadcastSemis(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => broadcastSemis(a.finalPhysicalPlan)
+        case q: QueryStageExec => broadcastSemis(q.plan)
+        case b: BroadcastHashJoinExec if b.joinType == LeftSemi =>
+          1 + b.children.map(broadcastSemis).sum
+        case _ => p.children.map(broadcastSemis).sum
+      }
+      val guarded2 = DedupOps.incrementalDedupFromIndex(
+        spark, stage, delta, "doc_id", "text", threshold = 0.6)
+      guarded2._1.collect()
+      assert(broadcastSemis(guarded2._1.queryExecution.executedPlan) == 0,
+        "over-bound collision set must not broadcast the semi-prune")
+      guarded2._2()
+      r2()
+      assert(actual === expected, "guarded fallback diverged")
+    } finally {
+      sys.props.remove("graft.d36.broadcastIds")
+      prevAuto match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

@@ -58,6 +58,19 @@ class RankOpsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("derived numParts (<= 0) matches the global window and an " +
+      "explicit bucket count — r18: the declared q56 spelling derives " +
+      "parts from the counted input") {
+    val df = corpus(97, 7)
+    // n = 97 << TargetBucketRows, so the derived count floors at 2
+    // buckets; results must still equal the reference AND the
+    // multi-bucket spelling
+    assert(twoPass(df, 10, 0) === referenceRanks(df, 10))
+    assert(twoPass(df, 10, 0) === twoPass(df, 10, 16))
+    // derivation arithmetic: ceil(n / target) clamped to the cap
+    assert(RankOps.TargetBucketRows > 0 && RankOps.MaxDerivedParts > 0)
+  }
+
   test("more tiles than rows: each row its own bucket") {
     val df = corpus(3, 3)
     assert(twoPass(df, 10, 4) === referenceRanks(df, 10))

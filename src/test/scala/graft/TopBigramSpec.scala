@@ -54,4 +54,16 @@ class TopBigramSpec extends AnyFunSuite with SparkSessionFixture {
     val nulls = rows(inRow(docs)).filter(_._2.isEmpty).map(_._1)
     assert(nulls === Seq(1L, 2L)) // < 2 tokens => NULL, as before
   }
+
+  test("NULL array elements render concat_ws-style, matching " +
+      "NgramGenerate (r17 advice: unreachable from t9's cleanTokens, " +
+      "but the two gram identities must agree by definition)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq[Option[String]](Some("a"), None, Some("a"), None)),
+      (2L, Seq[Option[String]](None, None, None)),
+      (3L, Seq[Option[String]](Some("x"), Some("null"), None, Some("x")))
+    ).toDF("doc_id", "toks")
+    assert(rows(inRow(docs)) === rows(censusTopBigram(docs)))
+  }
 }
