@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.SkewOps
 
+/** Salted-join specs. Note on the per-row salt disambiguator
+  * (`monotonically_increasing_id`, r17): these tests feed the salted
+  * side from deterministically-ordered sources (local relations /
+  * file scans), which is the operator's documented contract — a
+  * nondeterministically-ordered shuffle input could see
+  * retry-divergent salts (see the SkewOps scaladoc's SPARK-38388
+  * caveat, r17 advice / r18). Salt-invariance of the OUTPUT is what
+  * the equality tests below pin. */
 class SkewOpsSpec extends AnyFunSuite with SparkSessionFixture {
 
   test("saltedEquiJoin returns exactly the plain equi-join result on skewed data") {
